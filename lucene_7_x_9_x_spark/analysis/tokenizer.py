@@ -1,0 +1,105 @@
+"""StandardAnalyzer-equivalent text analysis chain as vectorized functions.
+
+Semantics source (behavior only):
+  solr-8.4.0/lucene/core/src/java/org/apache/lucene/analysis/standard/StandardAnalyzer.java:41,92-101
+    (StandardTokenizer -> LowerCaseFilter -> StopFilter; maxTokenLength = 255;
+     default stop set is EMPTY)
+  .../analysis/standard/StandardTokenizer.java:32-90 (UAX#29 word-break token types)
+  solr-8.4.0/lucene/analysis/common/src/java/org/apache/lucene/analysis/en/EnglishAnalyzer.java:48-54
+    (the canonical 33-word English stop set)
+  .../analysis/StopFilter.java:28 (FilteringTokenFilter keeps position increments —
+    removed tokens leave position holes)
+
+The tokenizer approximates UAX#29 word break with a frozen regex: alnum runs with
+UAX#29 MidLetter/MidNumLet joins (apostrophe, period between alnums), numbers with
+decimal separators, CJK ideographs as single-char tokens, kana/hangul runs. Golden
+tests in tests/test_tokenizer.py freeze the contract. Divergences from the full
+JFlex DFA (exotic emoji/combining sequences) are out of scope for the corpus shapes
+this engine targets; the contract is the frozen goldens.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, List, Optional, Tuple
+
+import pandas as pd
+
+__all__ = ["ENGLISH_STOP_WORDS", "Analyzer", "STANDARD", "tokenize_text"]
+
+# EnglishAnalyzer.java:48-54
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.java:41
+
+_ALNUM = r"[^\W_]"  # unicode letters + digits, excluding underscore
+_TOKEN_RE = re.compile(
+    # CJK ideographs tokenize as single characters (StandardTokenizer IDEOGRAPHIC)
+    r"(?P<ideo>[一-鿿㐀-䶿豈-﫿])"
+    # kana / hangul runs
+    r"|(?P<kana>[぀-ヿ]+|[가-힯]+)"
+    # alnum runs joined by UAX#29 MidNumLet-style separators (' . ’ between alnums)
+    rf"|(?P<word>{_ALNUM}+(?:['’.]{_ALNUM}+)*)",
+    re.UNICODE,
+)
+
+
+def _raw_tokens(text: str) -> Iterable[str]:
+    for m in _TOKEN_RE.finditer(text):
+        tok = m.group(0)
+        if len(tok) <= MAX_TOKEN_LENGTH:
+            yield tok
+        else:
+            # StandardTokenizer splits over-long tokens at maxTokenLength
+            for i in range(0, len(tok), MAX_TOKEN_LENGTH):
+                yield tok[i : i + MAX_TOKEN_LENGTH]
+
+
+class Analyzer:
+    """tokenize(text) -> [(term, position)] with stop-filter position holes."""
+
+    def __init__(self, stopwords: Optional[frozenset] = None, lowercase: bool = True):
+        # StandardAnalyzer() default: NO stopwords (StandardAnalyzer.java:57-58)
+        self.stopwords = frozenset(stopwords) if stopwords else frozenset()
+        self.lowercase = lowercase
+
+    def tokenize(self, text: Optional[str]) -> List[Tuple[str, int]]:
+        if not text:
+            return []
+        out = []
+        pos = 0
+        for tok in _raw_tokens(text):
+            if self.lowercase:
+                tok = tok.lower()
+            if tok in self.stopwords:
+                pos += 1  # position hole (StopFilter keeps increments)
+                continue
+            out.append((tok, pos))
+            pos += 1
+        return out
+
+    def tokenize_series(self, texts: pd.Series) -> pd.Series:
+        """Vectorized entry point for pandas/Arrow UDFs."""
+        return texts.map(self.tokenize)
+
+    def term_freqs_series(self, texts: pd.Series) -> pd.Series:
+        """Per-doc aggregated [(term, freq, positions)] — the shape the index
+        builder explodes (avoids a per-token shuffle row; SURVEY §3.1 retrace)."""
+
+        def agg(text):
+            acc: dict = {}
+            for term, pos in self.tokenize(text):
+                acc.setdefault(term, []).append(pos)
+            return [(t, len(ps), ps) for t, ps in acc.items()]
+
+        return texts.map(agg)
+
+
+STANDARD = Analyzer()  # StandardAnalyzer() defaults: lowercase, no stopwords
+
+
+def tokenize_text(text: str, analyzer: Analyzer = STANDARD) -> List[str]:
+    return [t for t, _ in analyzer.tokenize(text)]

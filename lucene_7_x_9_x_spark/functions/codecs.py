@@ -1,0 +1,215 @@
+"""Posting-list block codecs: delta + FOR bit-packing + variable-byte, in numpy.
+
+Modeled on (behavior, not code) Lucene 8.4's postings format:
+  solr-8.4.0/lucene/core/src/java/org/apache/lucene/codecs/lucene84/ForUtil.java:33
+    (BLOCK_SIZE = 128), ForDeltaUtil.java:57-82 (delta then FOR-pack; all-1s escape),
+  Lucene84PostingsWriter.java:368-404 (vInt tail when docFreq < 128; singleton inline).
+
+The byte layout is our own (the north rule requires delta + variable-byte FOR-style
+compression with exact decoded values, not Lucene's file format). Layout per stream:
+
+  header byte 0    -> all values == 1, no payload (dense-run escape)
+  header byte 1-64 -> FOR: every value bit-packed at `header` bits, LSB-first
+  header byte 255  -> variable-byte (7-bit groups, little-endian, MSB = continue)
+
+docids are stored as (first_doc, payload of successive deltas); freqs are stored
+verbatim; positions are per-doc delta streams concatenated and vByte-coded, split
+back using freqs. Norm bytes ride along raw (1 byte/doc) so the query kernel is
+self-contained per postings row (a deliberate Spark-first denormalization replacing
+Lucene's separate .nvd norms file).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "BLOCK_SIZE", "vbyte_encode", "vbyte_decode", "pack_bits", "unpack_bits",
+    "encode_stream", "decode_stream", "encode_posting_list", "decode_blocks",
+    "split_positions",
+]
+
+BLOCK_SIZE = 128  # ForUtil.java:33
+_VBYTE = 255
+_MAX_VBYTE_LEN = 10
+
+
+def vbyte_encode(values) -> bytes:
+    """Little-endian base-128 varint encoding of a uint64 array (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    lens = np.ones(v.shape, dtype=np.int64)
+    for shift in range(7, 64, 7):
+        lens += (v >= np.uint64(1 << shift)).astype(np.int64)
+    total = int(lens.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    offsets = np.cumsum(lens) - lens
+    for j in range(_MAX_VBYTE_LEN):
+        mask = lens > j
+        if not mask.any():
+            break
+        chunk = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (lens[mask] - 1 > j).astype(np.uint8) << 7
+        out[offsets[mask] + j] = chunk | cont
+    return out.tobytes()
+
+
+def vbyte_decode(buf: bytes, n: int) -> np.ndarray:
+    """Decode n varints from buf; returns uint64 array."""
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    ends = np.flatnonzero((arr & 0x80) == 0)[:n]
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    out = np.zeros(n, dtype=np.uint64)
+    for j in range(_MAX_VBYTE_LEN):
+        idx = starts + j
+        mask = idx <= ends
+        if not mask.any():
+            break
+        out[mask] |= (arr[idx[mask]] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(7 * j)
+    return out
+
+
+def pack_bits(values, bits: int) -> bytes:
+    """FOR: pack each value into `bits` bits, LSB-first bit order."""
+    v = np.asarray(values, dtype=np.uint64)
+    shifts = np.arange(bits, dtype=np.uint64)
+    bitmat = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bitmat.ravel(), bitorder="little").tobytes()
+
+
+def unpack_bits(buf: bytes, n: int, bits: int) -> np.ndarray:
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    flat = np.unpackbits(arr, count=n * bits, bitorder="little")
+    bitmat = flat.reshape(n, bits).astype(np.uint64)
+    weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+    return bitmat @ weights
+
+
+def encode_stream(values) -> bytes:
+    """Encode a positive-int stream with the header scheme documented above."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return bytes([0])
+    if (v == 1).all():
+        return bytes([0])  # all-1s escape (ForDeltaUtil.java:57-70 analog)
+    if v.size < 32:
+        return bytes([_VBYTE]) + vbyte_encode(v)
+    bits = max(1, int(v.max()).bit_length())
+    if bits >= _VBYTE:  # unreachable for <2^64 but keep the guard
+        return bytes([_VBYTE]) + vbyte_encode(v)
+    return bytes([bits]) + pack_bits(v, bits)
+
+
+def decode_stream(buf: bytes, n: int) -> np.ndarray:
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    header = buf[0]
+    if header == 0:
+        return np.ones(n, dtype=np.uint64)
+    if header == _VBYTE:
+        return vbyte_decode(buf[1:], n)
+    return unpack_bits(buf[1:], n, header)
+
+
+def encode_posting_list(docids, freqs, norm_bytes, positions=None,
+                        block_size: int = BLOCK_SIZE):
+    """Encode one (segment, term) posting list into 128-doc blocks.
+
+    docids: strictly-increasing int array; freqs: int array >= 1; norm_bytes:
+    uint8 array (quantized doc length of each posting's doc); positions: optional
+    list of per-doc ascending position arrays.
+
+    Returns a list of block dicts with keys:
+      first_doc, last_doc, count, max_freq, min_norm, doc_bytes, freq_bytes,
+      norm_bytes, pos_bytes
+    """
+    docids = np.asarray(docids, dtype=np.int64)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    norm_bytes = np.asarray(norm_bytes, dtype=np.uint8)
+    n = docids.size
+    assert n and (np.diff(docids) > 0).all(), "docids must be strictly increasing"
+    blocks = []
+    for start in range(0, n, block_size):
+        end = min(start + block_size, n)
+        d = docids[start:end]
+        f = freqs[start:end]
+        nb = norm_bytes[start:end]
+        deltas = np.diff(d).astype(np.uint64)  # first_doc stored in metadata
+        blk = {
+            "first_doc": int(d[0]),
+            "last_doc": int(d[-1]),
+            "count": int(end - start),
+            "max_freq": int(f.max()),
+            "min_norm": int(nb.min()),
+            "doc_bytes": encode_stream(deltas) if deltas.size else bytes([0]),
+            "freq_bytes": encode_stream(f),
+            "norm_bytes": nb.tobytes(),
+        }
+        if positions is not None:
+            segs = []
+            for i in range(start, end):
+                p = np.asarray(positions[i], dtype=np.int64)
+                dp = np.empty(p.size, dtype=np.uint64)
+                if p.size:
+                    dp[0] = p[0]
+                    dp[1:] = np.diff(p)
+                segs.append(dp)
+            blk["pos_bytes"] = vbyte_encode(np.concatenate(segs) if segs else
+                                            np.zeros(0, dtype=np.uint64))
+        else:
+            blk["pos_bytes"] = b""
+        blocks.append(blk)
+    return blocks
+
+
+def decode_blocks(blocks, want_positions: bool = False):
+    """Decode block dicts/Rows back to (docids, freqs, norm_bytes[, positions]).
+
+    positions is returned as a flat int64 array plus per-posting freq split
+    (use split_positions to get per-doc lists).
+    """
+    all_d, all_f, all_n, all_p = [], [], [], []
+    for blk in blocks:
+        cnt = int(blk["count"])
+        deltas = decode_stream(bytes(blk["doc_bytes"]), cnt - 1) if cnt > 1 else \
+            np.zeros(0, dtype=np.uint64)
+        d = np.empty(cnt, dtype=np.int64)
+        d[0] = int(blk["first_doc"])
+        if cnt > 1:
+            d[1:] = d[0] + np.cumsum(deltas.astype(np.int64))
+        f = decode_stream(bytes(blk["freq_bytes"]), cnt).astype(np.int64)
+        nb = np.frombuffer(bytes(blk["norm_bytes"]), dtype=np.uint8)
+        all_d.append(d)
+        all_f.append(f)
+        all_n.append(nb)
+        if want_positions:
+            total_pos = int(f.sum())
+            flat = vbyte_decode(bytes(blk["pos_bytes"]), total_pos).astype(np.int64)
+            # undo per-doc delta coding: positions restart at each doc boundary
+            boundaries = np.cumsum(f)[:-1]
+            csum = np.cumsum(flat)
+            base = np.zeros(total_pos, dtype=np.int64)
+            if boundaries.size:
+                # subtract the running sum accumulated before each doc's first pos
+                prior = np.zeros(total_pos, dtype=np.int64)
+                prior[boundaries] = csum[boundaries - 1]
+                np.maximum.accumulate(prior, out=prior)
+                base = prior
+            all_p.append(csum - base)
+    d = np.concatenate(all_d) if all_d else np.zeros(0, dtype=np.int64)
+    f = np.concatenate(all_f) if all_f else np.zeros(0, dtype=np.int64)
+    nb = np.concatenate(all_n) if all_n else np.zeros(0, dtype=np.uint8)
+    if want_positions:
+        p = np.concatenate(all_p) if all_p else np.zeros(0, dtype=np.int64)
+        return d, f, nb, p
+    return d, f, nb
+
+
+def split_positions(flat_positions: np.ndarray, freqs: np.ndarray):
+    """Split the flat positions array into per-posting arrays by freq."""
+    return np.split(flat_positions, np.cumsum(np.asarray(freqs))[:-1])

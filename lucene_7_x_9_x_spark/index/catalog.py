@@ -1,0 +1,93 @@
+"""Snapshot catalog: atomic publish points for the segment-structured index.
+
+Plays the role of Lucene's commit (IndexWriter commit path, IndexWriter.java:566-568)
+and, at production scale, of an Iceberg table commit: a snapshot JSON lists the live
+segment set; readers resolve the latest snapshot and see an immutable point-in-time
+view (NRT refresh analog, DirectoryReader.java:96). Written via tmp-file + os.rename
+for atomicity. In production this maps 1:1 onto Iceberg snapshots; the sandbox has
+no Iceberg runtime, so parquet dirs + JSON manifests emulate it behind this module.
+
+Layout under index_dir/:
+  docs/seg=K/*.parquet       postings/seg=K/*.parquet
+  _catalog/snapshot-N.json   _catalog/HEAD (contains N)
+  lineage/*.parquet          (append-only per-stage per-segment rows)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+__all__ = ["IndexCatalog"]
+
+
+class IndexCatalog:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.catalog_dir = os.path.join(index_dir, "_catalog")
+        os.makedirs(self.catalog_dir, exist_ok=True)
+
+    # --- paths -------------------------------------------------------------
+    def docs_path(self, segment_id: int) -> str:
+        return os.path.join(self.index_dir, "docs", f"seg={segment_id}")
+
+    def postings_path(self, segment_id: int) -> str:
+        return os.path.join(self.index_dir, "postings", f"seg={segment_id}")
+
+    def lineage_path(self) -> str:
+        return os.path.join(self.index_dir, "lineage")
+
+    # --- snapshots ----------------------------------------------------------
+    def head(self) -> int:
+        head_file = os.path.join(self.catalog_dir, "HEAD")
+        if not os.path.exists(head_file):
+            return -1
+        with open(head_file) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, snapshot_id: Optional[int] = None) -> Optional[dict]:
+        sid = self.head() if snapshot_id is None else snapshot_id
+        if sid < 0:
+            return None
+        path = os.path.join(self.catalog_dir, f"snapshot-{sid}.json")
+        with open(path) as f:
+            return json.load(f)
+
+    def live_segments(self) -> list[dict]:
+        snap = self.snapshot()
+        return snap["segments"] if snap else []
+
+    def commit(self, segments: list[dict], operation: str = "append") -> int:
+        """Atomically publish a new snapshot with the given live segment set.
+
+        segments: [{"segment_id": int, "doc_count": int, "sum_ttf": int,
+                    "max_doc": int, "size_bytes": int, "merged_from": [int,...]}]
+        """
+        parent = self.head()
+        sid = parent + 1
+        snap = {
+            "snapshot_id": sid,
+            "parent": parent,
+            "operation": operation,
+            "ts_ms": int(time.time() * 1000),
+            "segments": sorted(segments, key=lambda s: s["segment_id"]),
+        }
+        path = os.path.join(self.catalog_dir, f"snapshot-{sid}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f, indent=1)
+        os.rename(tmp, path)
+        head_tmp = os.path.join(self.catalog_dir, "HEAD.tmp")
+        with open(head_tmp, "w") as f:
+            f.write(str(sid))
+        os.rename(head_tmp, os.path.join(self.catalog_dir, "HEAD"))
+        return sid
+
+    def segment_complete(self, segment_id: int) -> bool:
+        """A segment's data is durable iff its _SUCCESS markers exist (resume check)."""
+        return all(
+            os.path.exists(os.path.join(p, "_SUCCESS"))
+            for p in (self.docs_path(segment_id), self.postings_path(segment_id))
+        )

@@ -1,0 +1,109 @@
+"""CheckIndex analog: full structural verification of the index tables.
+
+Mirrors o.a.l/index/CheckIndex.java:86,642-656,861 — walk every posting list and
+cross-check statistics. Distributed: postings invariants run inside applyInPandas
+per (segment, shard of terms); docs/stats invariants are SQL aggregations.
+Returns a list of violation strings (empty == healthy index).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import smallfloat
+from ..functions.codecs import decode_blocks, BLOCK_SIZE
+from .catalog import IndexCatalog
+
+_VIOL = T.StructType([T.StructField("violation", T.StringType(), False)])
+
+
+def _check_postings_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for r in pdf.itertuples():
+        blocks = [b if isinstance(b, dict) else b.asDict() for b in r.blocks]
+        d, f, nb = decode_blocks(blocks)
+        tag = f"seg={r.segment_id} term={r.term}"
+        if d.size != r.df:
+            out.append(f"{tag}: df={r.df} != decoded len {d.size}")
+        if int(f.sum()) != r.ttf:
+            out.append(f"{tag}: ttf={r.ttf} != sum freqs {int(f.sum())}")
+        if d.size > 1 and not (np.diff(d) > 0).all():
+            out.append(f"{tag}: docids not strictly increasing")
+        if (f < 1).any():
+            out.append(f"{tag}: freq < 1")
+        off = 0
+        for i, b in enumerate(blocks):
+            cnt = int(b["count"])
+            if cnt > BLOCK_SIZE:
+                out.append(f"{tag}: block {i} count {cnt} > {BLOCK_SIZE}")
+            dd, ff, nn = d[off:off + cnt], f[off:off + cnt], nb[off:off + cnt]
+            if int(b["first_doc"]) != dd[0] or int(b["last_doc"]) != dd[-1]:
+                out.append(f"{tag}: block {i} first/last mismatch")
+            if int(b["max_freq"]) != int(ff.max()):
+                out.append(f"{tag}: block {i} max_freq mismatch")
+            if int(b["min_norm"]) != int(nn.min()):
+                out.append(f"{tag}: block {i} min_norm mismatch")
+            off += cnt
+    return pd.DataFrame({"violation": out})
+
+
+def check_index(spark: SparkSession, index_dir: str) -> list:
+    cat = IndexCatalog(index_dir)
+    segs = cat.live_segments()
+    violations = []
+    if not segs:
+        return ["no committed snapshot"]
+    live = [(s["wave"], s["segment_id"]) for s in segs]
+    postings = spark.read.parquet(f"{index_dir}/postings").where(
+        F.struct("wave", "segment_id").isin(
+            [F.struct(F.lit(w), F.lit(s)) for w, s in live]))
+    docs = spark.read.parquet(f"{index_dir}/docs").where(
+        F.struct("wave", "segment_id").isin(
+            [F.struct(F.lit(w), F.lit(s)) for w, s in live]))
+
+    v = (
+        postings.withColumn("shard", F.pmod(F.xxhash64("term"), F.lit(16)))
+        .groupBy("segment_id", "shard")
+        .applyInPandas(_check_postings_pdf, _VIOL)
+        .collect()
+    )
+    violations += [r["violation"] for r in v]
+
+    # docids dense 0..n-1 per segment, in key order
+    dense = (
+        docs.groupBy("segment_id")
+        .agg(F.count("*").alias("n"), F.min("docid").alias("mn"),
+             F.max("docid").alias("mx"),
+             F.count_distinct("docid").alias("nd"))
+        .collect()
+    )
+    seg_by_id = {s["segment_id"]: s for s in segs}
+    for r in dense:
+        if not (r["mn"] == 0 and r["mx"] == r["n"] - 1 and r["nd"] == r["n"]):
+            violations.append(f"seg={r['segment_id']}: docids not dense")
+        meta = seg_by_id.get(r["segment_id"])
+        if meta and meta["max_doc"] != r["n"]:
+            violations.append(f"seg={r['segment_id']}: max_doc mismatch")
+
+    # norm quantization: norm_byte == intToByte4(doclen)  (BM25Similarity.java:128-139)
+    bad_norms = docs.toPandas()
+    expect = smallfloat.int_to_byte4(bad_norms["doclen"].values.astype(np.int64))
+    if not (expect.astype(np.int32) == bad_norms["norm_byte"].values).all():
+        violations.append("norm_byte != intToByte4(doclen) for some docs")
+
+    # stats: doc_count/sum_ttf in the snapshot match the docs table
+    agg = (
+        docs.groupBy("segment_id")
+        .agg(F.sum(F.when(F.col("doclen") > 0, 1).otherwise(0)).alias("dc"),
+             F.sum("doclen").alias("ttf"))
+        .collect()
+    )
+    for r in agg:
+        meta = seg_by_id.get(r["segment_id"])
+        if meta and (meta["doc_count"] != r["dc"] or meta["sum_ttf"] != r["ttf"]):
+            violations.append(f"seg={r['segment_id']}: snapshot stats mismatch")
+    return violations

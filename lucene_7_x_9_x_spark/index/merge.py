@@ -1,0 +1,316 @@
+"""Log-structured tiered segment merging.
+
+Two parts:
+  1. find_merges(): a deterministic pure-Python port of TieredMergePolicy's
+     NATURAL merge selection (solr-8.4.0/.../index/TieredMergePolicy.java:
+     :99-106 defaults [maxMergeAtOnce=10, maxMergedSegment=5GB, floor=2MB,
+     segsPerTier=10, deletesPctAllowed=33], :380-470 findMerges budget math,
+     :470-560 doFindMerges candidate windows, :610-651 score =
+     skew * totAfterMergeBytes^0.05 * nonDelRatio^2, lower is better).
+     Pure logic over the segments-metadata table — no Spark needed to decide.
+  2. execute_merge(): the SegmentMerger analog (SegmentMerger.java:100-176) as a
+     Spark job — read the N input segments, re-base docids by cumulative offsets
+     in segment order (DocIDMerger.java:34,93,139), merge each term's posting
+     lists (offset-shifted sub-lists concatenate in segment order, so the merged
+     list is already docid-sorted — no re-sort shuffle), re-encode blocks, write
+     one new segment and commit a snapshot that atomically swaps the segment set
+     (IndexFileDeleter analog: old files simply leave the live set).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.codecs import decode_blocks, encode_posting_list, split_positions
+from .catalog import IndexCatalog
+from . import schema as S
+
+
+@dataclass(frozen=True)
+class TieredMergeConfig:
+    max_merge_at_once: int = 10
+    max_merged_segment_bytes: int = 5 * 1024 * 1024 * 1024
+    floor_segment_bytes: int = 2 * 1024 * 1024
+    segs_per_tier: float = 10.0
+    deletes_pct_allowed: float = 33.0
+
+
+def _floor_size(b: int, cfg: TieredMergeConfig) -> int:
+    return max(cfg.floor_segment_bytes, b)
+
+
+def _live_size(seg: dict) -> int:
+    """Size with deletes discounted (TieredMergePolicy size(info) semantics)."""
+    max_doc = max(1, seg.get("max_doc", 1))
+    del_count = seg.get("del_count", 0)
+    return int(seg["size_bytes"] * (1.0 - del_count / max_doc))
+
+
+def find_merges(segments: list[dict], cfg: TieredMergeConfig = TieredMergeConfig(),
+                merging: frozenset = frozenset()) -> list[list[int]]:
+    """Select merges; returns lists of segment_ids (each list = one OneMerge).
+
+    Faithful port of findMerges/doFindMerges/score for the no-deletes NATURAL
+    case (del_count defaults 0; the dels branches are kept for parity).
+    """
+    infos = [dict(s, live_bytes=_live_size(s)) for s in segments]
+    # sort by live size descending (sortByName tie-break -> segment_id)
+    infos.sort(key=lambda s: (-s["live_bytes"], s["segment_id"]))
+
+    tot_index_bytes = 0
+    min_segment_bytes = float("inf")
+    total_del_docs = 0
+    total_max_doc = 0
+    merging_bytes = 0
+    eligible = []
+    for s in infos:
+        if s["segment_id"] in merging:
+            merging_bytes += s["live_bytes"]
+            total_max_doc += s.get("max_doc", 0) - s.get("del_count", 0)
+            continue
+        total_del_docs += s.get("del_count", 0)
+        total_max_doc += s.get("max_doc", 0)
+        eligible.append(s)
+        min_segment_bytes = min(min_segment_bytes, s["live_bytes"])
+        tot_index_bytes += s["live_bytes"]
+    if not eligible:
+        return []
+    total_max_doc = max(1, total_max_doc)
+    total_del_pct = 100.0 * total_del_docs / total_max_doc
+    allowed_del_count = int(cfg.deletes_pct_allowed * total_max_doc / 100)
+
+    # grace out too-large segments (TieredMergePolicy.java:408-419)
+    kept = []
+    for s in eligible:
+        seg_del_pct = 100.0 * s.get("del_count", 0) / max(1, s.get("max_doc", 1))
+        if (s["live_bytes"] > cfg.max_merged_segment_bytes / 2
+                and (total_del_pct <= cfg.deletes_pct_allowed
+                     or seg_del_pct <= cfg.deletes_pct_allowed)):
+            tot_index_bytes -= s["live_bytes"]
+            allowed_del_count -= s.get("del_count", 0)
+            continue
+        kept.append(s)
+    eligible = kept
+    allowed_del_count = max(0, allowed_del_count)
+
+    merge_factor = int(min(cfg.max_merge_at_once, cfg.segs_per_tier))
+    # allowed segment budget (TieredMergePolicy.java:420-438)
+    level_size = max(int(min_segment_bytes), cfg.floor_segment_bytes)
+    bytes_left = tot_index_bytes
+    allowed_seg_count = 0.0
+    while True:
+        seg_count_level = bytes_left / level_size
+        if (seg_count_level < cfg.segs_per_tier
+                or level_size == cfg.max_merged_segment_bytes):
+            allowed_seg_count += math.ceil(seg_count_level)
+            break
+        allowed_seg_count += cfg.segs_per_tier
+        bytes_left -= int(cfg.segs_per_tier * level_size)
+        level_size = min(cfg.max_merged_segment_bytes, level_size * merge_factor)
+    allowed_seg_count = max(allowed_seg_count, cfg.segs_per_tier)
+
+    # doFindMerges (TieredMergePolicy.java:470-560)
+    spec: list[list[int]] = []
+    to_be_merged: set = set()
+    have_one_large = False
+    max_merge_is_running = merging_bytes >= cfg.max_merged_segment_bytes
+    sorted_eligible = list(eligible)
+    while True:
+        sorted_eligible = [s for s in sorted_eligible
+                           if s["segment_id"] not in to_be_merged]
+        if not sorted_eligible:
+            return spec
+        remaining_del = sum(s.get("del_count", 0) for s in sorted_eligible)
+        if (len(sorted_eligible) <= allowed_seg_count
+                and remaining_del <= allowed_del_count):
+            return spec
+
+        best = None
+        best_score = None
+        best_too_large = False
+        for start in range(len(sorted_eligible)):
+            tot_after = 0
+            candidate = []
+            hit_too_large = False
+            bytes_this = 0
+            idx = start
+            while (idx < len(sorted_eligible) and len(candidate) < merge_factor
+                   and bytes_this < cfg.max_merged_segment_bytes):
+                s = sorted_eligible[idx]
+                seg_bytes = s["live_bytes"]
+                if tot_after + seg_bytes > cfg.max_merged_segment_bytes:
+                    hit_too_large = True
+                    if not candidate:
+                        candidate.append(s)
+                        bytes_this += seg_bytes
+                    idx += 1
+                    continue  # keep packing smaller segments
+                candidate.append(s)
+                bytes_this += seg_bytes
+                tot_after += seg_bytes
+                idx += 1
+            if len(candidate) == 1 and candidate[0].get("del_count", 0) == 0:
+                continue
+            if (best_score is not None and not hit_too_large
+                    and len(candidate) < merge_factor):
+                break  # tail: only smaller merges remain
+            score = _score(candidate, hit_too_large, merge_factor, cfg)
+            if ((best_score is None or score < best_score)
+                    and (not hit_too_large or not max_merge_is_running)):
+                best = candidate
+                best_score = score
+                best_too_large = hit_too_large
+        if best is None:
+            return spec
+        if not have_one_large or not best_too_large:
+            have_one_large |= best_too_large
+            spec.append([s["segment_id"] for s in best])
+        to_be_merged.update(s["segment_id"] for s in best)
+
+
+def _score(candidate, hit_too_large: bool, merge_factor: int,
+           cfg: TieredMergeConfig) -> float:
+    """TieredMergePolicy.score (TieredMergePolicy.java:610-651)."""
+    tot_after = sum(s["live_bytes"] for s in candidate)
+    tot_after_floored = sum(_floor_size(s["live_bytes"], cfg) for s in candidate)
+    tot_before = sum(s["size_bytes"] for s in candidate)
+    if hit_too_large:
+        skew = 1.0 / merge_factor
+    else:
+        skew = _floor_size(candidate[0]["live_bytes"], cfg) / tot_after_floored
+    merge_score = skew
+    merge_score *= tot_after ** 0.05
+    non_del_ratio = tot_after / max(1, tot_before)
+    merge_score *= non_del_ratio ** 2
+    return merge_score
+
+
+# ---------------------------------------------------------------------------
+# merge execution (SegmentMerger analog)
+# ---------------------------------------------------------------------------
+
+def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
+                  term_shards: int = 32) -> int:
+    """Merge the given segments into one new segment; returns new segment_id."""
+    t0 = time.time()
+    cat = IndexCatalog(index_dir)
+    live = {s["segment_id"]: s for s in cat.live_segments()}
+    parts = [live[sid] for sid in sorted(segment_ids)]
+    assert all(sid in live for sid in segment_ids)
+    new_id = max(live) + 1
+    new_wave = max(s["wave"] for s in live.values()) + 1
+
+    # docid re-base offsets, in segment order (DocIDMerger.java:34,93)
+    offsets = {}
+    off = 0
+    for s in parts:
+        offsets[s["segment_id"]] = off
+        off += s["max_doc"]
+
+    pairs = [F.struct(F.lit(s["wave"]), F.lit(s["segment_id"])) for s in parts]
+    docs = spark.read.parquet(f"{index_dir}/docs").where(
+        F.struct("wave", "segment_id").isin(pairs))
+    postings = spark.read.parquet(f"{index_dir}/postings").where(
+        F.struct("wave", "segment_id").isin(pairs))
+
+    off_map = F.create_map(*[x for sid, o in offsets.items()
+                             for x in (F.lit(sid), F.lit(o))])
+    (
+        docs.withColumn("docid",
+                        (F.col("docid") + off_map[F.col("segment_id")]).cast("int"))
+        .withColumn("segment_id", F.lit(new_id))
+        .withColumn("wave", F.lit(new_wave))
+        .select("segment_id", "docid", "key", "doclen", "norm_byte", "wave")
+        .repartition(1)
+        .write.mode("append").partitionBy("wave", "segment_id")
+        .parquet(os.path.join(index_dir, "docs"))
+    )
+
+    offsets_b = dict(offsets)
+
+    def merge_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for term, g in pdf.groupby("term", sort=False):
+            g = g.sort_values("segment_id")  # segment order == docid order
+            ds, fs, ns, ps = [], [], [], []
+            has_pos = True
+            for r in g.itertuples():
+                blocks = [b if isinstance(b, dict) else b.asDict()
+                          for b in r.blocks]
+                if blocks and blocks[0].get("pos_bytes"):
+                    d, f, n, flat = decode_blocks(blocks, want_positions=True)
+                    ps.extend(split_positions(flat, f))
+                else:
+                    d, f, n = decode_blocks(blocks)
+                    has_pos = False
+                ds.append(d + offsets_b[int(r.segment_id)])
+                fs.append(f)
+                ns.append(n)
+            docids = np.concatenate(ds)
+            freqs = np.concatenate(fs)
+            norms = np.concatenate(ns)
+            positions = ps if has_pos else None
+            blocks = encode_posting_list(docids, freqs, norms, positions)
+            rows.append({
+                "segment_id": new_id, "term": term,
+                "df": int(docids.size), "ttf": int(freqs.sum()),
+                "blocks": blocks,
+            })
+        return pd.DataFrame(rows,
+                            columns=["segment_id", "term", "df", "ttf", "blocks"])
+
+    (
+        postings.withColumn(
+            "shard", F.pmod(F.xxhash64("term"), F.lit(term_shards)).cast("int"))
+        .groupBy("shard")
+        .applyInPandas(lambda pdf: merge_shard(pdf), S.POSTINGS_SCHEMA)
+        .withColumn("wave", F.lit(new_wave))
+        .write.mode("append").partitionBy("wave", "segment_id")
+        .parquet(os.path.join(index_dir, "postings"))
+    )
+
+    new_seg = {
+        "segment_id": new_id,
+        "wave": new_wave,
+        "doc_count": sum(s["doc_count"] for s in parts),
+        "sum_ttf": sum(s["sum_ttf"] for s in parts),
+        "max_doc": sum(s["max_doc"] for s in parts),
+        "size_bytes": sum(s["size_bytes"] for s in parts),
+        "merged_from": sorted(segment_ids),
+    }
+    remaining = [s for sid, s in live.items() if sid not in set(segment_ids)]
+    wall_ms = int((time.time() - t0) * 1000)
+    lineage = spark.createDataFrame(
+        [("merge", new_id, cat.head() + 1, new_seg["doc_count"], wall_ms, "done")],
+        schema=S.LINEAGE_SCHEMA,
+    )
+    lineage.coalesce(1).write.mode("append").parquet(cat.lineage_path())
+    cat.commit(remaining + [new_seg], operation="merge")
+    return new_id
+
+
+def maybe_merge(spark: SparkSession, index_dir: str,
+                cfg: TieredMergeConfig = TieredMergeConfig(),
+                max_rounds: int = 10) -> list[list[int]]:
+    """Driver loop: findMerges -> execute until the policy is satisfied
+    (IndexWriter.maybeMerge analog; sequential rounds replace
+    ConcurrentMergeScheduler's background threads — determinism over
+    concurrency, SURVEY §2.2)."""
+    executed = []
+    for _ in range(max_rounds):
+        cat = IndexCatalog(index_dir)
+        merges = find_merges(cat.live_segments(), cfg)
+        if not merges:
+            break
+        for seg_ids in merges:
+            execute_merge(spark, index_dir, seg_ids)
+            executed.append(seg_ids)
+    return executed

@@ -1,0 +1,130 @@
+"""Similarity search over an embedding column (array<float>).
+
+  * cosine_top_k       — exact brute-force top-k per query vector. The dot
+    product stays JVM-side (zip_with/aggregate) so there is no Python in the
+    scan; per-query top-k is a window row_number (TakeOrdered per query key).
+  * ivf_top_k          — the scale path: k-means-style coarse quantizer
+    (deterministic seeded centroids refined with a few Lloyd iterations via
+    DataFrame aggregations), vectors assigned to their nearest centroid
+    (partition pruning by list), queries probe only n_probe lists. At 100 TB
+    this turns a full scan per query into a read of n_probe/n_lists of the data.
+
+Both return (query_id, vec_id, cosine, rank) and tie-break by vec_id asc for
+determinism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["cosine_top_k", "ivf_top_k"]
+
+
+def _dot(a: str, b: str):
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
+                  f"cast(0.0 as double), (acc, x) -> acc + x)")
+
+
+def _norm(v: str):
+    return F.sqrt(F.expr(
+        f"aggregate({v}, cast(0.0 as double), (acc, x) -> acc + CAST(x AS DOUBLE) * x)"))
+
+
+def cosine_top_k(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_id_col: str = "query_id",
+                 query_vec_col: str = "query_vec") -> DataFrame:
+    """Exact brute-force cosine top-k. queries is expected to be small
+    (broadcast); the big side streams once for all queries."""
+    v = vectors.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("_v"),
+                       _norm(vec_col).alias("_nv"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_vec_col).alias("_q"),
+                       _norm(query_vec_col).alias("_nq"))
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .withColumn("cosine", _dot("_v", "_q") / (F.col("_nv") * F.col("_nq")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _centroids(vectors: DataFrame, vec_col: str, n_lists: int, dim: int,
+               iters: int, seed: int) -> np.ndarray:
+    """Deterministic mini k-means with DataFrame aggregation steps."""
+    sample = np.array(
+        vectors.select(vec_col).limit(max(n_lists * 8, 256)).toPandas()[vec_col]
+        .tolist(), dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), n_lists, replace=False)]
+    for _ in range(iters):
+        assign = np.argmin(
+            ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1), axis=1)
+        for c in range(n_lists):
+            m = assign == c
+            if m.any():
+                cents[c] = sample[m].mean(0)
+    return cents
+
+
+def _nearest_centroid_col(vec_col: str, cents: np.ndarray):
+    """JVM-side argmin over centroid dot distances (centroids inlined as
+    literals — small, broadcast by constant folding)."""
+    exprs = []
+    for ci, c in enumerate(cents):
+        arr = ",".join(f"cast({x!r} as double)" for x in c)
+        d2 = (f"aggregate(zip_with({vec_col}, array({arr}), "
+              f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+              f"cast(0.0 as double), (acc, x) -> acc + x)")
+        exprs.append(f"struct({d2} as d, {ci} as c)")
+    return F.expr(f"array_min(array({','.join(exprs)})).c")
+
+
+def ivf_top_k(vectors: DataFrame, queries: DataFrame, k: int = 10,
+              n_lists: int = 8, n_probe: int = 2,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+              kmeans_iters: int = 4, seed: int = 13) -> DataFrame:
+    """IVF-style approximate top-k: probe only the n_probe nearest inverted
+    lists per query. Approximate by construction (recall < 1 when the true
+    neighbor lives in an unprobed list)."""
+    dim = len(vectors.select(vec_col).first()[0])
+    cents = _centroids(vectors, vec_col, n_lists, dim, kmeans_iters, seed)
+    v = vectors.withColumn("_list", _nearest_centroid_col(vec_col, cents))
+
+    qpd = queries.select(query_id_col, query_vec_col).toPandas()
+    qvecs = np.array(qpd[query_vec_col].tolist(), dtype=np.float64)
+    d2 = ((qvecs[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    probes = np.argsort(d2, axis=1)[:, :n_probe]
+    probe_rows = [
+        (int(qpd[query_id_col].iloc[i]), qpd[query_vec_col].iloc[i],
+         [int(p) for p in probes[i]])
+        for i in range(len(qpd))
+    ]
+    spark = vectors.sparkSession
+    qdf = spark.createDataFrame(probe_rows,
+                                schema=f"query_id long, _q array<double>, "
+                                       f"_probes array<int>")
+    qdf = qdf.select("query_id", "_q", F.explode("_probes").alias("_list"),
+                     _norm("_q").alias("_nq"))
+    scored = (
+        v.join(F.broadcast(qdf), "_list")
+        .withColumn("cosine",
+                    _dot(vec_col, "_q") / (_norm(vec_col) * F.col("_nq")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("vec_id"), "cosine", "rank")
+    )

@@ -1,0 +1,474 @@
+"""Per-segment scoring kernels (pure numpy — no Spark imports; unit-testable).
+
+Two execution paths over the same compressed postings:
+
+  * exhaustive: decode every posting of every query term, dense-accumulate —
+    the CheckHits-style reference path (test-framework/.../search/CheckHits.java:85).
+  * pruned: chunked block-max evaluation — the vectorized analog of block-max
+    WAND / MAXSCORE (WANDScorer.java:55-106,239-347; BlockMaxConjunctionScorer.java;
+    ImpactsDISI.java:100-136). The docid space is cut into fixed chunks; each
+    chunk's upper bound is the sum over terms of the max block impact overlapping
+    it; chunks are visited in descending bound order and skipped once the bound
+    falls below the running top-k threshold θ (only after totalHitsThreshold=1000
+    hits have been counted, IndexSearcher.java:105 semantics). Pruning can only
+    skip non-competitive work, so top-k (docids AND scores) is identical to the
+    exhaustive path — enforced by differential tests.
+
+Float rounding mirrors Lucene exactly in float32 mode (see functions/bm25.py):
+per-term scores f32; conjunction/disjunction sums accumulate f64 then cast f32
+(ConjunctionScorer.java:60-66, WANDScorer.java:481-490); ReqOptSum adds in f32
+(ReqOptSumScorer.java:255-265); DisjunctionMax = (float)(max + tie*(sum-max))
+(DisjunctionMaxScorer semantics).
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..functions import bm25
+from ..functions.codecs import decode_blocks, split_positions
+from . import query as Q
+
+TOTAL_HITS_THRESHOLD = 1000  # IndexSearcher.java:105
+CHUNK = 4096
+
+
+class SegmentIndex:
+    """Lazily-decoded postings of one segment for the terms of one query."""
+
+    def __init__(self, term_rows: Dict[str, dict], max_doc: int):
+        # term_rows: term -> {"df": int, "ttf": int, "blocks": [block dicts]}
+        self.term_rows = term_rows
+        self.max_doc = int(max_doc)
+        self._decoded: Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._positions: Dict[str, list] = {}
+        self._dense_norms = np.zeros(self.max_doc, dtype=np.uint8)
+        self._blk_cache: Dict[Tuple[str, int], tuple] = {}
+
+    def has(self, term: str) -> bool:
+        return term in self.term_rows
+
+    def decode(self, term: str):
+        if term not in self._decoded:
+            if term not in self.term_rows:
+                empty = np.zeros(0, dtype=np.int64)
+                self._decoded[term] = (empty, empty.copy(),
+                                       np.zeros(0, dtype=np.uint8))
+            else:
+                d, f, n = decode_blocks(self.term_rows[term]["blocks"])
+                self._dense_norms[d] = n
+                self._decoded[term] = (d, f, n)
+        return self._decoded[term]
+
+    def positions(self, term: str):
+        """Per-posting position arrays, aligned with decode(term)[0]."""
+        if term not in self._positions:
+            if term not in self.term_rows:
+                self._positions[term] = []
+            else:
+                d, f, n, flat = decode_blocks(self.term_rows[term]["blocks"],
+                                              want_positions=True)
+                self._positions[term] = split_positions(flat, f)
+        return self._positions[term]
+
+    def norms_for(self, docids: np.ndarray) -> np.ndarray:
+        return self._dense_norms[docids]
+
+    # --- per-block lazy decode for the pruned path -------------------------
+    def block_meta(self, term: str):
+        blocks = self.term_rows[term]["blocks"]
+        first = np.array([b["first_doc"] for b in blocks], dtype=np.int64)
+        last = np.array([b["last_doc"] for b in blocks], dtype=np.int64)
+        mf = np.array([b["max_freq"] for b in blocks], dtype=np.int64)
+        mn = np.array([b["min_norm"] for b in blocks], dtype=np.int64)
+        return first, last, mf, mn
+
+    def decode_block(self, term: str, bi: int):
+        key = (term, bi)
+        if key not in self._blk_cache:
+            d, f, n = decode_blocks([self.term_rows[term]["blocks"][bi]])
+            self._blk_cache[key] = (d, f, n)
+        return self._blk_cache[key]
+
+
+def _push_boost(q: Q.Query, factor: float) -> Q.Query:
+    """Propagate boosts to leaves, as Lucene does at Weight-creation time
+    (Weight trees receive boost*parentBoost; BoostQuery.java)."""
+    if factor == 1.0 and not isinstance(q, Q.BoostQuery):
+        pass
+    if isinstance(q, Q.BoostQuery):
+        return _push_boost(q.query, factor * q.boost)
+    if isinstance(q, Q.TermQuery):
+        return Q.TermQuery(q.term, q.boost * factor)
+    if isinstance(q, Q.PhraseQuery):
+        return Q.PhraseQuery(q.terms, q.slop, q.boost * factor)
+    if isinstance(q, Q.SynonymQuery):
+        return Q.SynonymQuery(q.terms, q.boost * factor)
+    if isinstance(q, Q.ConstantScoreQuery):
+        return Q.ConstantScoreQuery(q.query, q.boost * factor)
+    if isinstance(q, Q.MatchAllDocsQuery):
+        return Q.MatchAllDocsQuery(q.boost * factor)
+    if isinstance(q, Q.BooleanQuery):
+        return Q.BooleanQuery(
+            tuple(_push_boost(s, factor) for s in q.must),
+            tuple(_push_boost(s, factor) for s in q.should),
+            q.must_not,  # never scored
+            q.filter,    # never scored
+            q.minimum_should_match,
+        )
+    if isinstance(q, Q.DisjunctionMaxQuery):
+        return Q.DisjunctionMaxQuery(
+            tuple(_push_boost(s, factor) for s in q.queries), q.tie_breaker
+        )
+    return q
+
+
+class Scorer:
+    """Evaluates a rewritten, boost-pushed query tree over one segment."""
+
+    def __init__(self, seg: SegmentIndex, stats: bm25.BM25Stats,
+                 global_df: Dict[str, int]):
+        self.seg = seg
+        self.stats = stats
+        self.gdf = global_df
+        self.dtype = stats.dtype
+
+    # ---- scored evaluation: returns (docids asc, scores dtype) ------------
+    def eval_scored(self, q: Q.Query):
+        dt = self.dtype
+        seg, st = self.seg, self.stats
+        if isinstance(q, Q.TermQuery):
+            d, f, n = seg.decode(q.term)
+            if d.size == 0:
+                return d, np.zeros(0, dtype=dt)
+            w = st.weight(self.gdf.get(q.term, 0), q.boost)
+            return d, bm25.score_freq_norm(f, n, w, st.cache, dtype=dt)
+        if isinstance(q, Q.SynonymQuery):
+            # pseudo-stats: df = max(member dfs), freq = sum (SynonymQuery.java:233-247)
+            freq_acc = np.zeros(seg.max_doc, dtype=np.int64)
+            mask = np.zeros(seg.max_doc, dtype=bool)
+            for t in q.terms:
+                d, f, _ = seg.decode(t)
+                freq_acc[d] += f
+                mask[d] = True
+            docids = np.flatnonzero(mask)
+            if docids.size == 0:
+                return docids, np.zeros(0, dtype=dt)
+            df = max((self.gdf.get(t, 0) for t in q.terms), default=0)
+            w = st.weight(df, q.boost)
+            return docids, bm25.score_freq_norm(
+                freq_acc[docids], seg.norms_for(docids), w, st.cache, dtype=dt)
+        if isinstance(q, Q.PhraseQuery):
+            docids, pfreqs = self._phrase_freqs(q)
+            if docids.size == 0:
+                return docids, np.zeros(0, dtype=dt)
+            w = st.multi_term_weight([self.gdf.get(t, 0) for t in q.terms], q.boost)
+            return docids, bm25.score_freq_norm(
+                pfreqs, self.seg.norms_for(docids), w, st.cache, dtype=dt)
+        if isinstance(q, Q.ConstantScoreQuery):
+            d = self.eval_match(q.query)
+            return d, np.full(d.size, dt(q.boost), dtype=dt)
+        if isinstance(q, Q.MatchAllDocsQuery):
+            d = np.arange(seg.max_doc, dtype=np.int64)
+            return d, np.full(d.size, dt(q.boost), dtype=dt)
+        if isinstance(q, Q.MatchNoDocsQuery):
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dt)
+        if isinstance(q, Q.DisjunctionMaxQuery):
+            mx = np.full(seg.max_doc, -np.inf, dtype=np.float64)
+            sm = np.zeros(seg.max_doc, dtype=np.float64)
+            mask = np.zeros(seg.max_doc, dtype=bool)
+            for sub in q.queries:
+                d, s = self.eval_scored(sub)
+                np.maximum.at(mx, d, s.astype(np.float64))
+                sm[d] += s.astype(np.float64)
+                mask[d] = True
+            docids = np.flatnonzero(mask)
+            tie = q.tie_breaker
+            sc = (mx[docids] + (sm[docids] - mx[docids]) * tie).astype(dt)
+            return docids, sc
+        if isinstance(q, Q.BooleanQuery):
+            return self._eval_bool(q)
+        if isinstance(q, Q.TermInSetQuery):
+            # only reachable unwrapped in tests; constant score 1*boost
+            d = self.eval_match(q)
+            return d, np.full(d.size, dt(q.boost), dtype=dt)
+        raise TypeError(f"unsupported query node: {type(q).__name__}")
+
+    def _eval_bool(self, q: Q.BooleanQuery):
+        dt = self.dtype
+        max_doc = self.seg.max_doc
+        req = list(q.must) + list(q.filter)
+        if req:
+            mask = np.ones(max_doc, dtype=bool)
+            for sub in req:
+                m = np.zeros(max_doc, dtype=bool)
+                m[self.eval_match(sub)] = True
+                mask &= m
+        else:
+            mask = None
+        # scores of MUST clauses: double-accumulated, cast to float (Conjunction)
+        req_score = np.zeros(max_doc, dtype=np.float64)
+        for sub in q.must:
+            d, s = self.eval_scored(sub)
+            req_score[d] += s.astype(np.float64)
+        # SHOULD clauses: double-accumulated sum + match count
+        opt_score = np.zeros(max_doc, dtype=np.float64)
+        opt_cnt = np.zeros(max_doc, dtype=np.int32)
+        for sub in q.should:
+            d, s = self.eval_scored(sub)
+            opt_score[d] += s.astype(np.float64)
+            opt_cnt[d] += 1
+        msm = q.minimum_should_match
+        if mask is not None:
+            if msm > 0:
+                mask &= opt_cnt >= msm
+        else:
+            mask = opt_cnt >= max(1, msm)
+        for sub in q.must_not:
+            mask[self.eval_match(sub)] = False
+        docids = np.flatnonzero(mask)
+        if q.must and q.should:
+            # ReqOptSum: float32 req + float32 opt (ReqOptSumScorer.java:255-265)
+            r = req_score[docids].astype(dt)
+            o = opt_score[docids].astype(dt)
+            has_opt = opt_cnt[docids] > 0
+            sc = r.copy()
+            sc[has_opt] = (r[has_opt] + o[has_opt]).astype(dt)
+        elif q.must:
+            sc = req_score[docids].astype(dt)
+        elif q.should:
+            sc = opt_score[docids].astype(dt)
+        else:  # filter-only: constant 0 score (FilterScorer semantics)
+            sc = np.zeros(docids.size, dtype=dt)
+        return docids, sc
+
+    # ---- unscored match evaluation ----------------------------------------
+    def eval_match(self, q: Q.Query) -> np.ndarray:
+        seg = self.seg
+        if isinstance(q, Q.TermQuery):
+            return seg.decode(q.term)[0]
+        if isinstance(q, (Q.SynonymQuery,)):
+            mask = np.zeros(seg.max_doc, dtype=bool)
+            for t in q.terms:
+                mask[seg.decode(t)[0]] = True
+            return np.flatnonzero(mask)
+        if isinstance(q, Q.TermInSetQuery):
+            mask = np.zeros(seg.max_doc, dtype=bool)
+            for t in q.terms:
+                mask[seg.decode(t)[0]] = True
+            return np.flatnonzero(mask)
+        if isinstance(q, Q.PhraseQuery):
+            return self._phrase_freqs(q)[0]
+        if isinstance(q, Q.ConstantScoreQuery):
+            return self.eval_match(q.query)
+        if isinstance(q, Q.MatchAllDocsQuery):
+            return np.arange(seg.max_doc, dtype=np.int64)
+        if isinstance(q, Q.MatchNoDocsQuery):
+            return np.zeros(0, dtype=np.int64)
+        if isinstance(q, Q.DisjunctionMaxQuery):
+            mask = np.zeros(seg.max_doc, dtype=bool)
+            for sub in q.queries:
+                mask[self.eval_match(sub)] = True
+            return np.flatnonzero(mask)
+        if isinstance(q, Q.BooleanQuery):
+            return self._eval_bool(q)[0]
+        raise TypeError(f"unsupported query node: {type(q).__name__}")
+
+    # ---- phrase matching (ExactPhraseMatcher / SloppyPhraseMatcher) --------
+    def _phrase_freqs(self, q: Q.PhraseQuery):
+        terms = q.terms
+        max_doc = self.seg.max_doc
+        cnt = np.zeros(max_doc, dtype=np.int32)
+        for t in terms:
+            cnt[self.seg.decode(t)[0]] += 1
+        cand = np.flatnonzero(cnt == len(terms))
+        if cand.size == 0:
+            return cand, np.zeros(0, dtype=np.int64)
+        # per-term: map candidate docid -> index into its postings
+        idx_maps = []
+        for t in terms:
+            d, _, _ = self.seg.decode(t)
+            idx_maps.append((d, self.seg.positions(t)))
+        out_docs, out_freqs = [], []
+        for doc in cand:
+            plists = []
+            for d, plist in idx_maps:
+                i = int(np.searchsorted(d, doc))
+                plists.append(np.asarray(plist[i], dtype=np.int64))
+            if q.slop == 0:
+                # positions of term j must appear at base+j (ExactPhraseMatcher)
+                base = plists[0]
+                for j in range(1, len(plists)):
+                    base = base[np.isin(base + j, plists[j])]
+                    if base.size == 0:
+                        break
+                pf = base.size
+            else:
+                pf = _sloppy_freq(plists, q.slop)
+            if pf > 0:
+                out_docs.append(doc)
+                out_freqs.append(pf)
+        return (np.asarray(out_docs, dtype=np.int64),
+                np.asarray(out_freqs, dtype=np.int64))
+
+
+def _sloppy_freq(plists, slop: int) -> int:
+    """Count phrase matches allowing total positional slack <= slop.
+
+    Simplified sloppy matcher: an ordered alignment (p_0..p_n) counts when
+    sum_j |p_j - (p_0 + j)| <= slop, greedily matched left-to-right. This is the
+    common-case behavior of SloppyPhraseMatcher (679 LoC, full repeats handling
+    out of scope — documented divergence)."""
+    count = 0
+    for p0 in plists[0]:
+        budget = slop
+        ok = True
+        prev = p0
+        for j in range(1, len(plists)):
+            target = p0 + j
+            arr = plists[j]
+            k = np.searchsorted(arr, target)
+            best = None
+            for cand in (k - 1, k, k + 1):
+                if 0 <= cand < arr.size:
+                    cost = abs(int(arr[cand]) - target)
+                    if best is None or cost < best[0]:
+                        if arr[cand] > prev - 1:
+                            best = (cost, int(arr[cand]))
+            if best is None or best[0] > budget:
+                ok = False
+                break
+            budget -= best[0]
+            prev = best[1]
+        if ok:
+            count += 1
+    return count
+
+
+# ---------------------------------------------------------------------------
+# top-k collection
+# ---------------------------------------------------------------------------
+
+def top_k_from_scored(docids: np.ndarray, scores: np.ndarray, k: int):
+    """HitQueue order: score desc, docid asc (HitQueue.java:74-78)."""
+    if docids.size == 0:
+        return docids, scores
+    if docids.size > k:
+        order = np.lexsort((docids, -scores.astype(np.float64)))[:k]
+    else:
+        order = np.lexsort((docids, -scores.astype(np.float64)))
+    return docids[order], scores[order]
+
+
+def segment_top_k(seg: SegmentIndex, stats: bm25.BM25Stats,
+                  global_df: Dict[str, int], q: Q.Query, k: int,
+                  pruning: bool = True,
+                  total_hits_threshold: int = TOTAL_HITS_THRESHOLD):
+    """Per-segment search. Returns (docids, scores, hits, hits_exact)."""
+    q = _push_boost(q, 1.0)
+    scorer = Scorer(seg, stats, global_df)
+    if pruning:
+        flat = _flat_term_disjunction(q)
+        if flat is not None:
+            return _pruned_or(seg, stats, global_df, flat, k, total_hits_threshold)
+    docids, scores = scorer.eval_scored(q)
+    hits = int(docids.size)
+    d, s = top_k_from_scored(docids, scores, k)
+    return d, s, hits, True
+
+
+def _flat_term_disjunction(q: Q.Query):
+    """Return [(term, boost)] if q is a pure SHOULD-of-TermQuery (msm<=1) —
+    the WAND-eligible shape (Boolean2ScorerSupplier.java:204)."""
+    if isinstance(q, Q.TermQuery):
+        return [(q.term, q.boost)]
+    if (isinstance(q, Q.BooleanQuery) and not q.must and not q.must_not
+            and not q.filter and q.minimum_should_match <= 1 and q.should
+            and all(isinstance(s, Q.TermQuery) for s in q.should)):
+        return [(s.term, s.boost) for s in q.should]
+    return None
+
+
+def _pruned_or(seg: SegmentIndex, stats: bm25.BM25Stats, gdf: Dict[str, int],
+               terms, k: int, threshold: int):
+    """Chunked block-max disjunction (vectorized WAND analog)."""
+    dt = stats.dtype
+    max_doc = seg.max_doc
+    n_chunks = (max_doc + CHUNK - 1) // CHUNK
+    present = [(t, b) for (t, b) in terms if seg.has(t)]
+    if not present or n_chunks == 0:
+        return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dt), 0, True)
+
+    bounds = np.zeros(n_chunks, dtype=np.float64)
+    has_block = np.zeros(n_chunks, dtype=bool)
+    metas = {}
+    weights = {}
+    for t, boost in present:
+        w = stats.weight(gdf.get(t, 0), boost)
+        weights[t] = w
+        first, last, mf, mn = seg.block_meta(t)
+        bmax = bm25.score_freq_norm(mf, mn, w, stats.cache, dtype=dt)
+        tb = np.zeros(n_chunks, dtype=np.float64)
+        c0 = first // CHUNK
+        c1 = last // CHUNK
+        for i in range(first.size):
+            a, b2 = int(c0[i]), int(c1[i])
+            tb[a : b2 + 1] = np.maximum(tb[a : b2 + 1], np.float64(bmax[i]))
+            has_block[a : b2 + 1] = True
+        bounds += tb
+        metas[t] = (first, last)
+
+    order = [int(c) for c in np.argsort(-bounds, kind="stable") if has_block[c]]
+    top_d = np.zeros(0, dtype=np.int64)
+    top_s = np.zeros(0, dtype=dt)
+    hits = 0
+    exact = True
+    theta = -np.inf
+    for c in order:
+        if hits >= threshold and top_d.size >= k and bounds[c] < theta:
+            exact = False
+            break
+        lo, hi = int(c) * CHUNK, min((int(c) + 1) * CHUNK, max_doc)
+        acc = np.zeros(hi - lo, dtype=np.float64)
+        mask = np.zeros(hi - lo, dtype=bool)
+        for t, _ in present:
+            first, last = metas[t]
+            bs = np.flatnonzero((first < hi) & (last >= lo))
+            for bi in bs:
+                d, f, n = seg.decode_block(t, int(bi))
+                sel = (d >= lo) & (d < hi)
+                if not sel.any():
+                    continue
+                s = bm25.score_freq_norm(f[sel], n[sel], weights[t],
+                                         stats.cache, dtype=dt)
+                acc[d[sel] - lo] += s.astype(np.float64)
+                mask[d[sel] - lo] = True
+        local = np.flatnonzero(mask)
+        if local.size == 0:
+            continue
+        hits += int(local.size)
+        cd = local + lo
+        cs = acc[local].astype(dt)
+        top_d = np.concatenate([top_d, cd])
+        top_s = np.concatenate([top_s, cs])
+        top_d, top_s = top_k_from_scored(top_d, top_s, k)
+        if top_d.size >= k:
+            theta = float(top_s[-1])
+    return top_d, top_s, hits, exact
+
+
+def merge_top_k(per_segment, k: int):
+    """Cross-segment TopDocs.merge analog: score desc, then segment order, then
+    docid (TopDocs.java:80-83). per_segment: [(segment_id, docids, scores)]."""
+    rows = []
+    for seg_ord, (segment_id, d, s) in enumerate(
+            sorted(per_segment, key=lambda x: x[0])):
+        for i in range(len(d)):
+            rows.append((-float(s[i]), seg_ord, int(d[i]), int(segment_id),
+                         float(s[i])))
+    rows = heapq.nsmallest(k, rows)
+    return [(segment_id, docid, score) for (_, _, docid, segment_id, score)
+            in rows]

@@ -1,0 +1,155 @@
+"""Query AST — the analog of Lucene's immutable Query tree.
+
+Covers the operator inventory of SURVEY §2.3: Term, Boolean (MUST / SHOULD /
+FILTER / MUST_NOT / minimumNumberShouldMatch, BooleanQuery.java), Phrase
+(PhraseQuery.java), Synonym (SynonymQuery.java), DisjunctionMax
+(DisjunctionMaxQuery.java:47-69), Boost/ConstantScore, MatchAll/MatchNo, and the
+MultiTermQuery family (Prefix/Wildcard/Regexp/Fuzzy/TermRange/TermInSet) which the
+rewriter expands against the term dictionary (MultiTermQuery.java:66-100 —
+CONSTANT_SCORE rewrite, the 8.x default).
+
+All nodes are frozen dataclasses (hashable, picklable into Arrow UDF closures).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Tuple
+
+MAX_CLAUSE_COUNT = 1024  # BooleanQuery.java:45
+
+
+class Query:
+    pass
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    must: Tuple[Query, ...] = ()
+    should: Tuple[Query, ...] = ()
+    must_not: Tuple[Query, ...] = ()
+    filter: Tuple[Query, ...] = ()
+    minimum_should_match: int = 0
+    boost: float = 1.0
+
+    def __post_init__(self):
+        n = len(self.must) + len(self.should) + len(self.must_not) + len(self.filter)
+        if n > MAX_CLAUSE_COUNT:
+            raise ValueError(f"maxClauseCount exceeded: {n} > {MAX_CLAUSE_COUNT}")
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    terms: Tuple[str, ...]
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SynonymQuery(Query):
+    terms: Tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    queries: Tuple[Query, ...]
+    tie_breaker: float = 0.0
+
+
+@dataclass(frozen=True)
+class BoostQuery(Query):
+    query: Query
+    boost: float
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    query: Query
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchNoDocsQuery(Query):
+    pass
+
+
+# ---- MultiTermQuery family (expanded by rewrite.py against the term dict) ----
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    prefix: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class WildcardQuery(Query):
+    pattern: str  # * = any run, ? = single char (WildcardQuery.java:43-52)
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class RegexpQuery(Query):
+    regexp: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    term: str
+    max_edits: int = 2
+    prefix_length: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermInSetQuery(Query):
+    terms: Tuple[str, ...]
+    boost: float = 1.0
+
+
+MULTI_TERM_TYPES = (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery,
+                    TermRangeQuery, TermInSetQuery)
+
+
+def collect_terms(q: Query) -> set:
+    """All postings terms a (rewritten) query needs."""
+    if isinstance(q, TermQuery):
+        return {q.term}
+    if isinstance(q, (PhraseQuery, SynonymQuery)):
+        return set(q.terms)
+    if isinstance(q, TermInSetQuery):
+        return set(q.terms)
+    if isinstance(q, BooleanQuery):
+        out = set()
+        for sub in q.must + q.should + q.must_not + q.filter:
+            out |= collect_terms(sub)
+        return out
+    if isinstance(q, DisjunctionMaxQuery):
+        out = set()
+        for sub in q.queries:
+            out |= collect_terms(sub)
+        return out
+    if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+        return collect_terms(q.query)
+    return set()

@@ -1,0 +1,364 @@
+"""Distributed IndexSearcher: Spark orchestration around the numpy kernels.
+
+Retrace of IndexSearcher.search (SURVEY §3.2): query AST -> fixpoint rewrite
+(multi-term nodes expand against the term dictionary WITH DataFrame predicates,
+never a doc scan) -> global stats resolution (df summed over segments, exactly as
+TermStates aggregates over leaves, TermQuery.java:140-141) -> partition-pruned
+postings scan for the query terms -> per-segment vectorized kernel via
+applyInPandas (the analog of per-leaf bulkScorer slices, IndexSearcher.java:221-296)
+-> driver-side TopDocs.merge with (score desc, segment order, docid) tie-break
+(TopDocs.java:80-83).
+
+Scale shape: the postings scan pushes `term IN (...)` + live-(wave,segment)
+filters into parquet (partition + row-group pruning); the only data that crosses
+the wire is the query terms' posting rows, grouped per segment; the driver
+receives <= k rows per segment.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import bm25
+from ..index.catalog import IndexCatalog
+from . import kernel as K
+from . import query as Q
+from .rewrite import rewrite as _rewrite_tree
+
+_KERNEL_OUT = T.StructType(
+    [
+        T.StructField("segment_id", T.IntegerType(), False),
+        T.StructField("docid", T.IntegerType(), False),
+        T.StructField("score", T.DoubleType(), False),
+        T.StructField("hits", T.LongType(), False),
+        T.StructField("exact", T.BooleanType(), False),
+    ]
+)
+
+_MATCH_OUT = T.StructType(
+    [
+        T.StructField("segment_id", T.IntegerType(), False),
+        T.StructField("docid", T.IntegerType(), False),
+    ]
+)
+
+
+@dataclass
+class TopDocs:
+    """(rank, segment_id, docid, key, score) + totalHits lower bound."""
+    hits: pd.DataFrame
+    total_hits: int
+    total_hits_exact: bool
+
+
+def _segment_kernel_fn(query, seg_meta, stats_args, gdf, k, pruning, threshold,
+                       after=None, seg_ords=None):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg_id = int(pdf["segment_id"].iloc[0])
+        rows = {
+            r.term: {"df": r.df, "ttf": r.ttf,
+                     "blocks": [b.asDict() if hasattr(b, "asDict") else b
+                                for b in r.blocks]}
+            for r in pdf.itertuples()
+        }
+        dtype = np.float32 if stats_args["dtype"] == "float32" else np.float64
+        stats = bm25.BM25Stats(stats_args["doc_count"], stats_args["sum_ttf"],
+                               stats_args["k1"], stats_args["b"], dtype=dtype)
+        seg = K.SegmentIndex(rows, seg_meta[seg_id])
+        if after is None:
+            d, s, hits, exact = K.segment_top_k(
+                seg, stats, gdf, query, k, pruning=pruning,
+                total_hits_threshold=threshold)
+        else:
+            qq = K._push_boost(query, 1.0)
+            scorer = K.Scorer(seg, stats, gdf)
+            d, s = scorer.eval_scored(qq)
+            hits, exact = int(d.size), True
+            a_score, a_ord, a_doc = after
+            my_ord = seg_ords[seg_id]
+            sf = s.astype(np.float64)
+            keep = (sf < a_score) | (
+                (sf == a_score)
+                & ((my_ord > a_ord) | ((my_ord == a_ord) & (d > a_doc)))
+            )
+            d, s = K.top_k_from_scored(d[keep], s[keep], k)
+        return pd.DataFrame(
+            {
+                "segment_id": np.full(d.size, seg_id, dtype=np.int32),
+                "docid": d.astype(np.int32),
+                "score": s.astype(np.float64),
+                "hits": np.full(d.size, hits, dtype=np.int64),
+                "exact": np.full(d.size, exact, dtype=bool),
+            }
+        )
+
+    return fn
+
+
+class IndexSearcher:
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 dtype=np.float32, k1: float = bm25.K1, b: float = bm25.B):
+        self.spark = spark
+        self.cat = IndexCatalog(index_dir)
+        self.segments = self.cat.live_segments()
+        if not self.segments:
+            raise ValueError(f"no committed snapshot under {index_dir}")
+        self.doc_count = sum(s["doc_count"] for s in self.segments)
+        self.sum_ttf = sum(s["sum_ttf"] for s in self.segments)
+        self.seg_meta = {s["segment_id"]: s["max_doc"] for s in self.segments}
+        self.seg_ords = {s["segment_id"]: i for i, s in enumerate(
+            sorted(self.segments, key=lambda x: x["segment_id"]))}
+        self.dtype = dtype
+        self.k1, self.b = k1, b
+        self._index_dir = index_dir
+        live = [(s["wave"], s["segment_id"]) for s in self.segments]
+        self._seg_ids = [s for _, s in live]
+        self._postings = (
+            spark.read.parquet(f"{index_dir}/postings")
+            .where(F.struct("wave", "segment_id").isin(
+                [F.struct(F.lit(w), F.lit(s)) for w, s in live]))
+        )
+        self._docs = (
+            spark.read.parquet(f"{index_dir}/docs")
+            .where(F.struct("wave", "segment_id").isin(
+                [F.struct(F.lit(w), F.lit(s)) for w, s in live]))
+        )
+
+    # --- term dictionary ----------------------------------------------------
+    def postings_df(self) -> DataFrame:
+        return self._postings
+
+    def docs_df(self) -> DataFrame:
+        return self._docs
+
+    def _expand_query(self, q: Q.Query) -> Q.Query:
+        """Expand MultiTermQuery nodes with DataFrame predicates on the term
+        dictionary (partition-/stats-pruned scan), then fixpoint-rewrite."""
+        def expand(node):
+            if isinstance(node, Q.MULTI_TERM_TYPES):
+                terms = self._matching_terms(node)
+                if not terms:
+                    return Q.MatchNoDocsQuery()
+                if isinstance(node, Q.FuzzyQuery):
+                    # FuzzyQuery blends matched terms as synonyms of the target
+                    # (TopTermsBlendedFreqScoringRewrite simplified to the
+                    # SynonymQuery-style blend; documented divergence: no
+                    # top-50 expansion cap needed at our term cardinalities)
+                    return Q.SynonymQuery(tuple(sorted(terms)), boost=node.boost)
+                return Q.ConstantScoreQuery(
+                    Q.TermInSetQuery(tuple(sorted(terms))), boost=node.boost)
+            if isinstance(node, Q.BooleanQuery):
+                return Q.BooleanQuery(
+                    tuple(expand(s) for s in node.must),
+                    tuple(expand(s) for s in node.should),
+                    tuple(expand(s) for s in node.must_not),
+                    tuple(expand(s) for s in node.filter),
+                    node.minimum_should_match, node.boost)
+            if isinstance(node, Q.DisjunctionMaxQuery):
+                return Q.DisjunctionMaxQuery(
+                    tuple(expand(s) for s in node.queries), node.tie_breaker)
+            if isinstance(node, Q.BoostQuery):
+                return Q.BoostQuery(expand(node.query), node.boost)
+            if isinstance(node, Q.ConstantScoreQuery):
+                return Q.ConstantScoreQuery(expand(node.query), node.boost)
+            return node
+
+        return _rewrite_tree(expand(q))
+
+    def _matching_terms(self, node) -> list:
+        td = self._postings.select("term").distinct()
+        c = F.col("term")
+        if isinstance(node, Q.PrefixQuery):
+            td = td.where(c.startswith(node.prefix))
+        elif isinstance(node, Q.WildcardQuery):
+            import fnmatch
+            td = td.where(c.rlike(fnmatch.translate(node.pattern)))
+        elif isinstance(node, Q.RegexpQuery):
+            td = td.where(c.rlike(f"^(?:{node.regexp})$"))
+        elif isinstance(node, Q.TermRangeQuery):
+            if node.lower is not None:
+                td = td.where(c >= node.lower if node.include_lower else c > node.lower)
+            if node.upper is not None:
+                td = td.where(c <= node.upper if node.include_upper else c < node.upper)
+        elif isinstance(node, Q.TermInSetQuery):
+            td = td.where(c.isin(list(node.terms)))
+        elif isinstance(node, Q.FuzzyQuery):
+            pre = node.term[: node.prefix_length]
+            if pre:
+                td = td.where(c.startswith(pre))
+            td = td.where(
+                (F.abs(F.length(c) - len(node.term)) <= node.max_edits)
+                & (F.levenshtein(c, F.lit(node.term)) <= node.max_edits))
+        else:
+            raise TypeError(type(node))
+        return [r[0] for r in td.collect()]
+
+    def _global_df(self, terms) -> dict:
+        if not terms:
+            return {}
+        rows = (
+            self._postings.where(F.col("term").isin(list(terms)))
+            .groupBy("term").agg(F.sum("df").alias("df")).collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def _stats_args(self) -> dict:
+        return {
+            "doc_count": self.doc_count, "sum_ttf": self.sum_ttf,
+            "k1": self.k1, "b": self.b,
+            "dtype": "float32" if self.dtype == np.float32 else "float64",
+        }
+
+    # --- entry points ---------------------------------------------------------
+    def search(self, q: Q.Query, k: int = 10, pruning: bool = True,
+               total_hits_threshold: int = K.TOTAL_HITS_THRESHOLD,
+               after: Optional[tuple] = None, fetch_keys: bool = True) -> TopDocs:
+        q = self._expand_query(q)
+        if isinstance(q, Q.MatchNoDocsQuery):
+            return TopDocs(pd.DataFrame(
+                columns=["rank", "segment_id", "docid", "key", "score"]), 0, True)
+        if isinstance(q, Q.MatchAllDocsQuery) or (
+                isinstance(q, Q.ConstantScoreQuery)
+                and isinstance(q.query, Q.MatchAllDocsQuery)):
+            return self._match_all_top_k(q, k, fetch_keys)
+        terms = Q.collect_terms(q)
+        gdf = self._global_df(terms)
+        scan = self._postings.where(F.col("term").isin(list(terms)))
+        fn = _segment_kernel_fn(
+            q, self.seg_meta, self._stats_args(), gdf, k, pruning,
+            total_hits_threshold,
+            after=after, seg_ords=self.seg_ords if after else None)
+        out = scan.groupBy("segment_id").applyInPandas(fn, _KERNEL_OUT).toPandas()
+        per_seg_hits = out.drop_duplicates("segment_id")[["hits", "exact"]] \
+            if len(out) else pd.DataFrame(columns=["hits", "exact"])
+        total = int(per_seg_hits["hits"].sum()) if len(per_seg_hits) else 0
+        exact = bool(per_seg_hits["exact"].all()) if len(per_seg_hits) else True
+        merged = K.merge_top_k(
+            [
+                (int(sid), g["docid"].values, g["score"].values)
+                for sid, g in out.groupby("segment_id")
+            ],
+            k,
+        )
+        hits = pd.DataFrame(merged, columns=["segment_id", "docid", "score"])
+        hits.insert(0, "rank", np.arange(1, len(hits) + 1))
+        if fetch_keys and len(hits):
+            hits = self._attach_keys(hits)
+        return TopDocs(hits, total, exact)
+
+    def _match_all_top_k(self, q, k, fetch_keys):
+        boost = q.boost if hasattr(q, "boost") else 1.0
+        first = (
+            self._docs.select("segment_id", "docid")
+            .orderBy("segment_id", "docid").limit(k).toPandas()
+        )
+        first["score"] = float(np.float32(boost)) if self.dtype == np.float32 \
+            else float(boost)
+        first.insert(0, "rank", np.arange(1, len(first) + 1))
+        total = sum(s["max_doc"] for s in self.segments)
+        if fetch_keys and len(first):
+            first = self._attach_keys(first)
+        return TopDocs(first, int(total), True)
+
+    def _attach_keys(self, hits: pd.DataFrame) -> pd.DataFrame:
+        pairs = [F.struct(F.lit(int(r.segment_id)), F.lit(int(r.docid)))
+                 for r in hits.itertuples()]
+        keys = (
+            self._docs.where(
+                F.struct(F.col("segment_id").cast("int"),
+                         F.col("docid").cast("int")).isin(pairs))
+            .select("segment_id", "docid", "key").toPandas()
+        )
+        out = hits.merge(keys, on=["segment_id", "docid"], how="left")
+        return out[["rank", "segment_id", "docid", "key", "score"]]
+
+    def count(self, q: Q.Query) -> int:
+        """TotalHitCountCollector analog (TotalHitCountCollector.java)."""
+        q = self._expand_query(q)
+        if isinstance(q, Q.MatchNoDocsQuery):
+            return 0
+        if isinstance(q, Q.MatchAllDocsQuery):
+            return sum(s["max_doc"] for s in self.segments)
+        td = self.search(q, k=1, pruning=False, fetch_keys=False)
+        return td.total_hits
+
+    def matches_df(self, q: Q.Query) -> DataFrame:
+        """Distributed (segment_id, docid) match set — composes with DataFrame
+        ops for grouping / faceting / field-sort (SURVEY §2.5: all Spark
+        built-ins once the match set exists)."""
+        q = self._expand_query(q)
+        if isinstance(q, Q.MatchNoDocsQuery):
+            return self._docs.select("segment_id", "docid").limit(0)
+        if isinstance(q, Q.MatchAllDocsQuery):
+            return self._docs.select("segment_id", "docid")
+        terms = Q.collect_terms(q)
+        gdf = self._global_df(terms)
+        stats_args = self._stats_args()
+        seg_meta = self.seg_meta
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            seg_id = int(pdf["segment_id"].iloc[0])
+            rows = {
+                r.term: {"df": r.df, "ttf": r.ttf,
+                         "blocks": [b.asDict() if hasattr(b, "asDict") else b
+                                    for b in r.blocks]}
+                for r in pdf.itertuples()
+            }
+            dtype = np.float32 if stats_args["dtype"] == "float32" else np.float64
+            stats = bm25.BM25Stats(stats_args["doc_count"], stats_args["sum_ttf"],
+                                   stats_args["k1"], stats_args["b"], dtype=dtype)
+            seg = K.SegmentIndex(rows, seg_meta[seg_id])
+            scorer = K.Scorer(seg, stats, gdf)
+            d = scorer.eval_match(K._push_boost(q, 1.0))
+            return pd.DataFrame({
+                "segment_id": np.full(d.size, seg_id, dtype=np.int32),
+                "docid": d.astype(np.int32),
+            })
+
+        scan = self._postings.where(F.col("term").isin(list(terms)))
+        return scan.groupBy("segment_id").applyInPandas(fn, _MATCH_OUT)
+
+    def scores_df(self, q: Q.Query) -> DataFrame:
+        """Distributed exhaustive (segment_id, docid, score) — the bulk-scoring
+        path (BooleanScorer analog): no top-k, full match set with scores."""
+        q = self._expand_query(q)
+        terms = Q.collect_terms(q)
+        gdf = self._global_df(terms)
+        stats_args = self._stats_args()
+        seg_meta = self.seg_meta
+
+        out_schema = T.StructType([
+            T.StructField("segment_id", T.IntegerType(), False),
+            T.StructField("docid", T.IntegerType(), False),
+            T.StructField("score", T.DoubleType(), False),
+        ])
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            seg_id = int(pdf["segment_id"].iloc[0])
+            rows = {
+                r.term: {"df": r.df, "ttf": r.ttf,
+                         "blocks": [b.asDict() if hasattr(b, "asDict") else b
+                                    for b in r.blocks]}
+                for r in pdf.itertuples()
+            }
+            dtype = np.float32 if stats_args["dtype"] == "float32" else np.float64
+            stats = bm25.BM25Stats(stats_args["doc_count"], stats_args["sum_ttf"],
+                                   stats_args["k1"], stats_args["b"], dtype=dtype)
+            seg = K.SegmentIndex(rows, seg_meta[seg_id])
+            scorer = K.Scorer(seg, stats, gdf)
+            d, s = scorer.eval_scored(K._push_boost(q, 1.0))
+            return pd.DataFrame({
+                "segment_id": np.full(d.size, seg_id, dtype=np.int32),
+                "docid": d.astype(np.int32),
+                "score": s.astype(np.float64),
+            })
+
+        scan = self._postings.where(F.col("term").isin(list(terms)))
+        return scan.groupBy("segment_id").applyInPandas(fn, out_schema)
