@@ -1,38 +1,754 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2 —
+each runs the real engine (segmented compressed-postings index + numpy BM25
+kernels via applyInPandas) over /root/testdata/sf*/documents.parquet, and
+``oracle_sql()`` gives a DuckDB-runnable ANSI-SQL equivalent that recomputes
+BM25 from first principles (tokens -> tf/df -> SmallFloat-quantized doc length
+-> score = w - w/(1 + tf*ni)).
+
+Cross-engine float discipline: the engine scores these queries in float64 (the
+float32 Lucene-parity path is covered by tests/), every float constant in the
+SQL is written with an ``e0`` exponent so DuckDB types it DOUBLE (bare ``0.75``
+would be DECIMAL), and scores are compared as ``floor(score*1e6 + 0.5)``
+bigints so last-ulp differences between numpy's log and DuckDB's ln cannot
+perturb the value hash. Ordering ties are broken by doc_id in both engines;
+exact ties come from identical (tf, quantized-length) inputs and therefore tie
+in both engines identically.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
+from functools import partial
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from lucene_7_x_9_x_spark.analysis.tokenizer import STANDARD
+from lucene_7_x_9_x_spark.functions.smallfloat import BYTE4_DECODE_TABLE
+from lucene_7_x_9_x_spark.index.builder import build_index
+from lucene_7_x_9_x_spark.index.catalog import IndexCatalog
+from lucene_7_x_9_x_spark.operators.collectors import (
+    distinct_values, facet_counts, more_like_this_terms, top_docs_per_group)
+from lucene_7_x_9_x_spark.pipeline import dedup, similarity, textstats
+from lucene_7_x_9_x_spark.search import query as Q
+from lucene_7_x_9_x_spark.search.searcher import IndexSearcher
+
+# --------------------------------------------------------------------------
+# engine plumbing
+# --------------------------------------------------------------------------
+
+_DOCS_PER_SEGMENT = 128
+_IDX_VERSION = "v1"
+_SEARCHERS: dict = {}
+
+
+def _index_dir(sf_dir: str) -> str:
+    tag = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    return f"/tmp/lucene_spark_index_{_IDX_VERSION}/{tag}"
+
+
+def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Build-once-per-sf_dir index over documents.parquet; float64 scoring so
+    the DuckDB double-precision oracle is bit-comparable after micro-rounding."""
+    key = os.path.abspath(sf_dir)
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    idx = _index_dir(sf_dir)
+    if IndexCatalog(idx).head() < 0:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        build_index(
+            spark, docs, key_col="doc_id", text_col="text", index_dir=idx,
+            docs_per_segment=_DOCS_PER_SEGMENT, int_keys=True, resume=True,
+        )
+    s = IndexSearcher(spark, idx, dtype=np.float64)
+    _SEARCHERS[key] = s
+    return s
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _micro_col(col: str = "score"):
+    return F.floor(F.col(col) * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+
+def _topk_df(spark: SparkSession, sf_dir: str, q: Q.Query, k: int = 10,
+             offset_after: bool = False) -> DataFrame:
+    """Engine top-k (WAND-pruned where eligible) -> (doc_id, score_micro)."""
+    s = _searcher(spark, sf_dir)
+    if offset_after:
+        page1 = s.search(q, k=k)
+        h = page1.hits
+        if len(h) < k:
+            return spark.createDataFrame([], "doc_id long, score_micro long")
+        last = h.iloc[-1]
+        after = (float(last["score"]), s.seg_ords[int(last["segment_id"])],
+                 int(last["docid"]))
+        td = s.search(q, k=k, after=after)
+    else:
+        td = s.search(q, k=k)
+    rows = [
+        (int(r.key), int(np.floor(float(r.score) * 1e6 + 0.5)))
+        for r in td.hits.itertuples()
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score_micro long")
+
+
+def _scores_all_df(spark: SparkSession, sf_dir: str, q: Q.Query) -> DataFrame:
+    """Exhaustive distributed scoring -> (doc_id, score_micro) for every match."""
+    s = _searcher(spark, sf_dir)
+    sc = s.scores_df(q)
+    d = s.docs_df().select("segment_id", "docid",
+                           F.col("key").cast("long").alias("doc_id"))
+    return (sc.join(d, ["segment_id", "docid"])
+            .select("doc_id", _micro_col("score").alias("score_micro")))
+
+
+def _count_df(spark: SparkSession, sf_dir: str, q: Q.Query) -> DataFrame:
+    n = _searcher(spark, sf_dir).count(q)
+    return spark.createDataFrame([(int(n),)], "cnt long")
+
+
+def _matches_with_meta(spark: SparkSession, sf_dir: str, q: Q.Query) -> DataFrame:
+    s = _searcher(spark, sf_dir)
+    m = s.matches_df(q)
+    d = s.docs_df().select("segment_id", "docid",
+                           F.col("key").cast("long").alias("doc_id"))
+    docs = _documents(spark, sf_dir)
+    return (m.join(d, ["segment_id", "docid"]).select("doc_id")
+            .join(docs, "doc_id"))
+
+
+# --------------------------------------------------------------------------
+# query terms (chosen from the synthetic vocabulary; df varies widely)
+# --------------------------------------------------------------------------
+T1, T2, T3 = "spark", "table", "merge"
+PHRASE = ("fast", "sort")
+SYNSET = ("fast", "slow")
+
+
+def _q_or(terms_boosts) -> Q.Query:
+    return Q.BooleanQuery(should=tuple(
+        Q.TermQuery(t, b) for t, b in terms_boosts))
+
+
+# --------------------------------------------------------------------------
+# engine-side query callables
+# --------------------------------------------------------------------------
+
+def q_term_topk(spark, sf_dir):
+    return _topk_df(spark, sf_dir, Q.TermQuery(T1))
+
+
+def q_term_scores_all(spark, sf_dir):
+    return _scores_all_df(spark, sf_dir, Q.TermQuery(T3))
+
+
+def q_bool_and_topk(spark, sf_dir):
+    return _topk_df(spark, sf_dir, Q.BooleanQuery(
+        must=(Q.TermQuery(T1), Q.TermQuery(T2))))
+
+
+def q_bool_or_topk(spark, sf_dir):
+    return _topk_df(spark, sf_dir, _q_or([(T1, 1.0), (T2, 1.0)]))
+
+
+def q_bool_must_not_topk(spark, sf_dir):
+    return _topk_df(spark, sf_dir, Q.BooleanQuery(
+        must=(Q.TermQuery(T1),), must_not=(Q.TermQuery(T2),)))
+
+
+def q_bool_filter_topk(spark, sf_dir):
+    return _topk_df(spark, sf_dir, Q.BooleanQuery(
+        must=(Q.TermQuery(T1),), filter=(Q.TermQuery(T2),)))
+
+
+def q_req_opt_topk(spark, sf_dir):
+    return _topk_df(spark, sf_dir, Q.BooleanQuery(
+        must=(Q.TermQuery(T1),), should=(Q.TermQuery(T3),)))
+
+
+def q_min_should_match_topk(spark, sf_dir):
+    return _topk_df(spark, sf_dir, Q.BooleanQuery(
+        should=(Q.TermQuery(T1), Q.TermQuery(T2), Q.TermQuery(T3)),
+        minimum_should_match=2))
+
+
+def q_phrase_topk(spark, sf_dir):
+    return _topk_df(spark, sf_dir, Q.PhraseQuery(PHRASE))
+
+
+def q_synonym_topk(spark, sf_dir):
+    return _topk_df(spark, sf_dir, Q.SynonymQuery(SYNSET))
+
+
+def q_dismax_topk(spark, sf_dir):
+    return _topk_df(spark, sf_dir, Q.DisjunctionMaxQuery(
+        (Q.TermQuery(T1), Q.TermQuery(T3)), tie_breaker=0.3))
+
+
+def q_boosted_or_topk(spark, sf_dir):
+    return _topk_df(spark, sf_dir, _q_or([(T1, 2.0), (T3, 0.5)]))
+
+
+def q_constant_score(spark, sf_dir):
+    return _scores_all_df(spark, sf_dir,
+                          Q.ConstantScoreQuery(Q.TermQuery(T1)))
+
+
+def q_prefix_matches(spark, sf_dir):
+    return _scores_all_df(spark, sf_dir, Q.PrefixQuery("sc"))
+
+
+def q_wildcard_matches(spark, sf_dir):
+    return _scores_all_df(spark, sf_dir, Q.WildcardQuery("s?an"))
+
+
+def q_regexp_matches(spark, sf_dir):
+    return _scores_all_df(spark, sf_dir, Q.RegexpQuery("jo.*"))
+
+
+def q_term_range_matches(spark, sf_dir):
+    return _scores_all_df(spark, sf_dir, Q.TermRangeQuery("query", "sort"))
+
+
+def q_term_in_set_matches(spark, sf_dir):
+    return _scores_all_df(spark, sf_dir,
+                          Q.TermInSetQuery((T1, "flink", "storm")))
+
+
+def q_fuzzy_matches(spark, sf_dir):
+    return _scores_all_df(spark, sf_dir,
+                          Q.ConstantScoreQuery(Q.FuzzyQuery(T1, max_edits=1)))
+
+
+def q_count_term(spark, sf_dir):
+    return _count_df(spark, sf_dir, Q.TermQuery(T1))
+
+
+def q_count_match_all(spark, sf_dir):
+    return _count_df(spark, sf_dir, Q.MatchAllDocsQuery())
+
+
+def q_search_after_page2(spark, sf_dir):
+    return _topk_df(spark, sf_dir, _q_or([(T1, 1.0), (T2, 1.0)]),
+                    offset_after=True)
+
+
+def q_grouping_top2_per_lang(spark, sf_dir):
+    scored = _scores_all_df(spark, sf_dir, Q.TermQuery(T3))
+    docs = _documents(spark, sf_dir).select("doc_id", "lang")
+    g = scored.join(docs, "doc_id")
+    out = top_docs_per_group(g, "lang", 2, id_col="doc_id",
+                             score_col="score_micro")
+    return out.select("lang", "doc_id", "score_micro",
+                      F.col("rnk").cast("long").alias("rnk"))
+
+
+def q_facet_counts_by_source(spark, sf_dir):
+    m = _matches_with_meta(spark, sf_dir, Q.TermQuery(T1))
+    return facet_counts(m, "source").select("source",
+                                            F.col("cnt").cast("long"))
+
+
+def q_distinct_langs(spark, sf_dir):
+    m = _matches_with_meta(spark, sf_dir, Q.TermQuery(T1))
+    return distinct_values(m, "lang")
+
+
+def q_more_like_this(spark, sf_dir):
+    s = _searcher(spark, sf_dir)
+    src_text = (_documents(spark, sf_dir)
+                .where(F.col("doc_id") == 0).select("text").first()[0])
+    tf: dict = {}
+    for term, _pos in STANDARD.tokenize(src_text):
+        tf[term] = tf.get(term, 0) + 1
+    gdf = s._global_df(list(tf))
+    terms = more_like_this_terms(tf, gdf, s.doc_count, max_terms=5)
+    q = Q.BooleanQuery(should=tuple(Q.TermQuery(t) for t in terms))
+    sc = s.scores_df(q)
+    d = s.docs_df().select("segment_id", "docid",
+                           F.col("key").cast("long").alias("doc_id"))
+    return (sc.join(d, ["segment_id", "docid"])
+            .where(F.col("doc_id") != 0)
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+            .select("doc_id", _micro_col("score").alias("score_micro")))
+
+
+# ---- training-data pipeline operators ------------------------------------
+
+def q_exact_duplicates(spark, sf_dir):
+    out = dedup.exact_duplicates(_documents(spark, sf_dir))
+    return out.select(
+        "text_hash", F.col("dup_count").cast("long"),
+        F.array_join(F.transform("doc_ids", lambda x: x.cast("string")), ",")
+        .alias("doc_ids_csv"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    out = dedup.ngram_jaccard_pairs(
+        _documents(spark, sf_dir), n=3, threshold=0.5,
+        max_shingle_df=1_000_000_000)
+    return out.select("id_a", "id_b",
+                      _micro_col("jaccard").alias("jaccard_micro"))
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _documents(spark, sf_dir), n=3, num_hashes=16, bands=4, threshold=0.5
+    ).select("id_a", "id_b", _micro_col("jaccard").alias("jaccard_micro"))
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_documents(spark, sf_dir))
+
+
+def q_token_count(spark, sf_dir):
+    return textstats.token_count(_documents(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    return textstats.quality_score(_documents(spark, sf_dir))
+
+
+def q_language_id(spark, sf_dir):
+    return textstats.language_id(_documents(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_documents(spark, sf_dir))
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    out = similarity.cosine_top_k(emb, queries, k=5)
+    return out.select("query_id", "vec_id",
+                      _micro_col("cosine").alias("cosine_micro"))
+
+
+def q_ivf_topk(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    out = similarity.ivf_top_k(emb, queries, k=5, n_lists=8, n_probe=3)
+    return out.select("query_id", "vec_id",
+                      _micro_col("cosine").alias("cosine_micro"), "rank")
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    out = dedup.embedding_near_dups(_embeddings(spark, sf_dir), tau=0.9)
+    return out.select("id_a", "id_b", _micro_col("cosine").alias("cosine_micro"))
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the segment index over sf0.001 documents and answer the
+    headline disjunctive BM25 top-k through the block-max WAND path."""
+    return _topk_df(spark, "/root/testdata/sf0.001",
+                    _q_or([(T1, 1.0), (T2, 1.0)]), k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "term_topk": q_term_topk,
+        "term_scores_all": q_term_scores_all,
+        "bool_and_topk": q_bool_and_topk,
+        "bool_or_topk": q_bool_or_topk,
+        "bool_must_not_topk": q_bool_must_not_topk,
+        "bool_filter_topk": q_bool_filter_topk,
+        "req_opt_topk": q_req_opt_topk,
+        "min_should_match_topk": q_min_should_match_topk,
+        "phrase_topk": q_phrase_topk,
+        "synonym_topk": q_synonym_topk,
+        "dismax_topk": q_dismax_topk,
+        "boosted_or_topk": q_boosted_or_topk,
+        "constant_score": q_constant_score,
+        "prefix_matches": q_prefix_matches,
+        "wildcard_matches": q_wildcard_matches,
+        "regexp_matches": q_regexp_matches,
+        "term_range_matches": q_term_range_matches,
+        "term_in_set_matches": q_term_in_set_matches,
+        "fuzzy_matches": q_fuzzy_matches,
+        "count_term": q_count_term,
+        "count_match_all": q_count_match_all,
+        "search_after_page2": q_search_after_page2,
+        "grouping_top2_per_lang": q_grouping_top2_per_lang,
+        "facet_counts_by_source": q_facet_counts_by_source,
+        "distinct_langs": q_distinct_langs,
+        "more_like_this": q_more_like_this,
+        "exact_duplicates": q_exact_duplicates,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "ivf_topk": q_ivf_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL
+# --------------------------------------------------------------------------
+
+_K1S, _BS = "1.2e0", "0.75e0"
+
+
+def _quant_values() -> str:
+    vals = sorted({int(v) for v in BYTE4_DECODE_TABLE})
+    return ",".join(f"({v})" for v in vals)
+
+
+def _prelude() -> str:
+    """Shared CTEs: tokens w/ positions, doc lengths, SmallFloat-quantized
+    lengths, corpus stats, per-(doc,term) tf, per-term df."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos
+  FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS doclen FROM tok GROUP BY doc_id),
+qd AS (SELECT doc_id, doclen,
+              (SELECT MAX(v) FROM (VALUES {_quant_values()}) AS tv(v)
+               WHERE v <= doclen) AS qlen
+       FROM dl),
+st AS (SELECT COUNT(*) AS n, SUM(doclen) AS sttf,
+              SUM(doclen) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)"""
+
+
+def _fc(x: float) -> str:
+    """Float constant that DuckDB types as DOUBLE (bare 0.75 would be DECIMAL)."""
+    return f"{x!r}e0"
+
+
+_NI = f"(1e0/({_K1S}*((1e0-{_BS}) + {_BS}*qd.qlen/(SELECT avgdl FROM st))))"
+
+
+def _df_sub(t: str) -> str:
+    return f"(SELECT COUNT(*) FROM tf WHERE term = '{t}')"
+
+
+def _idf(t: str) -> str:
+    d = _df_sub(t)
+    return f"ln(1e0 + ((SELECT n FROM st) - {d} + 0.5e0)/({d} + 0.5e0))"
+
+
+def _w(t: str, boost: float = 1.0) -> str:
+    return f"({_fc(boost)}*{_idf(t)})"
+
+
+def _tscore_cte(name: str, t: str, boost: float = 1.0) -> str:
+    w = _w(t, boost)
+    return (f"{name} AS (SELECT tf.doc_id AS doc_id, "
+            f"({w} - {w}/(1e0 + tf.tf*{_NI})) AS s "
+            f"FROM tf JOIN qd ON tf.doc_id = qd.doc_id "
+            f"WHERE tf.term = '{t}')")
+
+
+def _micro(expr: str) -> str:
+    return f"CAST(FLOOR({expr}*1e6 + 0.5e0) AS BIGINT)"
+
+
+def _topk_sql(extra_ctes: list, body: str) -> str:
+    ctes = ",\n".join([_prelude()[len("\nWITH "):]] + extra_ctes)
+    return f"WITH {ctes}\n{body}"
+
+
+def _const_match_sql(where: str) -> str:
+    return _topk_sql([], f"""
+SELECT DISTINCT tf.doc_id AS doc_id, CAST(1000000 AS BIGINT) AS score_micro
+FROM tf WHERE {where}""")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    s1, s2, s3 = (_tscore_cte("s1", T1), _tscore_cte("s2", T2),
+                  _tscore_cte("s3", T3))
+    out: dict[str, str] = {}
+
+    out["term_topk"] = _topk_sql([s1], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM s1
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    out["term_scores_all"] = _topk_sql([_tscore_cte("sx", T3)], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM sx""")
+
+    out["bool_and_topk"] = _topk_sql([s1, s2], f"""
+SELECT s1.doc_id AS doc_id, {_micro('(s1.s + s2.s)')} AS score_micro
+FROM s1 JOIN s2 ON s1.doc_id = s2.doc_id
+ORDER BY (s1.s + s2.s) DESC, s1.doc_id LIMIT 10""")
+
+    or_union = """
+u AS (SELECT COALESCE(s1.doc_id, s2.doc_id) AS doc_id,
+             COALESCE(s1.s, 0e0) + COALESCE(s2.s, 0e0) AS s
+      FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id)"""
+    out["bool_or_topk"] = _topk_sql([s1, s2, or_union.strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM u
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    out["bool_must_not_topk"] = _topk_sql([s1], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM s1
+WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{T2}')
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    out["bool_filter_topk"] = _topk_sql([s1], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM s1
+WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = '{T2}')
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    out["req_opt_topk"] = _topk_sql([s1, s3], f"""
+SELECT s1.doc_id AS doc_id,
+       {_micro('(s1.s + COALESCE(s3.s, 0e0))')} AS score_micro
+FROM s1 LEFT JOIN s3 ON s1.doc_id = s3.doc_id
+ORDER BY (s1.s + COALESCE(s3.s, 0e0)) DESC, s1.doc_id LIMIT 10""")
+
+    out["min_should_match_topk"] = _topk_sql([s1, s2, s3, """
+m AS (SELECT doc_id, SUM(s) AS s, COUNT(*) AS c FROM (
+        SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+      ) GROUP BY doc_id)""".strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM m WHERE c >= 2
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    pw = f"({_idf(PHRASE[0])} + {_idf(PHRASE[1])})"
+    out["phrase_topk"] = _topk_sql([f"""
+ph AS (SELECT a.doc_id, COUNT(*) AS ptf
+       FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+       GROUP BY a.doc_id)""".strip(), f"""
+phs AS (SELECT ph.doc_id AS doc_id,
+               ({pw} - {pw}/(1e0 + ph.ptf*{_NI})) AS s
+        FROM ph JOIN qd ON ph.doc_id = qd.doc_id)""".strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM phs
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    syn_df = f"GREATEST({_df_sub(SYNSET[0])}, {_df_sub(SYNSET[1])})"
+    syn_w = (f"ln(1e0 + ((SELECT n FROM st) - {syn_df} + 0.5e0)"
+             f"/({syn_df} + 0.5e0))")
+    out["synonym_topk"] = _topk_sql([f"""
+sy AS (SELECT tf.doc_id AS doc_id, SUM(tf.tf) AS stf FROM tf
+       WHERE tf.term IN ('{SYNSET[0]}', '{SYNSET[1]}') GROUP BY tf.doc_id)""".strip(), f"""
+sys AS (SELECT sy.doc_id AS doc_id,
+               ({syn_w} - {syn_w}/(1e0 + sy.stf*{_NI})) AS s
+        FROM sy JOIN qd ON sy.doc_id = qd.doc_id)""".strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM sys
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    out["dismax_topk"] = _topk_sql([s1, s3, """
+dm AS (SELECT COALESCE(s1.doc_id, s3.doc_id) AS doc_id,
+              GREATEST(COALESCE(s1.s, s3.s), COALESCE(s3.s, s1.s)) AS mx,
+              COALESCE(s1.s, 0e0) + COALESCE(s3.s, 0e0) AS sm
+       FROM s1 FULL OUTER JOIN s3 ON s1.doc_id = s3.doc_id)""".strip()], f"""
+SELECT doc_id, {_micro('(mx + (sm - mx)*0.3e0)')} AS score_micro FROM dm
+ORDER BY (mx + (sm - mx)*0.3e0) DESC, doc_id LIMIT 10""")
+
+    b1 = _tscore_cte("b1", T1, 2.0)
+    b2 = _tscore_cte("b2", T3, 0.5)
+    out["boosted_or_topk"] = _topk_sql([b1, b2, """
+u AS (SELECT COALESCE(b1.doc_id, b2.doc_id) AS doc_id,
+             COALESCE(b1.s, 0e0) + COALESCE(b2.s, 0e0) AS s
+      FROM b1 FULL OUTER JOIN b2 ON b1.doc_id = b2.doc_id)""".strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM u
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    out["constant_score"] = _const_match_sql(f"tf.term = '{T1}'")
+    out["prefix_matches"] = _const_match_sql("tf.term LIKE 'sc%'")
+    out["wildcard_matches"] = _const_match_sql("tf.term LIKE 's_an'")
+    out["regexp_matches"] = _const_match_sql(
+        "regexp_full_match(tf.term, 'jo.*')")
+    out["term_range_matches"] = _const_match_sql(
+        "tf.term >= 'query' AND tf.term <= 'sort'")
+    out["term_in_set_matches"] = _const_match_sql(
+        f"tf.term IN ('{T1}', 'flink', 'storm')")
+    out["fuzzy_matches"] = _const_match_sql(
+        f"levenshtein(tf.term, '{T1}') <= 1")
+
+    out["count_term"] = _topk_sql([], f"""
+SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS cnt
+FROM tf WHERE term = '{T1}'""")
+
+    out["count_match_all"] = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM documents")
+
+    out["search_after_page2"] = _topk_sql([s1, s2, or_union.strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM u
+ORDER BY s DESC, doc_id LIMIT 10 OFFSET 10""")
+
+    out["grouping_top2_per_lang"] = _topk_sql([s3, f"""
+g AS (SELECT d.lang AS lang, s3.doc_id AS doc_id,
+             {_micro('s3.s')} AS score_micro
+      FROM s3 JOIN documents d ON d.doc_id = s3.doc_id)""".strip(), """
+r AS (SELECT lang, doc_id, score_micro,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY score_micro DESC, doc_id) AS rnk
+      FROM g)""".strip()], """
+SELECT lang, doc_id, score_micro, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 2""")
+
+    out["facet_counts_by_source"] = _topk_sql([], f"""
+SELECT d.source AS source, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{T1}') m
+JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY d.source""")
+
+    out["distinct_langs"] = _topk_sql([], f"""
+SELECT DISTINCT d.lang AS lang
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{T1}') m
+JOIN documents d ON d.doc_id = m.doc_id""")
+
+    out["more_like_this"] = _topk_sql(["""
+src AS (SELECT term, tf FROM tf WHERE doc_id = 0)""".strip(), """
+mt AS (SELECT term FROM (
+         SELECT s.term AS term,
+                s.tf * (1e0 + ln(CAST((SELECT n FROM st) AS DOUBLE)
+                                 / (dfq.df + 1e0))) AS ts
+         FROM src s JOIN dfq ON dfq.term = s.term)
+       ORDER BY ts DESC, term LIMIT 5)""".strip(), f"""
+ms AS (SELECT tf.doc_id AS doc_id,
+              SUM((ln(1e0 + ((SELECT n FROM st) - dfq.df + 0.5e0)
+                             /(dfq.df + 0.5e0)))
+                  - (ln(1e0 + ((SELECT n FROM st) - dfq.df + 0.5e0)
+                               /(dfq.df + 0.5e0)))
+                    /(1e0 + tf.tf*{_NI})) AS s
+       FROM tf JOIN mt ON tf.term = mt.term
+       JOIN dfq ON dfq.term = tf.term
+       JOIN qd ON qd.doc_id = tf.doc_id
+       WHERE tf.doc_id <> 0
+       GROUP BY tf.doc_id)""".strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM ms
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    out["exact_duplicates"] = """
+SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS dup_count,
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids_csv
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1"""
+
+    out["ngram_jaccard"] = _topk_sql(["""
+sh AS (SELECT DISTINCT a.doc_id AS doc_id,
+              a.term || ' ' || b.term || ' ' || c.term AS shingle
+       FROM tok a
+       JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2)""".strip(), """
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)""".strip(), """
+inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_common
+          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id)""".strip(), """
+j AS (SELECT i.id_a, i.id_b,
+             i.n_common / CAST(a.n_sh + b.n_sh - i.n_common AS DOUBLE) AS jac
+      FROM inter i
+      JOIN sz a ON a.doc_id = i.id_a
+      JOIN sz b ON b.doc_id = i.id_b)""".strip()], f"""
+SELECT id_a, id_b, {_micro('jac')} AS jaccard_micro
+FROM j WHERE jac >= 0.5e0""")
+
+    out["token_count"] = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+       CAST(SUM(CAST(CEIL(LENGTH(term)/4.0e0) AS BIGINT)) AS BIGINT)
+         AS n_bpe_ish
+FROM w GROUP BY doc_id"""
+
+    en = ",".join(f"'{t}'" for t in textstats.LANG_MARKERS["en"])
+    out["quality_score"] = f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(CASE WHEN term IN ({en}) THEN 1 ELSE 0 END) AS stop_hits
+        FROM w GROUP BY doc_id),
+m AS (SELECT d.doc_id,
+             agg.n AS n,
+             LENGTH(REPLACE(d.text, ' ', '')) / agg.n AS mean_len,
+             agg.stop_hits / agg.n AS stop_ratio,
+             LENGTH(regexp_replace(d.text, '[^a-zA-Z]', '', 'g'))
+               / CAST(LENGTH(d.text) AS DOUBLE) AS alpha_ratio
+      FROM documents d JOIN agg ON agg.doc_id = d.doc_id)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       ROUND(mean_len, 4) AS mean_token_len,
+       ROUND(stop_ratio, 4) AS stopword_ratio,
+       ROUND(alpha_ratio, 4) AS alpha_ratio,
+       ROUND((CASE WHEN n >= 10 AND n <= 5000 THEN 0.25e0 ELSE 0e0 END)
+             + (CASE WHEN mean_len >= 3.0e0 AND mean_len <= 12.0e0
+                     THEN 0.25e0 ELSE 0e0 END)
+             + LEAST(0.25e0, stop_ratio * 2.5e0)
+             + alpha_ratio * 0.25e0, 4) AS quality_score
+FROM m"""
+
+    marker_rows = ",".join(
+        f"('{lang}','{t}')"
+        for lang in sorted(textstats.LANG_MARKERS)
+        for t in textstats.LANG_MARKERS[lang])
+    out["language_id"] = f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+mk AS (SELECT * FROM (VALUES {marker_rows}) AS t(lang, term)),
+hits AS (SELECT d.doc_id, l.lang,
+                (SELECT COUNT(*) FROM w
+                 JOIN mk ON mk.term = w.term AND mk.lang = l.lang
+                 WHERE w.doc_id = d.doc_id) AS h
+         FROM documents d
+         CROSS JOIN (SELECT DISTINCT lang FROM mk) l),
+best AS (SELECT doc_id, lang, h,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY h DESC, lang ASC) AS rn
+         FROM hits)
+SELECT doc_id, CASE WHEN h > 0 THEN lang ELSE 'und' END AS pred_lang,
+       CAST(h AS BIGINT) AS marker_hits
+FROM best WHERE rn = 1"""
+
+    out["fingerprint"] = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents),
+canon AS (SELECT doc_id,
+                 array_to_string(list_sort(list(DISTINCT term)), ' ') AS c
+          FROM w GROUP BY doc_id),
+pre AS (SELECT doc_id,
+               array_to_string(list(term ORDER BY pos), ' ') AS p
+        FROM w WHERE pos <= 8 GROUP BY doc_id)
+SELECT c.doc_id, md5(c.c) AS fingerprint, md5(pre.p) AS prefix_fingerprint
+FROM canon c JOIN pre ON pre.doc_id = c.doc_id"""
+
+    out["cosine_topk"] = f"""
+WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+nrm AS (SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nv
+        FROM e GROUP BY vec_id),
+dots AS (SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+                SUM(CAST(v.x AS DOUBLE)*CAST(q.x AS DOUBLE)) AS dot
+         FROM e v JOIN e q ON q.i = v.i AND q.vec_id < 5
+         GROUP BY q.vec_id, v.vec_id),
+cs AS (SELECT d.query_id, d.vec_id, d.dot/(a.nv*b.nv) AS cosine
+       FROM dots d JOIN nrm a ON a.vec_id = d.vec_id
+       JOIN nrm b ON b.vec_id = d.query_id),
+r AS (SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM cs)
+SELECT query_id, vec_id, {_micro('cosine')} AS cosine_micro
+FROM r WHERE rn <= 5"""
+
+    return out

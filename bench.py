@@ -1,0 +1,97 @@
+"""Benchmark harness: index-build throughput + top-k query latency.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default 32) and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "build_docs_per_sec": ...}
+
+The build is the full write path (tokenize -> explode -> salted term shuffle ->
+block/FOR-vByte encode -> segment parquet + snapshot commit); queries run the
+float32 Lucene-parity path with block-max pruning through applyInPandas.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+from lucene_7_x_9_x_spark.index.builder import build_index  # noqa: E402
+from lucene_7_x_9_x_spark.search import query as Q  # noqa: E402
+from lucene_7_x_9_x_spark.search.searcher import IndexSearcher  # noqa: E402
+from lucene_7_x_9_x_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = {
+    "q_term": Q.TermQuery("spark"),
+    "q_or2": Q.BooleanQuery(should=(Q.TermQuery("spark"), Q.TermQuery("table"))),
+    "q_or4": Q.BooleanQuery(should=(
+        Q.TermQuery("spark"), Q.TermQuery("table"),
+        Q.TermQuery("merge"), Q.TermQuery("sort"))),
+    "q_and2": Q.BooleanQuery(must=(Q.TermQuery("spark"), Q.TermQuery("table"))),
+    "q_phrase": Q.PhraseQuery(("fast", "sort")),
+    "q_dismax": Q.DisjunctionMaxQuery(
+        (Q.TermQuery("spark"), Q.TermQuery("merge")), tie_breaker=0.3),
+    "q_msm": Q.BooleanQuery(
+        should=(Q.TermQuery("spark"), Q.TermQuery("table"), Q.TermQuery("merge")),
+        minimum_should_match=2),
+    "q_prefix": Q.PrefixQuery("sc"),
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    spark = get_spark("lucene-spark-bench", cores=cpus,
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+
+    idx = f"/tmp/lucene_spark_bench_idx_{os.getpid()}"
+    if os.path.exists(idx):
+        shutil.rmtree(idx)
+    t0 = time.time()
+    build_index(spark, docs, key_col="doc_id", text_col="text", index_dir=idx,
+                docs_per_segment=4096, int_keys=True,
+                term_shards=max(8, cpus))
+    build_s = time.time() - t0
+
+    searcher = IndexSearcher(spark, idx, dtype=np.float32)
+    latencies: dict[str, float] = {}
+    for name, q in BENCH_QUERIES.items():
+        runs = []
+        for _ in range(reps):
+            tq = time.time()
+            searcher.search(q, k=10, fetch_keys=False)
+            runs.append(time.time() - tq)
+        latencies[name] = round(sorted(runs)[len(runs) // 2], 4)  # median
+
+    total = round(build_s + sum(latencies.values()), 4)
+    out = {
+        "metric": "index-build + BM25 top-k query latency (segmented inverted "
+                  "index, block-max WAND)",
+        "value": total,
+        "unit": "sec",
+        "queries": latencies,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_docs": int(n_docs),
+        "build_sec": round(build_s, 4),
+        "build_docs_per_sec": round(n_docs / build_s, 2),
+        "cpus": cpus,
+    }
+    shutil.rmtree(idx, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

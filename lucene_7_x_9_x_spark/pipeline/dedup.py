@@ -31,7 +31,8 @@ __all__ = ["exact_duplicates", "tokens_col", "shingles_col",
            "ngram_jaccard_pairs", "minhash_signature", "minhash_lsh_pairs",
            "simhash", "embedding_near_dups"]
 
-MERSENNE = (1 << 61) - 1
+# 2^31-1: keeps a*x+b < 2^62 in int64 under Spark's ANSI overflow checks
+MERSENNE = (1 << 31) - 1
 
 
 def tokens_col(text_col: str = "text"):
@@ -116,10 +117,12 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 
 def _hash_shingle_col():
-    """Stable 61-bit integer from a shingle: first 15 hex chars of md5.
-
-    md5 is reproducible in any SQL engine -> oracle-checkable MinHash."""
-    return F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+    """Stable integer from a shingle: first 7 hex chars of md5 (< 2^28), then
+    reduced mod MERSENNE so the per-hash (a*x+b) stays within int64 under
+    Spark's ANSI overflow checks. md5 is reproducible in any SQL engine ->
+    oracle-checkable MinHash."""
+    return (F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10)
+            .cast("long") % F.lit(MERSENNE))
 
 
 def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
@@ -130,8 +133,8 @@ def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
     One shuffle: explode distinct shingles, per-shingle hash family evaluated
     JVM-side, groupBy(id).agg(min...)."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, MERSENNE, num_hashes, dtype=np.int64)
-    b = rng.randint(0, MERSENNE, num_hashes, dtype=np.int64)
+    a = rng.randint(1, MERSENNE, num_hashes).astype(np.int64)
+    b = rng.randint(0, MERSENNE, num_hashes).astype(np.int64)
     sh = _distinct_shingles(docs, id_col, text_col, n)
     hashed = sh.withColumn("hx", _hash_shingle_col())
     aggs = [

@@ -106,7 +106,8 @@ def ivf_top_k(vectors: DataFrame, queries: DataFrame, k: int = 10,
     d2 = ((qvecs[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
     probes = np.argsort(d2, axis=1)[:, :n_probe]
     probe_rows = [
-        (int(qpd[query_id_col].iloc[i]), qpd[query_vec_col].iloc[i],
+        (int(qpd[query_id_col].iloc[i]),
+         [float(x) for x in qpd[query_vec_col].iloc[i]],
          [int(p) for p in probes[i]])
         for i in range(len(qpd))
     ]
