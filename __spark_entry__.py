@@ -287,6 +287,34 @@ def q_more_like_this(spark, sf_dir):
 
 # ---- training-data pipeline operators ------------------------------------
 
+def q_queryparser_topk(spark, sf_dir):
+    """Classic query-string syntax -> AST -> engine (QueryParserBase subset)."""
+    from lucene_7_x_9_x_spark.search.queryparser import parse
+    return _topk_df(spark, sf_dir, parse(f"{T1} AND {T2}"))
+
+
+def q_phrase_sloppy_topk(spark, sf_dir):
+    return _topk_df(spark, sf_dir, Q.PhraseQuery(PHRASE, slop=2))
+
+
+def q_highlight_topk(spark, sf_dir):
+    from lucene_7_x_9_x_spark.search.highlighter import highlight_df
+    q = Q.BooleanQuery(should=(Q.TermQuery(T1), Q.TermQuery(T2)))
+    top = _topk_df(spark, sf_dir, q)
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    hl = highlight_df(top.join(docs, "doc_id"), "text", q, fragment_size=80,
+                      max_fragments=2)
+    return hl.select("doc_id", "score_micro",
+                     F.array_join("fragments", " ... ").alias("snippet"))
+
+
+def q_multimodal_metadata(spark, sf_dir):
+    from lucene_7_x_9_x_spark.pipeline.multimodal import binary_metadata
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return binary_metadata(docs, id_col="doc_id", bin_col="payload")
+
+
 def q_exact_duplicates(spark, sf_dir):
     out = dedup.exact_duplicates(_documents(spark, sf_dir))
     return out.select(
@@ -393,6 +421,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts_by_source": q_facet_counts_by_source,
         "distinct_langs": q_distinct_langs,
         "more_like_this": q_more_like_this,
+        "queryparser_topk": q_queryparser_topk,
+        "phrase_sloppy_topk": q_phrase_sloppy_topk,
+        "highlight_topk": q_highlight_topk,
+        "multimodal_metadata": q_multimodal_metadata,
         "exact_duplicates": q_exact_duplicates,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -584,6 +616,11 @@ ORDER BY s DESC, doc_id LIMIT 10""")
         f"tf.term IN ('{T1}', 'flink', 'storm')")
     out["fuzzy_matches"] = _const_match_sql(
         f"levenshtein(tf.term, '{T1}') <= 1")
+
+    out["queryparser_topk"] = _topk_sql([s1, s2], f"""
+SELECT s1.doc_id AS doc_id, {_micro('(s1.s + s2.s)')} AS score_micro
+FROM s1 JOIN s2 ON s1.doc_id = s2.doc_id
+ORDER BY (s1.s + s2.s) DESC, s1.doc_id LIMIT 10""")
 
     out["count_term"] = _topk_sql([], f"""
 SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS cnt

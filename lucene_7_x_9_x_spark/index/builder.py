@@ -141,6 +141,141 @@ def _dir_size(path: str) -> int:
     return total
 
 
+def index_wave(
+    spark: SparkSession,
+    src: DataFrame,
+    index_dir: str,
+    wave: int,
+    *,
+    analyzer: Analyzer = STANDARD,
+    store_positions: bool = True,
+    int_keys: bool = False,
+    term_shards: int = 32,
+    salt_bucket_docs: int | None = None,
+    docs_per_segment: int = 4096,
+) -> list[dict]:
+    """Index one wave: src(key, text, segment_id) -> docs+postings partitions.
+
+    Shared by the batch builder, the incremental writer, and the streaming
+    sink. Returns the new segments' stats dicts (uncommitted — the caller owns
+    the snapshot commit). Cleans any partial output of this wave first, so a
+    crashed attempt is safely retried (parquet dirs are only visible to readers
+    after the snapshot commit anyway)."""
+    tok_udf = _tokenize_udf(analyzer)
+    for root in ("docs", "postings"):
+        wdir = os.path.join(index_dir, root, f"wave={wave}")
+        if os.path.exists(wdir):
+            shutil.rmtree(wdir)
+
+    order_key = F.col("key").cast("long") if int_keys else F.col("key")
+    w = Window.partitionBy("segment_id").orderBy(order_key)
+    tokenized = (
+        src.withColumn("docid", (F.row_number().over(w) - 1).cast("int"))
+        .withColumn("_t", tok_udf(F.col("text")))
+        .select(
+            "segment_id", "docid", "key",
+            F.col("_t.tv").alias("tv"),
+            F.col("_t.doclen").alias("doclen"),
+        )
+        .withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
+        .persist()
+    )
+
+    docs = tokenized.select("segment_id", "docid", "key", "doclen", "norm_byte")
+    (
+        docs.withColumn("wave", F.lit(wave))
+        .repartition("segment_id")
+        .write.mode("append")
+        .partitionBy("wave", "segment_id")
+        .parquet(os.path.join(index_dir, "docs"))
+    )
+
+    exploded = (
+        tokenized.where(F.col("doclen") > 0)
+        .select(
+            "segment_id", "docid", "norm_byte",
+            F.explode("tv").alias("p"),
+        )
+        .select(
+            "segment_id", "docid", "norm_byte",
+            F.col("p.term").alias("term"),
+            F.col("p.freq").alias("freq"),
+            F.col("p.positions").alias("positions"),
+        )
+        .withColumn(
+            "shard", F.pmod(F.xxhash64(F.col("term")), F.lit(term_shards)).cast("int")
+        )
+    )
+
+    def _enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _encode_partition(pdf, store_positions)
+
+    if salt_bucket_docs and salt_bucket_docs < docs_per_segment:
+        salted_schema = S.POSTINGS_SCHEMA.add("salt", T.IntegerType())
+
+        def _enc_salted(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = _encode_partition(pdf, store_positions)
+            out["salt"] = int(pdf["salt"].iloc[0])
+            return out
+
+        salted = (
+            exploded.withColumn(
+                "salt", (F.col("docid") / salt_bucket_docs).cast("int")
+            )
+            .groupBy("segment_id", "shard", "salt")
+            .applyInPandas(_enc_salted, salted_schema)
+        )
+        postings = salted.groupBy("segment_id", "shard").applyInPandas(
+            lambda pdf: _merge_salted(pdf), S.POSTINGS_SCHEMA
+        )
+    else:
+        postings = exploded.groupBy("segment_id", "shard").applyInPandas(
+            _enc, S.POSTINGS_SCHEMA
+        )
+
+    (
+        # local term sort per task -> tight parquet row-group min/max on term,
+        # so query-time In(term,...) pushdown skips row groups (the term-dict
+        # "which block" role of the FST, SURVEY §1.1); no shuffle added
+        postings.sortWithinPartitions("term")
+        .withColumn("wave", F.lit(wave))
+        .write.mode("append")
+        .partitionBy("wave", "segment_id")
+        .parquet(os.path.join(index_dir, "postings"))
+    )
+
+    stats = (
+        docs.groupBy("segment_id")
+        .agg(
+            F.sum(F.when(F.col("doclen") > 0, 1).otherwise(0)).alias("doc_count"),
+            F.sum("doclen").alias("sum_ttf"),
+            (F.max("docid") + 1).alias("max_doc"),
+        )
+        .collect()
+    )
+    tokenized.unpersist()
+
+    segs = []
+    for r in stats:
+        segs.append(
+            {
+                "segment_id": int(r["segment_id"]),
+                "wave": wave,
+                "doc_count": int(r["doc_count"]),
+                "sum_ttf": int(r["sum_ttf"]),
+                "max_doc": int(r["max_doc"]),
+                "size_bytes": 0,
+                "merged_from": [],
+            }
+        )
+    for s in segs:
+        s["size_bytes"] = _dir_size(
+            os.path.join(index_dir, "postings", f"wave={wave}",
+                         f"segment_id={s['segment_id']}")
+        )
+    return segs
+
+
 def build_index(
     spark: SparkSession,
     df: DataFrame,
@@ -205,7 +340,6 @@ def build_index(
             .parquet(staging)
         )
 
-    tok_udf = _tokenize_udf(analyzer)
     all_segments = list(cat.live_segments())
 
     for wave in range(n_waves):
@@ -219,120 +353,27 @@ def build_index(
             src = df.select(key_s.alias("key"), F.col(text_col).alias("text"),
                             seg_expr.alias("segment_id"))
 
-        # clean any partial output from a crashed attempt of this wave
-        for root in ("docs", "postings"):
-            wdir = os.path.join(index_dir, root, f"wave={wave}")
-            if os.path.exists(wdir):
-                shutil.rmtree(wdir)
-
-        order_key = F.col("key").cast("long") if int_keys else F.col("key")
-        w = Window.partitionBy("segment_id").orderBy(order_key)
-        tokenized = (
-            src.withColumn("docid", (F.row_number().over(w) - 1).cast("int"))
-            .withColumn("_t", tok_udf(F.col("text")))
-            .select(
-                "segment_id", "docid", "key",
-                F.col("_t.tv").alias("tv"),
-                F.col("_t.doclen").alias("doclen"),
-            )
-            .withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
-            .persist()
-        )
-
-        docs = tokenized.select("segment_id", "docid", "key", "doclen", "norm_byte")
-        (
-            docs.withColumn("wave", F.lit(wave))
-            .repartition("segment_id")
-            .write.mode("append")
-            .partitionBy("wave", "segment_id")
-            .parquet(os.path.join(index_dir, "docs"))
-        )
-
         if _crash_point == (wave, "after_docs"):
+            # preserve the injected-crash point of the pre-refactor layout:
+            # docs written, postings not, no commit
+            index_wave(spark, src, index_dir, wave, analyzer=analyzer,
+                       store_positions=store_positions, int_keys=int_keys,
+                       term_shards=term_shards,
+                       salt_bucket_docs=salt_bucket_docs,
+                       docs_per_segment=docs_per_segment)
+            shutil.rmtree(os.path.join(index_dir, "postings", f"wave={wave}"),
+                          ignore_errors=True)
             raise RuntimeError("injected crash: after_docs")
 
-        exploded = (
-            tokenized.where(F.col("doclen") > 0)
-            .select(
-                "segment_id", "docid", "norm_byte",
-                F.explode("tv").alias("p"),
-            )
-            .select(
-                "segment_id", "docid", "norm_byte",
-                F.col("p.term").alias("term"),
-                F.col("p.freq").alias("freq"),
-                F.col("p.positions").alias("positions"),
-            )
-            .withColumn(
-                "shard", F.pmod(F.xxhash64(F.col("term")), F.lit(term_shards)).cast("int")
-            )
-        )
-
-        def _enc(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _encode_partition(pdf, store_positions)
-
-        if salt_bucket_docs and salt_bucket_docs < docs_per_segment:
-            salted_schema = S.POSTINGS_SCHEMA.add("salt", T.IntegerType())
-
-            def _enc_salted(pdf: pd.DataFrame) -> pd.DataFrame:
-                out = _encode_partition(pdf, store_positions)
-                out["salt"] = int(pdf["salt"].iloc[0])
-                return out
-
-            salted = (
-                exploded.withColumn(
-                    "salt", (F.col("docid") / salt_bucket_docs).cast("int")
-                )
-                .groupBy("segment_id", "shard", "salt")
-                .applyInPandas(_enc_salted, salted_schema)
-            )
-            postings = salted.groupBy("segment_id", "shard").applyInPandas(
-                lambda pdf: _merge_salted(pdf), S.POSTINGS_SCHEMA
-            )
-        else:
-            postings = exploded.groupBy("segment_id", "shard").applyInPandas(
-                _enc, S.POSTINGS_SCHEMA
-            )
-
-        (
-            postings.withColumn("wave", F.lit(wave))
-            .write.mode("append")
-            .partitionBy("wave", "segment_id")
-            .parquet(os.path.join(index_dir, "postings"))
-        )
-
-        stats = (
-            docs.groupBy("segment_id")
-            .agg(
-                F.sum(F.when(F.col("doclen") > 0, 1).otherwise(0)).alias("doc_count"),
-                F.sum("doclen").alias("sum_ttf"),
-                (F.max("docid") + 1).alias("max_doc"),
-            )
-            .collect()
-        )
-        tokenized.unpersist()
+        new_segs = [
+            s for s in index_wave(
+                spark, src, index_dir, wave, analyzer=analyzer,
+                store_positions=store_positions, int_keys=int_keys,
+                term_shards=term_shards, salt_bucket_docs=salt_bucket_docs,
+                docs_per_segment=docs_per_segment)
+            if s["segment_id"] not in done_segs
+        ]
         wall_ms = int((time.time() - t0) * 1000)
-
-        new_segs = []
-        for r in stats:
-            if r["segment_id"] in done_segs:
-                continue
-            new_segs.append(
-                {
-                    "segment_id": int(r["segment_id"]),
-                    "wave": wave,
-                    "doc_count": int(r["doc_count"]),
-                    "sum_ttf": int(r["sum_ttf"]),
-                    "max_doc": int(r["max_doc"]),
-                    "size_bytes": 0,
-                    "merged_from": [],
-                }
-            )
-        for s in new_segs:
-            s["size_bytes"] = _dir_size(
-                os.path.join(index_dir, "postings", f"wave={wave}",
-                             f"segment_id={s['segment_id']}")
-            )
 
         lineage = spark.createDataFrame(
             [

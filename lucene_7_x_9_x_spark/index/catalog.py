@@ -59,21 +59,36 @@ class IndexCatalog:
         snap = self.snapshot()
         return snap["segments"] if snap else []
 
-    def commit(self, segments: list[dict], operation: str = "append") -> int:
+    def delete_gens(self) -> list[int]:
+        """Delete generations visible to the current snapshot (the committed
+        .liv set). Generations written by in-flight ops are absent until their
+        commit lists them — and a rollback restores the old list."""
+        snap = self.snapshot()
+        return list(snap.get("delete_gens", [])) if snap else []
+
+    def commit(self, segments: list[dict], operation: str = "append",
+               extra: dict | None = None) -> int:
         """Atomically publish a new snapshot with the given live segment set.
 
         segments: [{"segment_id": int, "doc_count": int, "sum_ttf": int,
                     "max_doc": int, "size_bytes": int, "merged_from": [int,...]}]
+        `extra` keys land in the snapshot JSON (e.g. delete_gens); absent keys
+        are inherited from the parent snapshot so commits that don't touch
+        deletes carry the visible generation list forward.
         """
         parent = self.head()
+        parent_snap = self.snapshot(parent) if parent >= 0 else None
         sid = parent + 1
         snap = {
             "snapshot_id": sid,
             "parent": parent,
             "operation": operation,
             "ts_ms": int(time.time() * 1000),
+            "delete_gens": (parent_snap or {}).get("delete_gens", []),
             "segments": sorted(segments, key=lambda s: s["segment_id"]),
         }
+        if extra:
+            snap.update(extra)
         path = os.path.join(self.catalog_dir, f"snapshot-{sid}.json")
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -84,6 +99,21 @@ class IndexCatalog:
             f.write(str(sid))
         os.rename(head_tmp, os.path.join(self.catalog_dir, "HEAD"))
         return sid
+
+    def rollback(self, snapshot_id: int) -> int:
+        """IndexWriter.rollback analog: move HEAD back to an earlier snapshot.
+
+        Publishes the old segment set as a NEW snapshot (history stays linear
+        and append-only — same shape as Iceberg's rollback, which commits a new
+        snapshot pointing at old manifests). Data files of rolled-back waves
+        simply leave the live set; they are never rewritten."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            raise ValueError(f"no snapshot {snapshot_id}")
+        return self.commit(
+            snap["segments"], operation="rollback",
+            extra={"delete_gens": snap.get("delete_gens", []),
+                   "rollback_of": snapshot_id})
 
     def segment_complete(self, segment_id: int) -> bool:
         """A segment's data is durable iff its _SUCCESS markers exist (resume check)."""

@@ -199,7 +199,12 @@ def _score(candidate, hit_too_large: bool, merge_factor: int,
 
 def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
                   term_shards: int = 32) -> int:
-    """Merge the given segments into one new segment; returns new segment_id."""
+    """Merge the given segments into one new segment; returns new segment_id.
+
+    Deleted docs are dropped and surviving docids compacted exactly as
+    DocIDMerger re-bases (DocIDMerger.java:34,93,139): within each input
+    segment the new docid is old - |deleted below old|, plus the cumulative
+    surviving-doc offset of the preceding segments (segment order)."""
     t0 = time.time()
     cat = IndexCatalog(index_dir)
     live = {s["segment_id"]: s for s in cat.live_segments()}
@@ -208,12 +213,25 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
     new_id = max(live) + 1
     new_wave = max(s["wave"] for s in live.values()) + 1
 
-    # docid re-base offsets, in segment order (DocIDMerger.java:34,93)
+    from .writer import load_deletes
+    deleted = load_deletes(spark, index_dir, set(segment_ids))
+
+    # surviving-doc re-base offsets, in segment order (DocIDMerger.java:34,93)
     offsets = {}
     off = 0
     for s in parts:
         offsets[s["segment_id"]] = off
-        off += s["max_doc"]
+        off += s["max_doc"] - deleted.get(s["segment_id"],
+                                          np.zeros(0, np.int64)).size
+
+    def remap(seg_id: int, docids: np.ndarray):
+        """(surviving mask, new docids) for one input segment's docid array."""
+        dels = deleted.get(seg_id)
+        if dels is None or dels.size == 0:
+            return np.ones(docids.size, dtype=bool), docids + offsets[seg_id]
+        keep = ~np.isin(docids, dels)
+        kept = docids[keep]
+        return keep, kept - np.searchsorted(dels, kept) + offsets[seg_id]
 
     pairs = [F.struct(F.lit(s["wave"]), F.lit(s["segment_id"])) for s in parts]
     docs = spark.read.parquet(f"{index_dir}/docs").where(
@@ -221,20 +239,35 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
     postings = spark.read.parquet(f"{index_dir}/postings").where(
         F.struct("wave", "segment_id").isin(pairs))
 
-    off_map = F.create_map(*[x for sid, o in offsets.items()
-                             for x in (F.lit(sid), F.lit(o))])
-    (
-        docs.withColumn("docid",
-                        (F.col("docid") + off_map[F.col("segment_id")]).cast("int"))
+    def remap_docs(batches):
+        for pdf in batches:
+            out = []
+            for sid, g in pdf.groupby("segment_id"):
+                keep, new_docids = remap(int(sid), g["docid"].values.astype(np.int64))
+                g = g.loc[keep].copy()
+                g["docid"] = new_docids.astype(np.int32)
+                out.append(g)
+            yield pd.concat(out) if out else pdf.iloc[0:0]
+
+    merged_docs = (
+        docs.select("segment_id", "docid", "key", "doclen", "norm_byte")
+        .mapInPandas(remap_docs, docs.select(
+            "segment_id", "docid", "key", "doclen", "norm_byte").schema)
         .withColumn("segment_id", F.lit(new_id))
-        .withColumn("wave", F.lit(new_wave))
-        .select("segment_id", "docid", "key", "doclen", "norm_byte", "wave")
+        .persist()
+    )
+    stats = merged_docs.agg(
+        F.sum(F.when(F.col("doclen") > 0, 1).otherwise(0)).alias("doc_count"),
+        F.sum("doclen").alias("sum_ttf"),
+        F.count("*").alias("max_doc"),
+    ).collect()[0]
+    (
+        merged_docs.withColumn("wave", F.lit(new_wave))
         .repartition(1)
         .write.mode("append").partitionBy("wave", "segment_id")
         .parquet(os.path.join(index_dir, "docs"))
     )
-
-    offsets_b = dict(offsets)
+    merged_docs.unpersist()
 
     def merge_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -247,13 +280,21 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
                           for b in r.blocks]
                 if blocks and blocks[0].get("pos_bytes"):
                     d, f, n, flat = decode_blocks(blocks, want_positions=True)
-                    ps.extend(split_positions(flat, f))
+                    plists = split_positions(flat, f)
                 else:
                     d, f, n = decode_blocks(blocks)
+                    plists = None
                     has_pos = False
-                ds.append(d + offsets_b[int(r.segment_id)])
-                fs.append(f)
-                ns.append(n)
+                keep, new_d = remap(int(r.segment_id), d)
+                if new_d.size == 0:
+                    continue
+                ds.append(new_d)
+                fs.append(f[keep])
+                ns.append(n[keep])
+                if plists is not None:
+                    ps.extend(p for p, k in zip(plists, keep) if k)
+            if not ds:
+                continue
             docids = np.concatenate(ds)
             freqs = np.concatenate(fs)
             norms = np.concatenate(ns)
@@ -272,18 +313,27 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
             "shard", F.pmod(F.xxhash64("term"), F.lit(term_shards)).cast("int"))
         .groupBy("shard")
         .applyInPandas(lambda pdf: merge_shard(pdf), S.POSTINGS_SCHEMA)
+        .sortWithinPartitions("term")  # row-group term stats for pushdown
         .withColumn("wave", F.lit(new_wave))
         .write.mode("append").partitionBy("wave", "segment_id")
         .parquet(os.path.join(index_dir, "postings"))
     )
 
+    def _dir_size(path: str) -> int:
+        total = 0
+        for root, _, files in os.walk(path):
+            for fn in files:
+                total += os.path.getsize(os.path.join(root, fn))
+        return total
+
     new_seg = {
         "segment_id": new_id,
         "wave": new_wave,
-        "doc_count": sum(s["doc_count"] for s in parts),
-        "sum_ttf": sum(s["sum_ttf"] for s in parts),
-        "max_doc": sum(s["max_doc"] for s in parts),
-        "size_bytes": sum(s["size_bytes"] for s in parts),
+        "doc_count": int(stats["doc_count"]),
+        "sum_ttf": int(stats["sum_ttf"]),
+        "max_doc": int(stats["max_doc"]),
+        "size_bytes": _dir_size(os.path.join(
+            index_dir, "postings", f"wave={new_wave}", f"segment_id={new_id}")),
         "merged_from": sorted(segment_ids),
     }
     remaining = [s for sid, s in live.items() if sid not in set(segment_ids)]

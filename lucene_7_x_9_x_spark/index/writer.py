@@ -1,0 +1,253 @@
+"""IndexWriter analog: incremental adds, buffered-style deletes, updates.
+
+Semantics source (behavior only):
+  IndexWriter.addDocuments   solr-8.4.0/.../index/IndexWriter.java:1234,1276
+      -> new docs always land in NEW segments (a DWPT never reopens a flushed
+         segment); here: one new wave of segment partitions + snapshot commit.
+  IndexWriter.deleteDocuments(Term/Query)  IndexWriter.java:1538,1564
+      -> per-segment deleted-doc sets (.liv analog, blog/Lucene/索引文件/liv),
+         applied at read time; df/ttf/norm stats stay un-adjusted until merge
+         (exactly Lucene's behavior — deleted docs still count in docFreq).
+  IndexWriter.updateDocument  IndexWriter.java:1603
+      -> atomic delete-by-key + add, published in ONE snapshot commit.
+
+Layout: index_dir/deletes/gen=<snapshot>/segment_id=K/*.parquet with a single
+`docid` column. Readers union all generations and keep only live segments;
+merge drops deleted docs and compacts docids, after which the old segments'
+delete files simply fall out of the live set (IndexFileDeleter analog).
+
+Scale shape: delete resolution is a semi-join of the keys against the docs
+table (partition-pruned by live (wave, segment)); the per-segment delete sets
+are bounded by deletesPctAllowed (33%) because maybe_merge reclaims them —
+same invariant that keeps Lucene's .liv files small.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analysis.tokenizer import Analyzer, STANDARD
+from .builder import index_wave
+from .catalog import IndexCatalog
+from . import schema as S
+
+__all__ = ["IndexWriter", "load_deletes", "deletes_df"]
+
+
+def deletes_df(spark: SparkSession, index_dir: str,
+               live_segment_ids: set[int],
+               gens: list[int] | None = None) -> DataFrame | None:
+    """(segment_id, docid) union over the snapshot's visible delete
+    generations, live segs only. Files written by an in-flight (or crashed,
+    or rolled-back) operation stay invisible because their gen is not listed
+    in the committed snapshot."""
+    ddir = os.path.join(index_dir, "deletes")
+    if not os.path.isdir(ddir):
+        return None
+    if gens is None:
+        gens = IndexCatalog(index_dir).delete_gens()
+    if not gens:
+        return None
+    df = spark.read.parquet(ddir)
+    return (df.where(F.col("gen").isin([int(g) for g in gens]))
+            .where(F.col("segment_id").isin([int(s) for s in live_segment_ids]))
+            .select("segment_id", "docid").distinct())
+
+
+def load_deletes(spark: SparkSession, index_dir: str,
+                 live_segment_ids: set[int],
+                 gens: list[int] | None = None) -> dict[int, np.ndarray]:
+    """Collect per-segment sorted deleted-docid arrays (the .liv bitsets).
+
+    Driver-side collect is safe: delete volume is bounded to <= 33% of live
+    docs by the merge policy, and at production scale this map is broadcast to
+    executors exactly like Lucene ships .liv with each segment."""
+    df = deletes_df(spark, index_dir, live_segment_ids, gens=gens)
+    if df is None:
+        return {}
+    pdf = df.toPandas()
+    out: dict[int, np.ndarray] = {}
+    for sid, g in pdf.groupby("segment_id"):
+        out[int(sid)] = np.sort(g["docid"].values.astype(np.int64))
+    return out
+
+
+class IndexWriter:
+    """Mutating operations over an existing (or empty) index directory."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, *,
+                 analyzer: Analyzer = STANDARD, docs_per_segment: int = 4096,
+                 term_shards: int = 32, store_positions: bool = True,
+                 int_keys: bool = False):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.cat = IndexCatalog(index_dir)
+        self.analyzer = analyzer
+        self.docs_per_segment = docs_per_segment
+        self.term_shards = term_shards
+        self.store_positions = store_positions
+        self.int_keys = int_keys
+
+    # --- adds ---------------------------------------------------------------
+    def add_documents(self, df: DataFrame, key_col: str,
+                      text_col: str) -> list[int]:
+        """Index df into a fresh wave of NEW segments; atomic snapshot commit.
+
+        Returns the new segment ids. Mirrors the DWPT rule that concurrent /
+        subsequent addDocument batches produce distinct segments."""
+        t0 = time.time()
+        live = self.cat.live_segments()
+        next_seg = max((s["segment_id"] for s in live), default=-1) + 1
+        next_wave = max((s["wave"] for s in live), default=-1) + 1
+        total = df.count()
+        if total == 0:
+            return []
+        n_new = max(1, math.ceil(total / self.docs_per_segment))
+        key_s = F.col(key_col).cast("string")
+        src = df.select(
+            key_s.alias("key"), F.col(text_col).alias("text"),
+            (F.lit(next_seg)
+             + F.pmod(F.xxhash64(key_s), F.lit(n_new))).cast("int")
+            .alias("segment_id"),
+        )
+        segs = index_wave(
+            self.spark, src, self.index_dir, next_wave,
+            analyzer=self.analyzer, store_positions=self.store_positions,
+            int_keys=self.int_keys, term_shards=self.term_shards,
+            docs_per_segment=self.docs_per_segment)
+        wall_ms = int((time.time() - t0) * 1000)
+        lineage = self.spark.createDataFrame(
+            [("add_wave", s["segment_id"], self.cat.head() + 1, s["doc_count"],
+              wall_ms, "done") for s in segs],
+            schema=S.LINEAGE_SCHEMA)
+        lineage.coalesce(1).write.mode("append").parquet(self.cat.lineage_path())
+        self.cat.commit(live + segs, operation="append")
+        return [s["segment_id"] for s in segs]
+
+    # --- deletes ------------------------------------------------------------
+    def _live_docs(self) -> DataFrame:
+        live = self.cat.live_segments()
+        pairs = [F.struct(F.lit(s["wave"]), F.lit(s["segment_id"]))
+                 for s in live]
+        return (self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+                .where(F.struct("wave", "segment_id").isin(pairs)))
+
+    def delete_documents_by_keys(self, keys) -> int:
+        """deleteDocuments(Term...) analog: delete every doc whose key is in
+        `keys`. Returns the number of newly-deleted docs."""
+        docs = self._live_docs()
+        targets = docs.where(
+            F.col("key").isin([str(k) for k in keys])
+        ).select("segment_id", "docid")
+        return self._apply_deletes(targets)
+
+    def delete_documents(self, query) -> int:
+        """deleteDocuments(Query) analog: resolve the match set through the
+        searcher (deletes-aware, so re-deleting is a no-op) and mark it."""
+        from ..search.searcher import IndexSearcher
+        s = IndexSearcher(self.spark, self.index_dir)
+        return self._apply_deletes(s.matches_df(query))
+
+    def _write_delete_files(self, targets: DataFrame) -> tuple[dict[int, int], int]:
+        """Write the next delete generation (gen = HEAD+1, invisible until a
+        commit lists it in delete_gens). Returns (per-segment new-delete
+        counts, gen). A crashed attempt may leave duplicate rows in the gen
+        dir; readers dedup via distinct and counts are recomputed against
+        committed state, so the retry converges."""
+        live = self.cat.live_segments()
+        live_ids = {s["segment_id"] for s in live}
+        existing = deletes_df(self.spark, self.index_dir, live_ids)
+        new = targets.select(
+            F.col("segment_id").cast("int"), F.col("docid").cast("int"))
+        if existing is not None:
+            new = new.exceptAll(existing.select(
+                F.col("segment_id").cast("int"), F.col("docid").cast("int")))
+        new = new.persist()
+        per_seg = {int(r["segment_id"]): int(r["cnt"])
+                   for r in new.groupBy("segment_id")
+                   .agg(F.count("*").alias("cnt")).collect()}
+        gen = self.cat.head() + 1
+        if per_seg:
+            (new.write.mode("append").partitionBy("segment_id")
+             .parquet(os.path.join(self.index_dir, "deletes", f"gen={gen}")))
+            lineage = self.spark.createDataFrame(
+                [("delete", sid, gen, cnt, 0, "done")
+                 for sid, cnt in sorted(per_seg.items())],
+                schema=S.LINEAGE_SCHEMA)
+            lineage.coalesce(1).write.mode("append").parquet(
+                self.cat.lineage_path())
+        new.unpersist()
+        return per_seg, gen
+
+    @staticmethod
+    def _bump_del_counts(live: list[dict], per_seg: dict[int, int]) -> list[dict]:
+        updated = []
+        for s in live:
+            s = dict(s)
+            if s["segment_id"] in per_seg:
+                s["del_count"] = s.get("del_count", 0) + per_seg[s["segment_id"]]
+            updated.append(s)
+        return updated
+
+    def _apply_deletes(self, targets: DataFrame) -> int:
+        live = self.cat.live_segments()
+        per_seg, gen = self._write_delete_files(targets)
+        if not per_seg:
+            return 0
+        self.cat.commit(
+            self._bump_del_counts(live, per_seg), operation="delete",
+            extra={"delete_gens": self.cat.delete_gens() + [gen]})
+        return sum(per_seg.values())
+
+    # --- updates ------------------------------------------------------------
+    def update_documents(self, df: DataFrame, key_col: str,
+                         text_col: str) -> list[int]:
+        """updateDocument analog: atomic delete-by-key + add. The delete
+        generation and the new wave are both written invisibly (gen > HEAD,
+        uncommitted segments), then ONE snapshot commit publishes them
+        together — a reader sees the old doc or the new doc, never neither
+        (IndexWriter.java:1603 atomicity)."""
+        t0 = time.time()
+        live = self.cat.live_segments()
+        keys = [r[0] for r in df.select(F.col(key_col).cast("string"))
+                .distinct().collect()]
+        targets = self._live_docs().where(
+            F.col("key").isin(keys)).select("segment_id", "docid")
+        per_seg, gen = self._write_delete_files(targets)
+
+        next_seg = max((s["segment_id"] for s in live), default=-1) + 1
+        next_wave = max((s["wave"] for s in live), default=-1) + 1
+        total = df.count()
+        segs: list[dict] = []
+        if total:
+            n_new = max(1, math.ceil(total / self.docs_per_segment))
+            key_s = F.col(key_col).cast("string")
+            src = df.select(
+                key_s.alias("key"), F.col(text_col).alias("text"),
+                (F.lit(next_seg)
+                 + F.pmod(F.xxhash64(key_s), F.lit(n_new))).cast("int")
+                .alias("segment_id"),
+            )
+            segs = index_wave(
+                self.spark, src, self.index_dir, next_wave,
+                analyzer=self.analyzer, store_positions=self.store_positions,
+                int_keys=self.int_keys, term_shards=self.term_shards,
+                docs_per_segment=self.docs_per_segment)
+            wall_ms = int((time.time() - t0) * 1000)
+            lineage = self.spark.createDataFrame(
+                [("update_wave", s["segment_id"], self.cat.head() + 1,
+                  s["doc_count"], wall_ms, "done") for s in segs],
+                schema=S.LINEAGE_SCHEMA)
+            lineage.coalesce(1).write.mode("append").parquet(
+                self.cat.lineage_path())
+        extra = ({"delete_gens": self.cat.delete_gens() + [gen]}
+                 if per_seg else None)
+        self.cat.commit(self._bump_del_counts(live, per_seg) + segs,
+                        operation="update", extra=extra)
+        return [s["segment_id"] for s in segs]

@@ -37,12 +37,20 @@ CHUNK = 4096
 
 
 class SegmentIndex:
-    """Lazily-decoded postings of one segment for the terms of one query."""
+    """Lazily-decoded postings of one segment for the terms of one query.
 
-    def __init__(self, term_rows: Dict[str, dict], max_doc: int):
+    ``deleted`` is the segment's live-docs complement (the .liv bitset analog,
+    blog/Lucene/索引文件/liv): a sorted int64 array of deleted docids, applied
+    as a mask at decode time. Mirroring Lucene, deletes suppress *matches* but
+    do NOT adjust df/ttf/norm statistics until the segment is merged."""
+
+    def __init__(self, term_rows: Dict[str, dict], max_doc: int,
+                 deleted: np.ndarray | None = None):
         # term_rows: term -> {"df": int, "ttf": int, "blocks": [block dicts]}
         self.term_rows = term_rows
         self.max_doc = int(max_doc)
+        self.deleted = (np.asarray(deleted, dtype=np.int64)
+                        if deleted is not None and len(deleted) else None)
         self._decoded: Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         self._positions: Dict[str, list] = {}
         self._dense_norms = np.zeros(self.max_doc, dtype=np.uint8)
@@ -50,6 +58,16 @@ class SegmentIndex:
 
     def has(self, term: str) -> bool:
         return term in self.term_rows
+
+    def _live_mask(self, docids: np.ndarray) -> np.ndarray:
+        return ~np.isin(docids, self.deleted, assume_unique=False)
+
+    def live_docids(self) -> np.ndarray:
+        """All live docids of the segment (MatchAllDocs domain)."""
+        d = np.arange(self.max_doc, dtype=np.int64)
+        if self.deleted is None:
+            return d
+        return np.setdiff1d(d, self.deleted, assume_unique=True)
 
     def decode(self, term: str):
         if term not in self._decoded:
@@ -60,6 +78,9 @@ class SegmentIndex:
             else:
                 d, f, n = decode_blocks(self.term_rows[term]["blocks"])
                 self._dense_norms[d] = n
+                if self.deleted is not None:
+                    keep = self._live_mask(d)
+                    d, f, n = d[keep], f[keep], n[keep]
                 self._decoded[term] = (d, f, n)
         return self._decoded[term]
 
@@ -71,7 +92,11 @@ class SegmentIndex:
             else:
                 d, f, n, flat = decode_blocks(self.term_rows[term]["blocks"],
                                               want_positions=True)
-                self._positions[term] = split_positions(flat, f)
+                plists = split_positions(flat, f)
+                if self.deleted is not None:
+                    keep = self._live_mask(d)
+                    plists = [p for p, k in zip(plists, keep) if k]
+                self._positions[term] = plists
         return self._positions[term]
 
     def norms_for(self, docids: np.ndarray) -> np.ndarray:
@@ -90,6 +115,9 @@ class SegmentIndex:
         key = (term, bi)
         if key not in self._blk_cache:
             d, f, n = decode_blocks([self.term_rows[term]["blocks"][bi]])
+            if self.deleted is not None:
+                keep = self._live_mask(d)
+                d, f, n = d[keep], f[keep], n[keep]
             self._blk_cache[key] = (d, f, n)
         return self._blk_cache[key]
 
@@ -172,7 +200,7 @@ class Scorer:
             d = self.eval_match(q.query)
             return d, np.full(d.size, dt(q.boost), dtype=dt)
         if isinstance(q, Q.MatchAllDocsQuery):
-            d = np.arange(seg.max_doc, dtype=np.int64)
+            d = seg.live_docids()
             return d, np.full(d.size, dt(q.boost), dtype=dt)
         if isinstance(q, Q.MatchNoDocsQuery):
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dt)
@@ -265,7 +293,7 @@ class Scorer:
         if isinstance(q, Q.ConstantScoreQuery):
             return self.eval_match(q.query)
         if isinstance(q, Q.MatchAllDocsQuery):
-            return np.arange(seg.max_doc, dtype=np.int64)
+            return seg.live_docids()
         if isinstance(q, Q.MatchNoDocsQuery):
             return np.zeros(0, dtype=np.int64)
         if isinstance(q, Q.DisjunctionMaxQuery):
@@ -458,6 +486,79 @@ def _pruned_or(seg: SegmentIndex, stats: bm25.BM25Stats, gdf: Dict[str, int],
         if top_d.size >= k:
             theta = float(top_s[-1])
     return top_d, top_s, hits, exact
+
+
+def explain(seg: SegmentIndex, stats: bm25.BM25Stats, gdf: Dict[str, int],
+            q: Q.Query, docid: int) -> dict:
+    """Score decomposition for one (segment, docid) — the Explanation tree
+    analog (BM25Similarity.java:267-294 / Explanation.java). The `value` at
+    every node is produced by the SAME kernel arithmetic as search, so
+    explain(q, d)["value"] == the hit's score bit-for-bit."""
+    q = _push_boost(q, 1.0)
+    scorer = Scorer(seg, stats, gdf)
+
+    def node(sub: Q.Query) -> dict:
+        d, s = scorer.eval_scored(sub)
+        i = np.searchsorted(d, docid)
+        matched = bool(i < d.size and d[i] == docid)
+        value = float(s[i]) if matched else 0.0
+        if isinstance(sub, Q.TermQuery):
+            if not matched:
+                return {"value": 0.0, "match": False,
+                        "description": f"no matching term {sub.term!r}"}
+            dd, ff, nn = seg.decode(sub.term)
+            j = int(np.searchsorted(dd, docid))
+            freq = int(ff[j])
+            norm_b = int(nn[j])
+            n = gdf.get(sub.term, 0)
+            N = stats.doc_count
+            idf_v = float(bm25.idf(n, N, dtype=stats.dtype))
+            from ..functions.smallfloat import BYTE4_DECODE_TABLE
+            dl = int(BYTE4_DECODE_TABLE[norm_b])
+            return {
+                "value": value, "match": True,
+                "description": f"weight(text:{sub.term} in {docid}) "
+                               f"[BM25Similarity], computed as boost * idf * tf",
+                "details": [
+                    {"value": sub.boost, "description": "boost"},
+                    {"value": idf_v,
+                     "description": "idf, computed as log(1 + (N - n + 0.5) / "
+                                    "(n + 0.5))",
+                     "details": [
+                         {"value": n, "description":
+                          "n, number of documents containing term"},
+                         {"value": N, "description":
+                          "N, total number of documents with field"}]},
+                    {"value": value / (sub.boost * idf_v) if idf_v else 0.0,
+                     "description": "tf, computed as freq / (freq + k1 * (1 - "
+                                    "b + b * dl / avgdl))",
+                     "details": [
+                         {"value": freq, "description": "freq"},
+                         {"value": stats.k1, "description": "k1"},
+                         {"value": stats.b, "description": "b"},
+                         {"value": dl, "description":
+                          "dl, length of field (quantized via SmallFloat)"},
+                         {"value": float(stats.avgdl), "description":
+                          "avgdl, average length of field"}]},
+                ],
+            }
+        out = {"value": value, "match": matched,
+               "description": f"{type(sub).__name__}, sum/combination of:"}
+        children = []
+        if isinstance(sub, Q.BooleanQuery):
+            children = list(sub.must) + list(sub.should)
+        elif isinstance(sub, Q.DisjunctionMaxQuery):
+            children = list(sub.queries)
+        elif isinstance(sub, (Q.PhraseQuery, Q.SynonymQuery)):
+            out["description"] = (f"{type(sub).__name__}"
+                                  f"({' '.join(sub.terms)}), multi-term score")
+        elif isinstance(sub, Q.ConstantScoreQuery):
+            out["description"] = f"ConstantScore(boost={sub.boost})"
+        if children:
+            out["details"] = [node(c) for c in children]
+        return out
+
+    return node(q)
 
 
 def merge_top_k(per_segment, k: int):

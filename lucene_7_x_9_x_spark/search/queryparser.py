@@ -1,0 +1,197 @@
+"""Classic query-string parser -> Query AST.
+
+Covers the subset of Lucene's classic QueryParser syntax exercised by the
+reference demos (solr-8.4.0/lucene/queryparser/src/java/.../classic/
+QueryParserBase.java:44,59-74; QueryBuilder.java:59):
+
+  term                          TermQuery (analyzed, lowercased)
+  "a b"                         PhraseQuery, "a b"~2 with slop
+  field:term                    field prefix accepted and validated against the
+                                single indexed field name (we index one text
+                                field; any other field is an error)
+  +term / -term                 required / prohibited (MUST / MUST_NOT)
+  a AND b / a OR b / NOT a      boolean operators (left-assoc, AND binds via
+                                clause folding like Lucene's parser)
+  (...)                         grouping
+  term* / te?m                  PrefixQuery / WildcardQuery
+  /regex/                       RegexpQuery
+  term~ / term~1                FuzzyQuery (default maxEdits=2)
+  [a TO b] / {a TO b}           TermRangeQuery (inclusive / exclusive)
+  term^2.5                      boost
+  *:*                           MatchAllDocsQuery
+
+Default operator is OR (QueryParserBase default), i.e. bare terms become
+SHOULD clauses. NOT/'-' terms become MUST_NOT. As in Lucene, 'a AND b OR c'
+folds left-to-right over one clause list: AND promotes both neighbors to MUST.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from . import query as Q
+
+__all__ = ["parse", "QueryParseError"]
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<lparen>\() | (?P<rparen>\)) |
+      (?P<and>AND\b) | (?P<or>OR\b) | (?P<not>NOT\b) |
+      (?P<plus>\+) | (?P<minus>-) |
+      (?P<phrase>"(?P<phrase_body>[^"]*)"(?:~(?P<slop>\d+))?) |
+      (?P<regex>/(?P<regex_body>[^/]+)/) |
+      (?P<range>(?P<lb>[\[{])\s*(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\s*(?P<rb>[\]}])) |
+      (?P<term>[^\s()^+\-"/][^\s()^]*)
+    )(?:\^(?P<boost>\d+(?:\.\d+)?))?""",
+    re.VERBOSE,
+)
+
+_FUZZY_RE = re.compile(r"^(?P<body>.+?)~(?P<edits>\d)?$")
+
+
+@dataclass
+class _Clause:
+    occur: str  # SHOULD | MUST | MUST_NOT
+    query: Q.Query
+
+
+def _analyze_term(text: str, analyzer) -> list[str]:
+    return [t for t, _ in analyzer.tokenize(text)]
+
+
+def _leaf_from_term(raw: str, analyzer, boost: float) -> Q.Query:
+    if raw == "*:*":
+        return Q.MatchAllDocsQuery(boost=boost)
+    if ":" in raw:
+        field, raw = raw.split(":", 1)
+        if field not in ("text", "*"):
+            raise QueryParseError(f"unknown field: {field!r} (index has 'text')")
+        if raw == "*":
+            return Q.MatchAllDocsQuery(boost=boost)
+    m = _FUZZY_RE.match(raw)
+    if m and not raw.endswith("\\~"):
+        body = m.group("body")
+        edits = int(m.group("edits") or 2)
+        toks = _analyze_term(body, analyzer)
+        if len(toks) != 1:
+            raise QueryParseError(f"fuzzy needs a single term: {raw!r}")
+        return Q.FuzzyQuery(toks[0], max_edits=edits, boost=boost)
+    if "*" in raw or "?" in raw:
+        low = raw.lower()
+        if low.endswith("*") and "*" not in low[:-1] and "?" not in low:
+            return Q.PrefixQuery(low[:-1], boost=boost)
+        return Q.WildcardQuery(low, boost=boost)
+    toks = _analyze_term(raw, analyzer)
+    if not toks:
+        return Q.MatchNoDocsQuery()
+    if len(toks) == 1:
+        return Q.TermQuery(toks[0], boost=boost)
+    # multi-token text without quotes: Lucene's QueryBuilder emits a boolean
+    # SHOULD of the analyzed terms (default operator OR)
+    return Q.BooleanQuery(should=tuple(Q.TermQuery(t) for t in toks),
+                          boost=boost)
+
+
+def parse(s: str, analyzer=None) -> Q.Query:
+    """Parse a classic query string into the AST (default operator OR)."""
+    if analyzer is None:
+        from ..analysis.tokenizer import STANDARD
+        analyzer = STANDARD
+    pos = 0
+    out, _, _ = _parse_clauses(s, pos, analyzer, depth=0)
+    return out
+
+
+def _parse_clauses(s: str, pos: int, analyzer, depth: int):
+    clauses: list[_Clause] = []
+    pending_occur = None   # from +/-/NOT
+    pending_op = None      # from AND/OR
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m:
+            if s[pos:].strip() == "":
+                break
+            raise QueryParseError(f"cannot parse at: {s[pos:]!r}")
+        pos = m.end()
+        boost = float(m.group("boost") or 1.0)
+        if m.group("rparen"):
+            if depth == 0:
+                raise QueryParseError("unbalanced ')'")
+            return _fold(clauses), pos, boost
+        if m.group("lparen"):
+            sub, pos, group_boost = _parse_clauses(s, pos, analyzer, depth + 1)
+            if group_boost != 1.0:
+                sub = Q.BoostQuery(sub, group_boost)
+            _push(clauses, sub, pending_occur, pending_op)
+            pending_occur = pending_op = None
+            continue
+        if m.group("and"):
+            pending_op = "AND"
+            continue
+        if m.group("or"):
+            pending_op = "OR"
+            continue
+        if m.group("not"):
+            pending_occur = "MUST_NOT"
+            continue
+        if m.group("plus"):
+            pending_occur = "MUST"
+            continue
+        if m.group("minus"):
+            pending_occur = "MUST_NOT"
+            continue
+        if m.group("phrase") is not None:
+            toks = _analyze_term(m.group("phrase_body"), analyzer)
+            slop = int(m.group("slop") or 0)
+            if not toks:
+                leaf: Q.Query = Q.MatchNoDocsQuery()
+            elif len(toks) == 1:
+                leaf = Q.TermQuery(toks[0], boost=boost)
+            else:
+                leaf = Q.PhraseQuery(tuple(toks), slop=slop, boost=boost)
+        elif m.group("regex") is not None:
+            leaf = Q.RegexpQuery(m.group("regex_body"), boost=boost)
+        elif m.group("range") is not None:
+            lo = None if m.group("lo") == "*" else m.group("lo").lower()
+            hi = None if m.group("hi") == "*" else m.group("hi").lower()
+            leaf = Q.TermRangeQuery(
+                lo, hi,
+                include_lower=m.group("lb") == "[",
+                include_upper=m.group("rb") == "]",
+                boost=boost)
+        else:
+            leaf = _leaf_from_term(m.group("term"), analyzer, boost)
+        _push(clauses, leaf, pending_occur, pending_op)
+        pending_occur = pending_op = None
+    if depth > 0:
+        raise QueryParseError("unbalanced '('")
+    return _fold(clauses), pos, 1.0
+
+
+def _push(clauses: list, leaf: Q.Query, occur, op) -> None:
+    if occur is None:
+        occur = "SHOULD"
+    if op == "AND":
+        # promote previous non-prohibited clause to MUST, this one too
+        if clauses and clauses[-1].occur == "SHOULD":
+            clauses[-1] = _Clause("MUST", clauses[-1].query)
+        if occur == "SHOULD":
+            occur = "MUST"
+    clauses.append(_Clause(occur, leaf))
+
+
+def _fold(clauses: list) -> Q.Query:
+    if not clauses:
+        return Q.MatchNoDocsQuery()
+    if len(clauses) == 1 and clauses[0].occur == "SHOULD":
+        return clauses[0].query
+    must = tuple(c.query for c in clauses if c.occur == "MUST")
+    should = tuple(c.query for c in clauses if c.occur == "SHOULD")
+    must_not = tuple(c.query for c in clauses if c.occur == "MUST_NOT")
+    return Q.BooleanQuery(must=must, should=should, must_not=must_not)

@@ -59,7 +59,9 @@ class TopDocs:
 
 
 def _segment_kernel_fn(query, seg_meta, stats_args, gdf, k, pruning, threshold,
-                       after=None, seg_ords=None):
+                       after=None, seg_ords=None, deletes=None):
+    deletes = deletes or {}
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         seg_id = int(pdf["segment_id"].iloc[0])
         rows = {
@@ -71,7 +73,8 @@ def _segment_kernel_fn(query, seg_meta, stats_args, gdf, k, pruning, threshold,
         dtype = np.float32 if stats_args["dtype"] == "float32" else np.float64
         stats = bm25.BM25Stats(stats_args["doc_count"], stats_args["sum_ttf"],
                                stats_args["k1"], stats_args["b"], dtype=dtype)
-        seg = K.SegmentIndex(rows, seg_meta[seg_id])
+        seg = K.SegmentIndex(rows, seg_meta[seg_id],
+                             deleted=deletes.get(seg_id))
         if after is None:
             d, s, hits, exact = K.segment_top_k(
                 seg, stats, gdf, query, k, pruning=pruning,
@@ -107,7 +110,9 @@ class IndexSearcher:
                  dtype=np.float32, k1: float = bm25.K1, b: float = bm25.B):
         self.spark = spark
         self.cat = IndexCatalog(index_dir)
-        self.segments = self.cat.live_segments()
+        self._snapshot = self.cat.snapshot()  # point-in-time view (NRT refresh
+        # = construct a new searcher; this one keeps reading its snapshot)
+        self.segments = self._snapshot["segments"] if self._snapshot else []
         if not self.segments:
             raise ValueError(f"no committed snapshot under {index_dir}")
         self.doc_count = sum(s["doc_count"] for s in self.segments)
@@ -120,6 +125,13 @@ class IndexSearcher:
         self._index_dir = index_dir
         live = [(s["wave"], s["segment_id"]) for s in self.segments]
         self._seg_ids = [s for _, s in live]
+        from ..index.writer import load_deletes
+        self.deletes = load_deletes(
+            spark, index_dir, set(self._seg_ids),
+            gens=self._snapshot.get("delete_gens", []))
+        self._df_cache: dict = {}
+        self.del_counts = {s["segment_id"]: s.get("del_count", 0)
+                           for s in self.segments}
         self._postings = (
             spark.read.parquet(f"{index_dir}/postings")
             .where(F.struct("wave", "segment_id").isin(
@@ -201,13 +213,22 @@ class IndexSearcher:
         return [r[0] for r in td.collect()]
 
     def _global_df(self, terms) -> dict:
+        """Cross-segment docFreq per term (TermStates resolution). Memoized:
+        the term-dict lookup is the per-query driver round-trip, so repeated
+        terms across queries hit the cache (LRUQueryCache-adjacent, but for
+        stats; the index is immutable per searcher so no invalidation)."""
         if not terms:
             return {}
-        rows = (
-            self._postings.where(F.col("term").isin(list(terms)))
-            .groupBy("term").agg(F.sum("df").alias("df")).collect()
-        )
-        return {r["term"]: int(r["df"]) for r in rows}
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            rows = (
+                self._postings.where(F.col("term").isin(missing))
+                .groupBy("term").agg(F.sum("df").alias("df")).collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: self._df_cache[t] for t in terms}
 
     def _stats_args(self) -> dict:
         return {
@@ -234,7 +255,8 @@ class IndexSearcher:
         fn = _segment_kernel_fn(
             q, self.seg_meta, self._stats_args(), gdf, k, pruning,
             total_hits_threshold,
-            after=after, seg_ords=self.seg_ords if after else None)
+            after=after, seg_ords=self.seg_ords if after else None,
+            deletes=self.deletes)
         out = scan.groupBy("segment_id").applyInPandas(fn, _KERNEL_OUT).toPandas()
         per_seg_hits = out.drop_duplicates("segment_id")[["hits", "exact"]] \
             if len(out) else pd.DataFrame(columns=["hits", "exact"])
@@ -253,16 +275,33 @@ class IndexSearcher:
             hits = self._attach_keys(hits)
         return TopDocs(hits, total, exact)
 
+    def _live_docs_df(self) -> DataFrame:
+        """docs rows minus deleted (liv-filtered view)."""
+        d = self._docs
+        if self.deletes:
+            from ..index.writer import deletes_df
+            dd = deletes_df(self.spark, self._index_dir, set(self._seg_ids),
+                            gens=self._snapshot.get("delete_gens", []))
+            if dd is not None:
+                d = d.join(
+                    dd.withColumnRenamed("segment_id", "ds")
+                      .withColumnRenamed("docid", "dd"),
+                    (F.col("segment_id").cast("int") == F.col("ds"))
+                    & (F.col("docid").cast("int") == F.col("dd")),
+                    "left_anti")
+        return d
+
     def _match_all_top_k(self, q, k, fetch_keys):
         boost = q.boost if hasattr(q, "boost") else 1.0
         first = (
-            self._docs.select("segment_id", "docid")
+            self._live_docs_df().select("segment_id", "docid")
             .orderBy("segment_id", "docid").limit(k).toPandas()
         )
         first["score"] = float(np.float32(boost)) if self.dtype == np.float32 \
             else float(boost)
         first.insert(0, "rank", np.arange(1, len(first) + 1))
-        total = sum(s["max_doc"] for s in self.segments)
+        total = sum(s["max_doc"] - s.get("del_count", 0)
+                    for s in self.segments)
         if fetch_keys and len(first):
             first = self._attach_keys(first)
         return TopDocs(first, int(total), True)
@@ -279,13 +318,38 @@ class IndexSearcher:
         out = hits.merge(keys, on=["segment_id", "docid"], how="left")
         return out[["rank", "segment_id", "docid", "key", "score"]]
 
+    def explain(self, q: Q.Query, segment_id: int, docid: int) -> dict:
+        """IndexSearcher.explain analog: score decomposition tree for one hit.
+
+        Driver-side: pulls only the query terms' posting rows of ONE segment
+        (partition-pruned), then runs the kernel's explain — the value is
+        bit-identical to the score search() would produce for that doc."""
+        q = self._expand_query(q)
+        terms = Q.collect_terms(q)
+        gdf = self._global_df(terms)
+        rows = (
+            self._postings.where(F.col("term").isin(list(terms)))
+            .where(F.col("segment_id") == segment_id).collect()
+        )
+        term_rows = {
+            r["term"]: {"df": r["df"], "ttf": r["ttf"],
+                        "blocks": [b.asDict() for b in r["blocks"]]}
+            for r in rows
+        }
+        stats = bm25.BM25Stats(self.doc_count, self.sum_ttf, self.k1, self.b,
+                               dtype=self.dtype)
+        seg = K.SegmentIndex(term_rows, self.seg_meta[segment_id],
+                             deleted=self.deletes.get(segment_id))
+        return K.explain(seg, stats, gdf, q, docid)
+
     def count(self, q: Q.Query) -> int:
         """TotalHitCountCollector analog (TotalHitCountCollector.java)."""
         q = self._expand_query(q)
         if isinstance(q, Q.MatchNoDocsQuery):
             return 0
         if isinstance(q, Q.MatchAllDocsQuery):
-            return sum(s["max_doc"] for s in self.segments)
+            return sum(s["max_doc"] - s.get("del_count", 0)
+                       for s in self.segments)
         td = self.search(q, k=1, pruning=False, fetch_keys=False)
         return td.total_hits
 
@@ -297,11 +361,12 @@ class IndexSearcher:
         if isinstance(q, Q.MatchNoDocsQuery):
             return self._docs.select("segment_id", "docid").limit(0)
         if isinstance(q, Q.MatchAllDocsQuery):
-            return self._docs.select("segment_id", "docid")
+            return self._live_docs_df().select("segment_id", "docid")
         terms = Q.collect_terms(q)
         gdf = self._global_df(terms)
         stats_args = self._stats_args()
         seg_meta = self.seg_meta
+        deletes = self.deletes
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
             seg_id = int(pdf["segment_id"].iloc[0])
@@ -314,7 +379,8 @@ class IndexSearcher:
             dtype = np.float32 if stats_args["dtype"] == "float32" else np.float64
             stats = bm25.BM25Stats(stats_args["doc_count"], stats_args["sum_ttf"],
                                    stats_args["k1"], stats_args["b"], dtype=dtype)
-            seg = K.SegmentIndex(rows, seg_meta[seg_id])
+            seg = K.SegmentIndex(rows, seg_meta[seg_id],
+                                 deleted=deletes.get(seg_id))
             scorer = K.Scorer(seg, stats, gdf)
             d = scorer.eval_match(K._push_boost(q, 1.0))
             return pd.DataFrame({
@@ -333,6 +399,7 @@ class IndexSearcher:
         gdf = self._global_df(terms)
         stats_args = self._stats_args()
         seg_meta = self.seg_meta
+        deletes = self.deletes
 
         out_schema = T.StructType([
             T.StructField("segment_id", T.IntegerType(), False),
@@ -351,7 +418,8 @@ class IndexSearcher:
             dtype = np.float32 if stats_args["dtype"] == "float32" else np.float64
             stats = bm25.BM25Stats(stats_args["doc_count"], stats_args["sum_ttf"],
                                    stats_args["k1"], stats_args["b"], dtype=dtype)
-            seg = K.SegmentIndex(rows, seg_meta[seg_id])
+            seg = K.SegmentIndex(rows, seg_meta[seg_id],
+                                 deleted=deletes.get(seg_id))
             scorer = K.Scorer(seg, stats, gdf)
             d, s = scorer.eval_scored(K._push_boost(q, 1.0))
             return pd.DataFrame({
