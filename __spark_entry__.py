@@ -43,7 +43,7 @@ from lucene_7_x_9_x_spark.search.searcher import IndexSearcher
 # --------------------------------------------------------------------------
 
 _DOCS_PER_SEGMENT = 128
-_IDX_VERSION = "v1"
+_IDX_VERSION = "v2"  # bump when the on-disk encoding or build layout changes
 _SEARCHERS: dict = {}
 
 
@@ -287,6 +287,58 @@ def q_more_like_this(spark, sf_dir):
 
 # ---- training-data pipeline operators ------------------------------------
 
+def q_multi_phrase_topk(spark, sf_dir):
+    """MultiPhraseQuery: ('fast'|'slow') followed by 'sort'."""
+    return _topk_df(spark, sf_dir,
+                    Q.MultiPhraseQuery(((SYNSET[0], SYNSET[1]), (PHRASE[1],))))
+
+
+def q_rescore_topk(spark, sf_dir):
+    """QueryRescorer: re-rank the top-50 OR hits with a second term query."""
+    from lucene_7_x_9_x_spark.search.rescorer import rescore
+    s = _searcher(spark, sf_dir)
+    out = rescore(s, _q_or([(T1, 1.0), (T2, 1.0)]), Q.TermQuery(T3),
+                  k=10, window_size=50, second_weight=2.0)
+    rows = [(int(r.key), int(np.floor(float(r.score) * 1e6 + 0.5)))
+            for r in out.itertuples()]
+    return spark.createDataFrame(rows, "doc_id long, score_micro long")
+
+
+def q_sorted_by_field(spark, sf_dir):
+    """Sort/SortField analog: matches ordered by a doc-values column."""
+    m = _matches_with_meta(spark, sf_dir, Q.TermQuery(T1))
+    return (m.select("doc_id", "n_chars")
+            .orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(10))
+
+
+def q_numeric_range_count(spark, sf_dir):
+    """PointRangeQuery analog: term match AND numeric column range (the range
+    prunes at parquet row-group level, the Catalyst 'BKD')."""
+    m = _matches_with_meta(spark, sf_dir, Q.TermQuery(T1))
+    n = m.where((F.col("n_chars") >= 200) & (F.col("n_chars") <= 400)).count()
+    return spark.createDataFrame([(int(n),)], "cnt long")
+
+
+def q_join_query(spark, sf_dir):
+    """Query-time join analog (join module): term match set joined to a second
+    table on the doc key."""
+    s = _searcher(spark, sf_dir)
+    m = s.matches_df(Q.TermQuery(T1))
+    d = s.docs_df().select("segment_id", "docid",
+                           F.col("key").cast("long").alias("doc_id"))
+    emb = _embeddings(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "label")
+    return (m.join(d, ["segment_id", "docid"]).select("doc_id")
+            .join(emb, "doc_id").where(F.col("label") >= 5)
+            .select("doc_id", F.col("label").cast("long")))
+
+
+def q_spell_suggest(spark, sf_dir):
+    from lucene_7_x_9_x_spark.operators.suggest import spell_suggest
+    s = _searcher(spark, sf_dir)
+    return spell_suggest(s.postings_df(), "sparkk", max_edits=2, k=5)
+
+
 def q_queryparser_topk(spark, sf_dir):
     """Classic query-string syntax -> AST -> engine (QueryParserBase subset)."""
     from lucene_7_x_9_x_spark.search.queryparser import parse
@@ -421,6 +473,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts_by_source": q_facet_counts_by_source,
         "distinct_langs": q_distinct_langs,
         "more_like_this": q_more_like_this,
+        "multi_phrase_topk": q_multi_phrase_topk,
+        "rescore_topk": q_rescore_topk,
+        "sorted_by_field": q_sorted_by_field,
+        "numeric_range_count": q_numeric_range_count,
+        "join_query": q_join_query,
+        "spell_suggest": q_spell_suggest,
         "queryparser_topk": q_queryparser_topk,
         "phrase_sloppy_topk": q_phrase_sloppy_topk,
         "highlight_topk": q_highlight_topk,
@@ -616,6 +674,53 @@ ORDER BY s DESC, doc_id LIMIT 10""")
         f"tf.term IN ('{T1}', 'flink', 'storm')")
     out["fuzzy_matches"] = _const_match_sql(
         f"levenshtein(tf.term, '{T1}') <= 1")
+
+    mpw = (f"({_idf(SYNSET[0])} + {_idf(SYNSET[1])} + {_idf(PHRASE[1])})")
+    out["multi_phrase_topk"] = _topk_sql([f"""
+mp AS (SELECT a.doc_id, COUNT(DISTINCT a.pos) AS ptf
+       FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       WHERE a.term IN ('{SYNSET[0]}', '{SYNSET[1]}')
+         AND b.term = '{PHRASE[1]}'
+       GROUP BY a.doc_id)""".strip(), f"""
+mps AS (SELECT mp.doc_id AS doc_id,
+               ({mpw} - {mpw}/(1e0 + mp.ptf*{_NI})) AS s
+        FROM mp JOIN qd ON mp.doc_id = qd.doc_id)""".strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM mps
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    out["rescore_topk"] = _topk_sql([s1, s2, s3, or_union.strip(), """
+win AS (SELECT doc_id, s FROM u ORDER BY s DESC, doc_id LIMIT 50)""".strip(), """
+resc AS (SELECT win.doc_id AS doc_id,
+                win.s + 2.0e0 * COALESCE(s3.s, 0e0) AS s
+         FROM win LEFT JOIN s3 ON s3.doc_id = win.doc_id)""".strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM resc
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    out["sorted_by_field"] = _topk_sql([], f"""
+SELECT d.doc_id AS doc_id, d.n_chars AS n_chars
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{T1}') m
+JOIN documents d ON d.doc_id = m.doc_id
+ORDER BY d.n_chars DESC, d.doc_id LIMIT 10""")
+
+    out["numeric_range_count"] = _topk_sql([], f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{T1}') m
+JOIN documents d ON d.doc_id = m.doc_id
+WHERE d.n_chars >= 200 AND d.n_chars <= 400""")
+
+    out["join_query"] = _topk_sql([], f"""
+SELECT m.doc_id AS doc_id, CAST(e.label AS BIGINT) AS label
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{T1}') m
+JOIN embeddings e ON e.vec_id = m.doc_id
+WHERE e.label >= 5""")
+
+    out["spell_suggest"] = _topk_sql([], """
+SELECT term, CAST(levenshtein(term, 'sparkk') AS BIGINT) AS distance,
+       CAST(df AS BIGINT) AS df
+FROM dfq
+WHERE ABS(LENGTH(term) - 6) <= 2
+  AND levenshtein(term, 'sparkk') <= 2 AND term <> 'sparkk'
+ORDER BY distance ASC, df DESC, term ASC LIMIT 5""")
 
     out["queryparser_topk"] = _topk_sql([s1, s2], f"""
 SELECT s1.doc_id AS doc_id, {_micro('(s1.s + s2.s)')} AS score_micro

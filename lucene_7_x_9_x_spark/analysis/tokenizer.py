@@ -81,7 +81,51 @@ class Analyzer:
             pos += 1
         return out
 
-    def tokenize_series(self, texts: pd.Series) -> pd.Series:
+    def term_freqs(self, text: Optional[str]):
+        """One-pass tokenize + per-term position aggregation.
+
+        Returns ([(term, freq, positions)], doclen). Same contract as looping
+        tokenize() into a dict, without materializing the token list — this is
+        the index build's hot loop (~every token of the corpus passes here)."""
+        if not text:
+            return [], 0
+        acc: dict = {}
+        pos = 0
+        stop = self.stopwords
+        lower = self.lowercase
+        for m in _TOKEN_RE.finditer(text):
+            tok = m.group(0)
+            if len(tok) > MAX_TOKEN_LENGTH:
+                for i in range(0, len(tok), MAX_TOKEN_LENGTH):
+                    sub = tok[i: i + MAX_TOKEN_LENGTH]
+                    if lower:
+                        sub = sub.lower()
+                    if sub in stop:
+                        pos += 1
+                        continue
+                    lst = acc.get(sub)
+                    if lst is None:
+                        acc[sub] = [pos]
+                    else:
+                        lst.append(pos)
+                    pos += 1
+                continue
+            if lower:
+                tok = tok.lower()
+            if tok in stop:
+                pos += 1
+                continue
+            lst = acc.get(tok)
+            if lst is None:
+                acc[tok] = [pos]
+            else:
+                lst.append(pos)
+            pos += 1
+        # doclen = number of NON-stop tokens (norm counts emitted tokens only)
+        total = 0
+        for ps in acc.values():
+            total += len(ps)
+        return [(t, len(ps), ps) for t, ps in acc.items()], total
         """Vectorized entry point for pandas/Arrow UDFs."""
         return texts.map(self.tokenize)
 

@@ -35,10 +35,21 @@ _MAX_VBYTE_LEN = 10
 
 
 def vbyte_encode(values) -> bytes:
-    """Little-endian base-128 varint encoding of a uint64 array (vectorized)."""
+    """Little-endian base-128 varint encoding of a uint64 array (vectorized).
+
+    Tiny arrays (the common case for low-df terms) take a pure-Python fast
+    path — a dozen numpy dispatches cost more than the loop they replace."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
+    if v.size <= 16:
+        out = bytearray()
+        for x in v.tolist():
+            while x >= 0x80:
+                out.append((x & 0x7F) | 0x80)
+                x >>= 7
+            out.append(x)
+        return bytes(out)
     lens = np.ones(v.shape, dtype=np.int64)
     for shift in range(7, 64, 7):
         lens += (v >= np.uint64(1 << shift)).astype(np.int64)
@@ -90,13 +101,21 @@ def unpack_bits(buf: bytes, n: int, bits: int) -> np.ndarray:
     return bitmat @ weights
 
 
+_ONE_HEADER = bytes([0])
+
+
 def encode_stream(values) -> bytes:
     """Encode a positive-int stream with the header scheme documented above."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return bytes([0])
+        return _ONE_HEADER
+    if v.size <= 16:  # fast path: python comparisons beat numpy dispatch here
+        lst = v.tolist()
+        if all(x == 1 for x in lst):
+            return _ONE_HEADER
+        return bytes([_VBYTE]) + vbyte_encode(v)
     if (v == 1).all():
-        return bytes([0])  # all-1s escape (ForDeltaUtil.java:57-70 analog)
+        return _ONE_HEADER  # all-1s escape (ForDeltaUtil.java:57-70 analog)
     if v.size < 32:
         return bytes([_VBYTE]) + vbyte_encode(v)
     bits = max(1, int(v.max()).bit_length())
@@ -116,6 +135,59 @@ def decode_stream(buf: bytes, n: int) -> np.ndarray:
     return unpack_bits(buf[1:], n, header)
 
 
+def _vb_small(lst) -> bytes:
+    out = bytearray()
+    for x in lst:
+        while x >= 0x80:
+            out.append((x & 0x7F) | 0x80)
+            x >>= 7
+        out.append(x)
+    return bytes(out)
+
+
+def _stream_small(lst) -> bytes:
+    """encode_stream for python lists of size <= 16 — identical byte output."""
+    if not lst:
+        return _ONE_HEADER
+    for x in lst:
+        if x != 1:
+            return bytes([_VBYTE]) + _vb_small(lst)
+    return _ONE_HEADER
+
+
+def _encode_small(docids, freqs, norm_bytes, positions):
+    """Pure-python single-block encoder for df <= 16 posting lists.
+
+    Low-df terms are the overwhelming majority (Zipf), and at this size the
+    numpy dispatch overhead of the vectorized path costs more than the whole
+    list. Byte output is identical to the general path."""
+    n = len(docids)
+    deltas = [docids[i + 1] - docids[i] for i in range(n - 1)]
+    blk = {
+        "first_doc": docids[0],
+        "last_doc": docids[-1],
+        "count": n,
+        "max_freq": max(freqs),
+        "min_norm": min(norm_bytes),
+        "doc_bytes": _stream_small(deltas),
+        "freq_bytes": _stream_small(freqs),
+        "norm_bytes": bytes(norm_bytes),
+    }
+    if positions is not None:
+        dp = []
+        for p in positions:
+            prev = 0
+            first = True
+            for x in p:
+                dp.append(x if first else x - prev)
+                prev = x
+                first = False
+        blk["pos_bytes"] = _vb_small(dp)
+    else:
+        blk["pos_bytes"] = b""
+    return [blk]
+
+
 def encode_posting_list(docids, freqs, norm_bytes, positions=None,
                         block_size: int = BLOCK_SIZE):
     """Encode one (segment, term) posting list into 128-doc blocks.
@@ -128,11 +200,40 @@ def encode_posting_list(docids, freqs, norm_bytes, positions=None,
       first_doc, last_doc, count, max_freq, min_norm, doc_bytes, freq_bytes,
       norm_bytes, pos_bytes
     """
+    if len(docids) <= 16:
+        dl = [int(x) for x in docids]
+        assert dl and all(b > a for a, b in zip(dl, dl[1:])), \
+            "docids must be strictly increasing"
+        return _encode_small(
+            dl, [int(x) for x in freqs], [int(x) for x in norm_bytes],
+            None if positions is None else
+            [[int(x) for x in p] for p in positions])
+
     docids = np.asarray(docids, dtype=np.int64)
     freqs = np.asarray(freqs, dtype=np.int64)
     norm_bytes = np.asarray(norm_bytes, dtype=np.uint8)
     n = docids.size
     assert n and (np.diff(docids) > 0).all(), "docids must be strictly increasing"
+
+    # Vectorize the per-doc positions delta over the WHOLE list at once:
+    # within-doc deltas with a reset at each doc boundary (first position of a
+    # doc is stored absolute). One pass, no per-doc numpy churn.
+    flat_dp = None
+    pos_offsets = None
+    if positions is not None:
+        if positions and not isinstance(positions[0], np.ndarray):
+            positions = [np.asarray(p, dtype=np.int64) for p in positions]
+        flat = (np.concatenate(positions) if positions
+                else np.zeros(0, dtype=np.int64))
+        counts = freqs  # freq == number of positions per posting
+        starts = np.cumsum(counts)[:-1] if n > 1 else np.zeros(0, np.int64)
+        flat_dp = np.empty(flat.size, dtype=np.int64)
+        if flat.size:
+            flat_dp[0] = flat[0]
+            flat_dp[1:] = flat[1:] - flat[:-1]
+            flat_dp[starts] = flat[starts]  # reset delta at doc boundaries
+        pos_offsets = np.concatenate([[0], np.cumsum(counts)])
+
     blocks = []
     for start in range(0, n, block_size):
         end = min(start + block_size, n)
@@ -146,21 +247,13 @@ def encode_posting_list(docids, freqs, norm_bytes, positions=None,
             "count": int(end - start),
             "max_freq": int(f.max()),
             "min_norm": int(nb.min()),
-            "doc_bytes": encode_stream(deltas) if deltas.size else bytes([0]),
+            "doc_bytes": encode_stream(deltas) if deltas.size else _ONE_HEADER,
             "freq_bytes": encode_stream(f),
             "norm_bytes": nb.tobytes(),
         }
-        if positions is not None:
-            segs = []
-            for i in range(start, end):
-                p = np.asarray(positions[i], dtype=np.int64)
-                dp = np.empty(p.size, dtype=np.uint64)
-                if p.size:
-                    dp[0] = p[0]
-                    dp[1:] = np.diff(p)
-                segs.append(dp)
-            blk["pos_bytes"] = vbyte_encode(np.concatenate(segs) if segs else
-                                            np.zeros(0, dtype=np.uint64))
+        if flat_dp is not None:
+            blk["pos_bytes"] = vbyte_encode(
+                flat_dp[pos_offsets[start]:pos_offsets[end]].astype(np.uint64))
         else:
             blk["pos_bytes"] = b""
         blocks.append(blk)

@@ -41,7 +41,7 @@ from pyspark.sql.window import Window
 from ..analysis.tokenizer import Analyzer, STANDARD
 from ..functions import smallfloat
 from ..functions.codecs import encode_posting_list
-from .catalog import IndexCatalog
+from .catalog import IndexCatalog, append_lineage
 from . import schema as S
 
 __all__ = ["build_index", "IndexCatalog"]
@@ -60,13 +60,9 @@ def _tokenize_udf(analyzer: Analyzer):
         tvs = []
         lens = []
         for text in texts:
-            acc: dict = {}
-            for term, pos in analyzer.tokenize(text):
-                acc.setdefault(term, []).append(pos)
-            tvs.append(
-                [{"term": t, "freq": len(ps), "positions": ps} for t, ps in acc.items()]
-            )
-            lens.append(sum(len(ps) for ps in acc.values()))
+            items, doclen = analyzer.term_freqs(text)
+            tvs.append(items)
+            lens.append(doclen)
         return pd.DataFrame({"tv": tvs, "doclen": lens})
 
     return tok
@@ -82,28 +78,37 @@ def _norm_byte_udf(doclen: pd.Series) -> pd.Series:
 def _encode_partition(pdf: pd.DataFrame, store_positions: bool) -> pd.DataFrame:
     """Encode every (term) posting list in one (segment, shard[, salt]) group.
 
-    One pandas call covers many terms (cheap per-term Python loop, numpy inside),
-    instead of one applyInPandas group per term — per-group overhead matters when
-    a segment has 10^5 distinct terms.
-    """
-    rows = []
+    One pandas call covers many terms, grouped by a single lexsort over
+    (term_code, docid) instead of pandas groupby — per-group DataFrame
+    materialization costs ~100us/term, which dominates when a segment has 10^5
+    distinct terms (this loop IS the postings sort of FreqProxTermsWriter)."""
     seg = int(pdf["segment_id"].iloc[0])
-    for term, g in pdf.groupby("term", sort=False):
-        order = np.argsort(g["docid"].values, kind="stable")
-        docids = g["docid"].values[order].astype(np.int64)
-        freqs = g["freq"].values[order].astype(np.int64)
-        norms = g["norm_byte"].values[order].astype(np.uint8)
+    term_codes, uniq_terms = pd.factorize(pdf["term"].values, sort=False)
+    docids = pdf["docid"].values.astype(np.int64)
+    freqs = pdf["freq"].values.astype(np.int64)
+    norms = pdf["norm_byte"].values.astype(np.uint8)
+    pos_col = pdf["positions"].values if store_positions else None
+    order = np.lexsort((docids, term_codes))
+    tc = term_codes[order]
+    bounds = np.flatnonzero(np.diff(tc)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [tc.size]])
+    rows = []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        idx = order[s:e]
+        d = docids[idx]
+        f = freqs[idx]
+        nb = norms[idx]
         positions = None
-        if store_positions:
-            pos_col = g["positions"].values
-            positions = [np.asarray(pos_col[i], dtype=np.int64) for i in order]
-        blocks = encode_posting_list(docids, freqs, norms, positions)
+        if pos_col is not None:
+            positions = [np.asarray(pos_col[i], dtype=np.int64) for i in idx]
+        blocks = encode_posting_list(d, f, nb, positions)
         rows.append(
             {
                 "segment_id": seg,
-                "term": term,
-                "df": int(docids.size),
-                "ttf": int(freqs.sum()),
+                "term": uniq_terms[tc[s]],
+                "df": int(d.size),
+                "ttf": int(f.sum()),
                 "blocks": blocks,
             }
         )
@@ -169,9 +174,13 @@ def index_wave(
 
     order_key = F.col("key").cast("long") if int_keys else F.col("key")
     w = Window.partitionBy("segment_id").orderBy(order_key)
+    # Tokenize BEFORE the per-segment window so the Python-heavy analyzer runs
+    # at full input parallelism (input partitions ≫ segments per wave); the
+    # window stage then only sorts/numbers already-tokenized rows. At cluster
+    # scale this keeps the analyzer stage core-bound instead of segment-bound.
     tokenized = (
-        src.withColumn("docid", (F.row_number().over(w) - 1).cast("int"))
-        .withColumn("_t", tok_udf(F.col("text")))
+        src.withColumn("_t", tok_udf(F.col("text")))
+        .withColumn("docid", (F.row_number().over(w) - 1).cast("int"))
         .select(
             "segment_id", "docid", "key",
             F.col("_t.tv").alias("tv"),
@@ -183,8 +192,9 @@ def index_wave(
 
     docs = tokenized.select("segment_id", "docid", "key", "doclen", "norm_byte")
     (
+        # window output is already hash-partitioned by segment_id — no extra
+        # exchange needed before the partitioned write
         docs.withColumn("wave", F.lit(wave))
-        .repartition("segment_id")
         .write.mode("append")
         .partitionBy("wave", "segment_id")
         .parquet(os.path.join(index_dir, "docs"))
@@ -375,15 +385,11 @@ def build_index(
         ]
         wall_ms = int((time.time() - t0) * 1000)
 
-        lineage = spark.createDataFrame(
-            [
-                ("build_wave", s["segment_id"], cat.head() + 1, s["doc_count"],
-                 wall_ms, "done")
-                for s in new_segs
-            ],
-            schema=S.LINEAGE_SCHEMA,
-        )
-        lineage.coalesce(1).write.mode("append").parquet(cat.lineage_path())
+        append_lineage(index_dir, [
+            ("build_wave", s["segment_id"], cat.head() + 1, s["doc_count"],
+             wall_ms, "done")
+            for s in new_segs
+        ])
 
         all_segments.extend(new_segs)
         cat.commit(all_segments, operation="append")

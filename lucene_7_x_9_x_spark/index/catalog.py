@@ -18,9 +18,34 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from typing import Optional
 
-__all__ = ["IndexCatalog"]
+__all__ = ["IndexCatalog", "append_lineage"]
+
+
+def append_lineage(index_dir: str, rows: list[tuple]) -> None:
+    """Append lineage rows (stage, segment_id, snapshot, rows, wall_ms, status)
+    as one parquet file, written driver-side with pyarrow — a Spark job for a
+    handful of metadata rows costs ~1s of scheduler latency per wave, which is
+    pure serial overhead in the build's critical path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not rows:
+        return
+    path = os.path.join(index_dir, "lineage")
+    os.makedirs(path, exist_ok=True)
+    cols = list(zip(*rows))
+    table = pa.table({
+        "stage": pa.array(cols[0], pa.string()),
+        "segment_id": pa.array(cols[1], pa.int32()),
+        "snapshot": pa.array(cols[2], pa.int64()),
+        "rows": pa.array(cols[3], pa.int64()),
+        "wall_ms": pa.array(cols[4], pa.int64()),
+        "status": pa.array(cols[5], pa.string()),
+    })
+    pq.write_table(table, os.path.join(path, f"lineage-{uuid.uuid4().hex}.parquet"))
 
 
 class IndexCatalog:

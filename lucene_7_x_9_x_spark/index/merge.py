@@ -30,7 +30,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.codecs import decode_blocks, encode_posting_list, split_positions
-from .catalog import IndexCatalog
+from .catalog import IndexCatalog, append_lineage
 from . import schema as S
 
 
@@ -338,11 +338,9 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
     }
     remaining = [s for sid, s in live.items() if sid not in set(segment_ids)]
     wall_ms = int((time.time() - t0) * 1000)
-    lineage = spark.createDataFrame(
-        [("merge", new_id, cat.head() + 1, new_seg["doc_count"], wall_ms, "done")],
-        schema=S.LINEAGE_SCHEMA,
-    )
-    lineage.coalesce(1).write.mode("append").parquet(cat.lineage_path())
+    append_lineage(index_dir, [
+        ("merge", new_id, cat.head() + 1, new_seg["doc_count"], wall_ms,
+         "done")])
     cat.commit(remaining + [new_seg], operation="merge")
     return new_id
 

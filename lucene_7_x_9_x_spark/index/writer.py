@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..analysis.tokenizer import Analyzer, STANDARD
 from .builder import index_wave
-from .catalog import IndexCatalog
+from .catalog import IndexCatalog, append_lineage
 from . import schema as S
 
 __all__ = ["IndexWriter", "load_deletes", "deletes_df"]
@@ -122,11 +122,9 @@ class IndexWriter:
             int_keys=self.int_keys, term_shards=self.term_shards,
             docs_per_segment=self.docs_per_segment)
         wall_ms = int((time.time() - t0) * 1000)
-        lineage = self.spark.createDataFrame(
-            [("add_wave", s["segment_id"], self.cat.head() + 1, s["doc_count"],
-              wall_ms, "done") for s in segs],
-            schema=S.LINEAGE_SCHEMA)
-        lineage.coalesce(1).write.mode("append").parquet(self.cat.lineage_path())
+        append_lineage(self.index_dir, [
+            ("add_wave", s["segment_id"], self.cat.head() + 1, s["doc_count"],
+             wall_ms, "done") for s in segs])
         self.cat.commit(live + segs, operation="append")
         return [s["segment_id"] for s in segs]
 
@@ -176,12 +174,9 @@ class IndexWriter:
         if per_seg:
             (new.write.mode("append").partitionBy("segment_id")
              .parquet(os.path.join(self.index_dir, "deletes", f"gen={gen}")))
-            lineage = self.spark.createDataFrame(
-                [("delete", sid, gen, cnt, 0, "done")
-                 for sid, cnt in sorted(per_seg.items())],
-                schema=S.LINEAGE_SCHEMA)
-            lineage.coalesce(1).write.mode("append").parquet(
-                self.cat.lineage_path())
+            append_lineage(self.index_dir, [
+                ("delete", sid, gen, cnt, 0, "done")
+                for sid, cnt in sorted(per_seg.items())])
         new.unpersist()
         return per_seg, gen
 
@@ -240,12 +235,9 @@ class IndexWriter:
                 int_keys=self.int_keys, term_shards=self.term_shards,
                 docs_per_segment=self.docs_per_segment)
             wall_ms = int((time.time() - t0) * 1000)
-            lineage = self.spark.createDataFrame(
-                [("update_wave", s["segment_id"], self.cat.head() + 1,
-                  s["doc_count"], wall_ms, "done") for s in segs],
-                schema=S.LINEAGE_SCHEMA)
-            lineage.coalesce(1).write.mode("append").parquet(
-                self.cat.lineage_path())
+            append_lineage(self.index_dir, [
+                ("update_wave", s["segment_id"], self.cat.head() + 1,
+                 s["doc_count"], wall_ms, "done") for s in segs])
         extra = ({"delete_gens": self.cat.delete_gens() + [gen]}
                  if per_seg else None)
         self.cat.commit(self._bump_del_counts(live, per_seg) + segs,

@@ -133,6 +133,8 @@ def _push_boost(q: Q.Query, factor: float) -> Q.Query:
         return Q.TermQuery(q.term, q.boost * factor)
     if isinstance(q, Q.PhraseQuery):
         return Q.PhraseQuery(q.terms, q.slop, q.boost * factor)
+    if isinstance(q, Q.MultiPhraseQuery):
+        return Q.MultiPhraseQuery(q.slots, q.slop, q.boost * factor)
     if isinstance(q, Q.SynonymQuery):
         return Q.SynonymQuery(q.terms, q.boost * factor)
     if isinstance(q, Q.ConstantScoreQuery):
@@ -194,6 +196,17 @@ class Scorer:
             if docids.size == 0:
                 return docids, np.zeros(0, dtype=dt)
             w = st.multi_term_weight([self.gdf.get(t, 0) for t in q.terms], q.boost)
+            return docids, bm25.score_freq_norm(
+                pfreqs, self.seg.norms_for(docids), w, st.cache, dtype=dt)
+        if isinstance(q, Q.MultiPhraseQuery):
+            docids, pfreqs = self._multi_phrase_freqs(q)
+            if docids.size == 0:
+                return docids, np.zeros(0, dtype=dt)
+            # idf summed over ALL terms of all slots, in slot-then-term order
+            # (MultiPhraseQuery weight resolves stats of every term)
+            all_terms = [t for slot in q.slots for t in slot]
+            w = st.multi_term_weight(
+                [self.gdf.get(t, 0) for t in all_terms], q.boost)
             return docids, bm25.score_freq_norm(
                 pfreqs, self.seg.norms_for(docids), w, st.cache, dtype=dt)
         if isinstance(q, Q.ConstantScoreQuery):
@@ -290,6 +303,8 @@ class Scorer:
             return np.flatnonzero(mask)
         if isinstance(q, Q.PhraseQuery):
             return self._phrase_freqs(q)[0]
+        if isinstance(q, Q.MultiPhraseQuery):
+            return self._multi_phrase_freqs(q)[0]
         if isinstance(q, Q.ConstantScoreQuery):
             return self.eval_match(q.query)
         if isinstance(q, Q.MatchAllDocsQuery):
@@ -328,6 +343,61 @@ class Scorer:
                 plists.append(np.asarray(plist[i], dtype=np.int64))
             if q.slop == 0:
                 # positions of term j must appear at base+j (ExactPhraseMatcher)
+                base = plists[0]
+                for j in range(1, len(plists)):
+                    base = base[np.isin(base + j, plists[j])]
+                    if base.size == 0:
+                        break
+                pf = base.size
+            else:
+                pf = _sloppy_freq(plists, q.slop)
+            if pf > 0:
+                out_docs.append(doc)
+                out_freqs.append(pf)
+        return (np.asarray(out_docs, dtype=np.int64),
+                np.asarray(out_freqs, dtype=np.int64))
+
+
+    def _multi_phrase_freqs(self, q: Q.MultiPhraseQuery):
+        """MultiPhraseQuery matcher: per phrase position i, the posting union
+        of slots[i] (UnionPostingsEnum analog); freq = number of alignments
+        p such that every slot matches at p+i (exact; slop via the sloppy
+        matcher over the unioned position lists)."""
+        seg = self.seg
+        max_doc = seg.max_doc
+        # candidate docs: contain >= 1 term of EVERY slot
+        mask = np.ones(max_doc, dtype=bool)
+        for slot in q.slots:
+            m = np.zeros(max_doc, dtype=bool)
+            for t in slot:
+                m[seg.decode(t)[0]] = True
+            mask &= m
+        cand = np.flatnonzero(mask)
+        if cand.size == 0:
+            return cand, np.zeros(0, dtype=np.int64)
+        # per slot: docid -> unioned sorted position array
+        slot_maps = []
+        for slot in q.slots:
+            per_term = []
+            for t in slot:
+                d, _, _ = seg.decode(t)
+                per_term.append((d, seg.positions(t)))
+            slot_maps.append(per_term)
+        out_docs, out_freqs = [], []
+        for doc in cand:
+            plists = []
+            for per_term in slot_maps:
+                ps = []
+                for d, plist in per_term:
+                    i = int(np.searchsorted(d, doc))
+                    if i < d.size and d[i] == doc:
+                        ps.append(np.asarray(plist[i], dtype=np.int64))
+                merged = (np.unique(np.concatenate(ps)) if ps
+                          else np.zeros(0, dtype=np.int64))
+                plists.append(merged)
+            if any(p.size == 0 for p in plists):
+                continue
+            if q.slop == 0:
                 base = plists[0]
                 for j in range(1, len(plists)):
                     base = base[np.isin(base + j, plists[j])]

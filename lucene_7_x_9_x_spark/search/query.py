@@ -52,6 +52,15 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase with alternative terms per position (MultiPhraseQuery.java):
+    slots[i] is the set of terms accepted at phrase position i."""
+    slots: Tuple[Tuple[str, ...], ...]
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     terms: Tuple[str, ...]
     boost: float = 1.0
@@ -138,6 +147,8 @@ def collect_terms(q: Query) -> set:
         return {q.term}
     if isinstance(q, (PhraseQuery, SynonymQuery)):
         return set(q.terms)
+    if isinstance(q, MultiPhraseQuery):
+        return {t for slot in q.slots for t in slot}
     if isinstance(q, TermInSetQuery):
         return set(q.terms)
     if isinstance(q, BooleanQuery):

@@ -22,6 +22,12 @@ def get_spark(app: str = "lucene-spark", cores: int | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local corpora are tiny vs the 128m default split — finer splits keep
+        # scan-stage parallelism (where the tokenizer runs) core-bound. At
+        # cluster scale this is sized to executor memory instead.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", "8m"))
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
