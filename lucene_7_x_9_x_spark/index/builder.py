@@ -174,34 +174,46 @@ def index_wave(
 
     order_key = F.col("key").cast("long") if int_keys else F.col("key")
     w = Window.partitionBy("segment_id").orderBy(order_key)
-    # Tokenize BEFORE the per-segment window so the Python-heavy analyzer runs
-    # at full input parallelism (input partitions ≫ segments per wave); the
-    # window stage then only sorts/numbers already-tokenized rows. At cluster
-    # scale this keeps the analyzer stage core-bound instead of segment-bound.
+    # Tokenize once, at full input parallelism (input partitions ≫ segments per
+    # wave) — the Python-heavy analyzer stage is core-bound, not segment-bound.
     tokenized = (
         src.withColumn("_t", tok_udf(F.col("text")))
-        .withColumn("docid", (F.row_number().over(w) - 1).cast("int"))
         .select(
-            "segment_id", "docid", "key",
+            "segment_id", "key",
             F.col("_t.tv").alias("tv"),
             F.col("_t.doclen").alias("doclen"),
         )
-        .withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
         .persist()
     )
 
-    docs = tokenized.select("segment_id", "docid", "key", "doclen", "norm_byte")
+    # docid assignment shuffles ONLY (segment_id, key, doclen) — the heavy
+    # term-vector structs never cross the window exchange. The full docid map
+    # of a wave is bounded by segments_per_wave * docs_per_segment rows, so it
+    # broadcasts back onto the tokenized scan partitions for the postings path
+    # (this is the DocIDMerger-style rank assignment done small-side).
+    docs = (
+        tokenized.select("segment_id", "key", "doclen")
+        .withColumn("docid", (F.row_number().over(w) - 1).cast("int"))
+        .withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
+        .select("segment_id", "docid", "key", "doclen", "norm_byte")
+    )
     (
-        # window output is already hash-partitioned by segment_id — no extra
-        # exchange needed before the partitioned write
         docs.withColumn("wave", F.lit(wave))
         .write.mode("append")
         .partitionBy("wave", "segment_id")
         .parquet(os.path.join(index_dir, "docs"))
     )
+    # re-read the committed docs files: a clean barrier that avoids recomputing
+    # the window and gives the broadcast a compact columnar source
+    docs_wave = (
+        spark.read.parquet(os.path.join(index_dir, "docs"))
+        .where(F.col("wave") == wave)
+    )
+    docid_map = docs_wave.select("segment_id", "key", "docid", "norm_byte")
 
     exploded = (
         tokenized.where(F.col("doclen") > 0)
+        .join(F.broadcast(docid_map), ["segment_id", "key"])
         .select(
             "segment_id", "docid", "norm_byte",
             F.explode("tv").alias("p"),
@@ -255,7 +267,7 @@ def index_wave(
     )
 
     stats = (
-        docs.groupBy("segment_id")
+        docs_wave.groupBy("segment_id")
         .agg(
             F.sum(F.when(F.col("doclen") > 0, 1).otherwise(0)).alias("doc_count"),
             F.sum("doclen").alias("sum_ttf"),
