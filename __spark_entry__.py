@@ -52,10 +52,11 @@ def _index_dir(sf_dir: str) -> str:
     return f"/tmp/lucene_spark_index_{_IDX_VERSION}/{tag}"
 
 
-def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+def _searcher(spark: SparkSession, sf_dir: str,
+              similarity: str = "bm25") -> IndexSearcher:
     """Build-once-per-sf_dir index over documents.parquet; float64 scoring so
     the DuckDB double-precision oracle is bit-comparable after micro-rounding."""
-    key = os.path.abspath(sf_dir)
+    key = (os.path.abspath(sf_dir), similarity)
     if key in _SEARCHERS:
         return _SEARCHERS[key]
     idx = _index_dir(sf_dir)
@@ -65,7 +66,7 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
             spark, docs, key_col="doc_id", text_col="text", index_dir=idx,
             docs_per_segment=_DOCS_PER_SEGMENT, int_keys=True, resume=True,
         )
-    s = IndexSearcher(spark, idx, dtype=np.float64)
+    s = IndexSearcher(spark, idx, dtype=np.float64, similarity=similarity)
     _SEARCHERS[key] = s
     return s
 
@@ -83,9 +84,9 @@ def _micro_col(col: str = "score"):
 
 
 def _topk_df(spark: SparkSession, sf_dir: str, q: Q.Query, k: int = 10,
-             offset_after: bool = False) -> DataFrame:
+             offset_after: bool = False, similarity: str = "bm25") -> DataFrame:
     """Engine top-k (WAND-pruned where eligible) -> (doc_id, score_micro)."""
-    s = _searcher(spark, sf_dir)
+    s = _searcher(spark, sf_dir, similarity)
     if offset_after:
         page1 = s.search(q, k=k)
         h = page1.hits
@@ -287,6 +288,23 @@ def q_more_like_this(spark, sf_dir):
 
 # ---- training-data pipeline operators ------------------------------------
 
+def q_classic_tfidf_topk(spark, sf_dir):
+    """Pluggable Similarity: ClassicSimilarity (TF-IDF) term top-k."""
+    return _topk_df(spark, sf_dir, Q.TermQuery(T1), similarity="classic")
+
+
+def q_span_near_topk(spark, sf_dir):
+    """SpanNearQuery('fast' .. 'sort', slop=1, ordered) — position algebra."""
+    return _topk_df(spark, sf_dir, Q.SpanNearQuery(
+        (Q.SpanTermQuery(PHRASE[0]), Q.SpanTermQuery(PHRASE[1])),
+        slop=1, in_order=True))
+
+
+def q_span_first_count(spark, sf_dir):
+    return _count_df(spark, sf_dir,
+                     Q.SpanFirstQuery(Q.SpanTermQuery(T1), end=5))
+
+
 def q_multi_phrase_topk(spark, sf_dir):
     """MultiPhraseQuery: ('fast'|'slow') followed by 'sort'."""
     return _topk_df(spark, sf_dir,
@@ -473,6 +491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts_by_source": q_facet_counts_by_source,
         "distinct_langs": q_distinct_langs,
         "more_like_this": q_more_like_this,
+        "classic_tfidf_topk": q_classic_tfidf_topk,
+        "span_near_topk": q_span_near_topk,
+        "span_first_count": q_span_first_count,
         "multi_phrase_topk": q_multi_phrase_topk,
         "rescore_topk": q_rescore_topk,
         "sorted_by_field": q_sorted_by_field,
@@ -674,6 +695,33 @@ ORDER BY s DESC, doc_id LIMIT 10""")
         f"tf.term IN ('{T1}', 'flink', 'storm')")
     out["fuzzy_matches"] = _const_match_sql(
         f"levenshtein(tf.term, '{T1}') <= 1")
+
+    cw = f"(ln((SELECT n FROM st)/({_df_sub(T1)} + 1e0)) + 1e0)"
+    out["classic_tfidf_topk"] = _topk_sql([f"""
+cs AS (SELECT tf.doc_id AS doc_id,
+              ({cw} * sqrt(CAST(tf.tf AS DOUBLE)) / sqrt(CAST(qd.qlen AS DOUBLE))) AS s
+       FROM tf JOIN qd ON tf.doc_id = qd.doc_id
+       WHERE tf.term = '{T1}')""".strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM cs
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    # span weight: idf summed over sorted(span_terms) = [fast, sort]
+    snw = f"({_idf(PHRASE[0])} + {_idf(PHRASE[1])})"
+    out["span_near_topk"] = _topk_sql([f"""
+sp AS (SELECT a.doc_id, COUNT(*) AS sf
+       FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+       WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+         AND b.pos >= a.pos + 1 AND b.pos - a.pos - 1 <= 1
+       GROUP BY a.doc_id)""".strip(), f"""
+sps AS (SELECT sp.doc_id AS doc_id,
+               ({snw} - {snw}/(1e0 + sp.sf*{_NI})) AS s
+        FROM sp JOIN qd ON sp.doc_id = qd.doc_id)""".strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM sps
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    out["span_first_count"] = _topk_sql([], f"""
+SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS cnt
+FROM tok WHERE term = '{T1}' AND pos + 1 <= 5""")
 
     mpw = (f"({_idf(SYNSET[0])} + {_idf(SYNSET[1])} + {_idf(PHRASE[1])})")
     out["multi_phrase_topk"] = _topk_sql([f"""

@@ -104,6 +104,12 @@ class BM25Stats:
     def weight(self, df: int, boost: float = 1.0):
         return term_weight(df, self.doc_count, boost, dtype=self.dtype)
 
+    def score(self, freqs, norm_bytes, weight):
+        """Vectorized per-posting scores (the pluggable-Similarity surface the
+        kernels call — see functions/similarities.py for alternatives)."""
+        return score_freq_norm(freqs, norm_bytes, weight, self.cache,
+                               dtype=self.dtype)
+
     def multi_term_weight(self, dfs, boost: float = 1.0):
         """Summed idf for phrase/synonym scoring: float idfs summed in double,
         cast to float (BM25Similarity.java:185-194)."""

@@ -153,6 +153,9 @@ def _push_boost(q: Q.Query, factor: float) -> Q.Query:
         return Q.DisjunctionMaxQuery(
             tuple(_push_boost(s, factor) for s in q.queries), q.tie_breaker
         )
+    if isinstance(q, Q.SpanQuery) and factor != 1.0:
+        import dataclasses
+        return dataclasses.replace(q, boost=q.boost * factor)
     return q
 
 
@@ -175,7 +178,7 @@ class Scorer:
             if d.size == 0:
                 return d, np.zeros(0, dtype=dt)
             w = st.weight(self.gdf.get(q.term, 0), q.boost)
-            return d, bm25.score_freq_norm(f, n, w, st.cache, dtype=dt)
+            return d, st.score(f, n, w)
         if isinstance(q, Q.SynonymQuery):
             # pseudo-stats: df = max(member dfs), freq = sum (SynonymQuery.java:233-247)
             freq_acc = np.zeros(seg.max_doc, dtype=np.int64)
@@ -189,15 +192,14 @@ class Scorer:
                 return docids, np.zeros(0, dtype=dt)
             df = max((self.gdf.get(t, 0) for t in q.terms), default=0)
             w = st.weight(df, q.boost)
-            return docids, bm25.score_freq_norm(
-                freq_acc[docids], seg.norms_for(docids), w, st.cache, dtype=dt)
+            return docids, st.score(
+                freq_acc[docids], seg.norms_for(docids), w)
         if isinstance(q, Q.PhraseQuery):
             docids, pfreqs = self._phrase_freqs(q)
             if docids.size == 0:
                 return docids, np.zeros(0, dtype=dt)
             w = st.multi_term_weight([self.gdf.get(t, 0) for t in q.terms], q.boost)
-            return docids, bm25.score_freq_norm(
-                pfreqs, self.seg.norms_for(docids), w, st.cache, dtype=dt)
+            return docids, st.score(pfreqs, self.seg.norms_for(docids), w)
         if isinstance(q, Q.MultiPhraseQuery):
             docids, pfreqs = self._multi_phrase_freqs(q)
             if docids.size == 0:
@@ -207,8 +209,7 @@ class Scorer:
             all_terms = [t for slot in q.slots for t in slot]
             w = st.multi_term_weight(
                 [self.gdf.get(t, 0) for t in all_terms], q.boost)
-            return docids, bm25.score_freq_norm(
-                pfreqs, self.seg.norms_for(docids), w, st.cache, dtype=dt)
+            return docids, st.score(pfreqs, self.seg.norms_for(docids), w)
         if isinstance(q, Q.ConstantScoreQuery):
             d = self.eval_match(q.query)
             return d, np.full(d.size, dt(q.boost), dtype=dt)
@@ -230,6 +231,17 @@ class Scorer:
             tie = q.tie_breaker
             sc = (mx[docids] + (sm[docids] - mx[docids]) * tie).astype(dt)
             return docids, sc
+        if isinstance(q, Q.SpanQuery):
+            # SpanWeight: stats over ALL clause terms (buildSimWeight gathers
+            # every term's TermStatistics); freq = number of matching spans
+            # (integer span count — simplification of SpanScorer's
+            # slop-factor-weighted freq, documented divergence)
+            d, f = self.eval_spans(q)
+            if d.size == 0:
+                return d, np.zeros(0, dtype=dt)
+            w = st.multi_term_weight(
+                [self.gdf.get(t, 0) for t in sorted(Q.span_terms(q))], q.boost)
+            return d, st.score(f, seg.norms_for(d), w)
         if isinstance(q, Q.BooleanQuery):
             return self._eval_bool(q)
         if isinstance(q, Q.TermInSetQuery):
@@ -318,6 +330,8 @@ class Scorer:
             return np.flatnonzero(mask)
         if isinstance(q, Q.BooleanQuery):
             return self._eval_bool(q)[0]
+        if isinstance(q, Q.SpanQuery):
+            return self.eval_spans(q)[0]
         raise TypeError(f"unsupported query node: {type(q).__name__}")
 
     # ---- phrase matching (ExactPhraseMatcher / SloppyPhraseMatcher) --------
@@ -411,6 +425,98 @@ class Scorer:
                 out_freqs.append(pf)
         return (np.asarray(out_docs, dtype=np.int64),
                 np.asarray(out_freqs, dtype=np.int64))
+
+
+    # ---- spans family (o.a.l/search/spans/) -------------------------------
+    def _span_candidates(self, q: Q.SpanQuery) -> np.ndarray:
+        """Docs that can possibly produce spans (structural prefilter)."""
+        seg = self.seg
+        if isinstance(q, Q.SpanTermQuery):
+            return seg.decode(q.term)[0]
+        if isinstance(q, Q.SpanOrQuery):
+            mask = np.zeros(seg.max_doc, dtype=bool)
+            for c in q.clauses:
+                mask[self._span_candidates(c)] = True
+            return np.flatnonzero(mask)
+        if isinstance(q, Q.SpanNearQuery):
+            mask = np.ones(seg.max_doc, dtype=bool)
+            for c in q.clauses:
+                m = np.zeros(seg.max_doc, dtype=bool)
+                m[self._span_candidates(c)] = True
+                mask &= m
+            return np.flatnonzero(mask)
+        if isinstance(q, Q.SpanNotQuery):
+            return self._span_candidates(q.include)
+        if isinstance(q, Q.SpanFirstQuery):
+            return self._span_candidates(q.match)
+        raise TypeError(type(q))
+
+    def _doc_spans(self, q: Q.SpanQuery, doc: int) -> list:
+        """Sorted (start, end) spans of q in one doc.
+
+        SpanNear combination enumerates clause-span tuples (fine at per-doc
+        position-list sizes); unordered overlap handling is simplified to
+        'distinct spans per clause slot' — documented divergence from
+        NearSpansUnordered's sub-span bookkeeping."""
+        if isinstance(q, Q.SpanTermQuery):
+            d, _, _ = self.seg.decode(q.term)
+            i = int(np.searchsorted(d, doc))
+            if i >= d.size or d[i] != doc:
+                return []
+            return [(int(p), int(p) + 1) for p in self.seg.positions(q.term)[i]]
+        if isinstance(q, Q.SpanOrQuery):
+            out = set()
+            for c in q.clauses:
+                out.update(self._doc_spans(c, doc))
+            return sorted(out)
+        if isinstance(q, Q.SpanFirstQuery):
+            return [s for s in self._doc_spans(q.match, doc) if s[1] <= q.end]
+        if isinstance(q, Q.SpanNotQuery):
+            inc = self._doc_spans(q.include, doc)
+            exc = self._doc_spans(q.exclude, doc)
+            return [s for s in inc
+                    if not any(s[0] < e_end and e_start < s[1]
+                               for (e_start, e_end) in exc)]
+        if isinstance(q, Q.SpanNearQuery):
+            per_clause = [self._doc_spans(c, doc) for c in q.clauses]
+            if any(not ps for ps in per_clause):
+                return []
+            out = set()
+
+            def rec(idx: int, chosen: list):
+                if idx == len(per_clause):
+                    starts = [s for s, _ in chosen]
+                    ends = [e for _, e in chosen]
+                    width = max(ends) - min(starts)
+                    lengths = sum(e - s for s, e in chosen)
+                    if width - lengths <= q.slop:
+                        out.add((min(starts), max(ends)))
+                    return
+                for s in per_clause[idx]:
+                    if q.in_order and chosen and s[0] < chosen[-1][1]:
+                        continue
+                    if chosen and (max(s[1], max(e for _, e in chosen))
+                                   - min(s[0], min(st for st, _ in chosen))
+                                   - sum(e - st for st, e in chosen)
+                                   - (s[1] - s[0])) > q.slop:
+                        continue  # prune: slack already exceeded
+                    rec(idx + 1, chosen + [s])
+
+            rec(0, [])
+            return sorted(out)
+        raise TypeError(type(q))
+
+    def eval_spans(self, q: Q.SpanQuery):
+        """(docids asc, span_counts) over the segment."""
+        cand = self._span_candidates(q)
+        docs, freqs = [], []
+        for doc in cand:
+            spans = self._doc_spans(q, int(doc))
+            if spans:
+                docs.append(int(doc))
+                freqs.append(len(spans))
+        return (np.asarray(docs, dtype=np.int64),
+                np.asarray(freqs, dtype=np.int64))
 
 
 def _sloppy_freq(plists, slop: int) -> int:
@@ -508,7 +614,7 @@ def _pruned_or(seg: SegmentIndex, stats: bm25.BM25Stats, gdf: Dict[str, int],
         w = stats.weight(gdf.get(t, 0), boost)
         weights[t] = w
         first, last, mf, mn = seg.block_meta(t)
-        bmax = bm25.score_freq_norm(mf, mn, w, stats.cache, dtype=dt)
+        bmax = stats.score(mf, mn, w)
         tb = np.zeros(n_chunks, dtype=np.float64)
         c0 = first // CHUNK
         c1 = last // CHUNK
@@ -540,8 +646,7 @@ def _pruned_or(seg: SegmentIndex, stats: bm25.BM25Stats, gdf: Dict[str, int],
                 sel = (d >= lo) & (d < hi)
                 if not sel.any():
                     continue
-                s = bm25.score_freq_norm(f[sel], n[sel], weights[t],
-                                         stats.cache, dtype=dt)
+                s = stats.score(f[sel], n[sel], weights[t])
                 acc[d[sel] - lo] += s.astype(np.float64)
                 mask[d[sel] - lo] = True
         local = np.flatnonzero(mask)
@@ -576,6 +681,10 @@ def explain(seg: SegmentIndex, stats: bm25.BM25Stats, gdf: Dict[str, int],
             if not matched:
                 return {"value": 0.0, "match": False,
                         "description": f"no matching term {sub.term!r}"}
+            if not isinstance(stats, bm25.BM25Stats):
+                return {"value": value, "match": True,
+                        "description": f"weight(text:{sub.term} in {docid}) "
+                                       f"[{type(stats).__name__}]"}
             dd, ff, nn = seg.decode(sub.term)
             j = int(np.searchsorted(dd, docid))
             freq = int(ff[j])

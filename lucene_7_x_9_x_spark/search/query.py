@@ -137,6 +137,68 @@ class TermInSetQuery(Query):
     boost: float = 1.0
 
 
+# ---- Spans family (o.a.l/search/spans/, SURVEY §2.3) ----------------------
+# A span is a (start, end) position interval in one doc; span queries compose
+# interval algebra over the positions stored in the postings.
+
+class SpanQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class SpanTermQuery(SpanQuery):
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanNearQuery(SpanQuery):
+    """Clauses within `slop` total slack; ordered or unordered
+    (SpanNearQuery.java)."""
+    clauses: Tuple[SpanQuery, ...]
+    slop: int = 0
+    in_order: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanOrQuery(SpanQuery):
+    clauses: Tuple[SpanQuery, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanNotQuery(SpanQuery):
+    """Spans of `include` that do not overlap any span of `exclude`
+    (SpanNotQuery.java)."""
+    include: SpanQuery
+    exclude: SpanQuery
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanFirstQuery(SpanQuery):
+    """Spans of `match` ending at position <= `end` (SpanFirstQuery.java)."""
+    match: SpanQuery
+    end: int
+    boost: float = 1.0
+
+
+def span_terms(q: "SpanQuery") -> set:
+    if isinstance(q, SpanTermQuery):
+        return {q.term}
+    if isinstance(q, (SpanNearQuery, SpanOrQuery)):
+        out: set = set()
+        for c in q.clauses:
+            out |= span_terms(c)
+        return out
+    if isinstance(q, SpanNotQuery):
+        return span_terms(q.include) | span_terms(q.exclude)
+    if isinstance(q, SpanFirstQuery):
+        return span_terms(q.match)
+    raise TypeError(type(q))
+
+
 MULTI_TERM_TYPES = (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery,
                     TermRangeQuery, TermInSetQuery)
 
@@ -163,4 +225,6 @@ def collect_terms(q: Query) -> set:
         return out
     if isinstance(q, (BoostQuery, ConstantScoreQuery)):
         return collect_terms(q.query)
+    if isinstance(q, SpanQuery):
+        return span_terms(q)
     return set()

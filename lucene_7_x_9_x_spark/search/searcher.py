@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import bm25
+from ..functions.similarities import make_similarity
 from ..index.catalog import IndexCatalog
 from . import kernel as K
 from . import query as Q
@@ -71,8 +72,9 @@ def _segment_kernel_fn(query, seg_meta, stats_args, gdf, k, pruning, threshold,
             for r in pdf.itertuples()
         }
         dtype = np.float32 if stats_args["dtype"] == "float32" else np.float64
-        stats = bm25.BM25Stats(stats_args["doc_count"], stats_args["sum_ttf"],
-                               stats_args["k1"], stats_args["b"], dtype=dtype)
+        stats = make_similarity(
+            stats_args.get("similarity", "bm25"), stats_args["doc_count"],
+            stats_args["sum_ttf"], stats_args["k1"], stats_args["b"], dtype)
         seg = K.SegmentIndex(rows, seg_meta[seg_id],
                              deleted=deletes.get(seg_id))
         if after is None:
@@ -107,7 +109,8 @@ def _segment_kernel_fn(query, seg_meta, stats_args, gdf, k, pruning, threshold,
 
 class IndexSearcher:
     def __init__(self, spark: SparkSession, index_dir: str,
-                 dtype=np.float32, k1: float = bm25.K1, b: float = bm25.B):
+                 dtype=np.float32, k1: float = bm25.K1, b: float = bm25.B,
+                 similarity: str = "bm25"):
         self.spark = spark
         self.cat = IndexCatalog(index_dir)
         self._snapshot = self.cat.snapshot()  # point-in-time view (NRT refresh
@@ -122,6 +125,7 @@ class IndexSearcher:
             sorted(self.segments, key=lambda x: x["segment_id"]))}
         self.dtype = dtype
         self.k1, self.b = k1, b
+        self.similarity = similarity
         self._index_dir = index_dir
         live = [(s["wave"], s["segment_id"]) for s in self.segments]
         self._seg_ids = [s for _, s in live]
@@ -233,7 +237,7 @@ class IndexSearcher:
     def _stats_args(self) -> dict:
         return {
             "doc_count": self.doc_count, "sum_ttf": self.sum_ttf,
-            "k1": self.k1, "b": self.b,
+            "k1": self.k1, "b": self.b, "similarity": self.similarity,
             "dtype": "float32" if self.dtype == np.float32 else "float64",
         }
 
@@ -336,8 +340,8 @@ class IndexSearcher:
                         "blocks": [b.asDict() for b in r["blocks"]]}
             for r in rows
         }
-        stats = bm25.BM25Stats(self.doc_count, self.sum_ttf, self.k1, self.b,
-                               dtype=self.dtype)
+        stats = make_similarity(self.similarity, self.doc_count, self.sum_ttf,
+                                self.k1, self.b, self.dtype)
         seg = K.SegmentIndex(term_rows, self.seg_meta[segment_id],
                              deleted=self.deletes.get(segment_id))
         return K.explain(seg, stats, gdf, q, docid)
@@ -377,8 +381,9 @@ class IndexSearcher:
                 for r in pdf.itertuples()
             }
             dtype = np.float32 if stats_args["dtype"] == "float32" else np.float64
-            stats = bm25.BM25Stats(stats_args["doc_count"], stats_args["sum_ttf"],
-                                   stats_args["k1"], stats_args["b"], dtype=dtype)
+            stats = make_similarity(
+                stats_args.get("similarity", "bm25"), stats_args["doc_count"],
+                stats_args["sum_ttf"], stats_args["k1"], stats_args["b"], dtype)
             seg = K.SegmentIndex(rows, seg_meta[seg_id],
                                  deleted=deletes.get(seg_id))
             scorer = K.Scorer(seg, stats, gdf)
@@ -416,8 +421,9 @@ class IndexSearcher:
                 for r in pdf.itertuples()
             }
             dtype = np.float32 if stats_args["dtype"] == "float32" else np.float64
-            stats = bm25.BM25Stats(stats_args["doc_count"], stats_args["sum_ttf"],
-                                   stats_args["k1"], stats_args["b"], dtype=dtype)
+            stats = make_similarity(
+                stats_args.get("similarity", "bm25"), stats_args["doc_count"],
+                stats_args["sum_ttf"], stats_args["k1"], stats_args["b"], dtype)
             seg = K.SegmentIndex(rows, seg_meta[seg_id],
                                  deleted=deletes.get(seg_id))
             scorer = K.Scorer(seg, stats, gdf)
