@@ -89,6 +89,20 @@ def main() -> None:
         "build_docs_per_sec": round(n_docs / build_s, 2),
         "cpus": cpus,
     }
+    # attach the recorded N->4N scaling evidence (scripts/scaling_run.py)
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "scaling_result.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            sc = json.load(f)
+        out["scaling"] = {
+            "cores": [sc["low"]["cores"], sc["high"]["cores"]],
+            "docs_per_sec": [round(sc["low"]["docs_per_sec"], 1),
+                             round(sc["high"]["docs_per_sec"], 1)],
+            "efficiency_median": sc.get("efficiency_median",
+                                        sc.get("efficiency")),
+            "criterion": ">= 0.8 from N to 4N",
+        }
     shutil.rmtree(idx, ignore_errors=True)
     print(json.dumps(out))
 
