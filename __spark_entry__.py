@@ -696,7 +696,7 @@ ORDER BY s DESC, doc_id LIMIT 10""")
     out["fuzzy_matches"] = _const_match_sql(
         f"levenshtein(tf.term, '{T1}') <= 1")
 
-    cw = f"(ln((SELECT n FROM st)/({_df_sub(T1)} + 1e0)) + 1e0)"
+    cw = f"(ln(((SELECT n FROM st) + 1e0)/({_df_sub(T1)} + 1e0)) + 1e0)"
     out["classic_tfidf_topk"] = _topk_sql([f"""
 cs AS (SELECT tf.doc_id AS doc_id,
               ({cw} * sqrt(CAST(tf.tf AS DOUBLE)) / sqrt(CAST(qd.qlen AS DOUBLE))) AS s
@@ -812,7 +812,7 @@ JOIN documents d ON d.doc_id = m.doc_id""")
 src AS (SELECT term, tf FROM tf WHERE doc_id = 0)""".strip(), """
 mt AS (SELECT term FROM (
          SELECT s.term AS term,
-                s.tf * (1e0 + ln(CAST((SELECT n FROM st) AS DOUBLE)
+                s.tf * (1e0 + ln((CAST((SELECT n FROM st) AS DOUBLE) + 1e0)
                                  / (dfq.df + 1e0))) AS ts
          FROM src s JOIN dfq ON dfq.term = s.term)
        ORDER BY ts DESC, term LIMIT 5)""".strip(), f"""

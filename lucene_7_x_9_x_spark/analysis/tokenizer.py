@@ -126,8 +126,6 @@ class Analyzer:
         for ps in acc.values():
             total += len(ps)
         return [(t, len(ps), ps) for t, ps in acc.items()], total
-        """Vectorized entry point for pandas/Arrow UDFs."""
-        return texts.map(self.tokenize)
 
     def term_freqs_series(self, texts: pd.Series) -> pd.Series:
         """Per-doc aggregated [(term, freq, positions)] — the shape the index

@@ -15,8 +15,9 @@ kernels consume:
 
 BM25Stats (functions/bm25.py) is the default; this module adds:
 
-  ClassicSimilarity — TF-IDF: idf = 1 + ln(N/(df+1)) (ClassicSimilarity.java
-      idf()), tf = sqrt(freq) (tf()), lengthNorm = 1/sqrt(dl) — applied to our
+  ClassicSimilarity — TF-IDF: idf = 1 + ln((N+1)/(df+1)) (solr-8.4.0
+      ClassicSimilarity.java:71), tf = sqrt(freq) (tf()), lengthNorm =
+      1/sqrt(dl) — applied to our
       SmallFloat-quantized dl instead of Classic's own byte norm (documented
       divergence: the quantizer differs, the formula does not).
   BooleanSimilarity — score = query boost, tf/length ignored
@@ -46,7 +47,8 @@ class ClassicSimilarity:
         self.cache = inv.astype(dtype)
 
     def _idf(self, df) -> float:
-        return float(np.log(self.doc_count / (np.float64(df) + 1.0)) + 1.0)
+        return float(np.log((self.doc_count + 1.0) / (np.float64(df) + 1.0))
+                     + 1.0)
 
     def weight(self, df: int, boost: float = 1.0):
         return self.dtype(boost * self._idf(df))

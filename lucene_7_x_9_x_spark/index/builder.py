@@ -138,7 +138,20 @@ def _merge_salted(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["segment_id", "term", "df", "ttf", "blocks"])
 
 
-def _dir_size(path: str) -> int:
+def _dir_size(path: str, spark: SparkSession | None = None) -> int:
+    """Recursive byte size of a directory via the Hadoop FileSystem API, so
+    the segment catalog works on object stores (s3a://, hdfs://) as well as
+    local disk; falls back to os.walk when no active session is available."""
+    if spark is not None:
+        try:
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(hpath):
+                return 0
+            return int(fs.getContentSummary(hpath).getLength())
+        except Exception:  # pragma: no cover - py4j unavailable/odd scheme
+            pass
     total = 0
     for root, _, files in os.walk(path):
         for f in files:
@@ -186,17 +199,43 @@ def index_wave(
         .persist()
     )
 
-    # docid assignment shuffles ONLY (segment_id, key, doclen) — the heavy
-    # term-vector structs never cross the window exchange. The full docid map
-    # of a wave is bounded by segments_per_wave * docs_per_segment rows, so it
-    # broadcasts back onto the tokenized scan partitions for the postings path
-    # (this is the DocIDMerger-style rank assignment done small-side).
-    docs = (
-        tokenized.select("segment_id", "key", "doclen")
-        .withColumn("docid", (F.row_number().over(w) - 1).cast("int"))
-        .withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
-        .select("segment_id", "docid", "key", "doclen", "norm_byte")
+    # Duplicate keys within a segment would cross-match the broadcast docid
+    # join below (inflating df/ttf and corrupting postings), so probe for them
+    # first — the probe shuffles only (segment_id, key) with a map-side partial
+    # count, then stops at the first duplicate.
+    has_dups = (
+        tokenized.groupBy("segment_id", "key").count()
+        .where(F.col("count") > 1).limit(1).count() > 0
     )
+
+    if has_dups:
+        # Slow-but-correct path: assign docids by a window over the tokenized
+        # frame itself, so each row keeps ITS OWN term vector (no join). The
+        # heavy tv structs cross the window exchange — acceptable for the rare
+        # duplicate-key wave. F.hash(tv) tiebreaks duplicate keys
+        # deterministically; truly identical rows are interchangeable.
+        w_dup = Window.partitionBy("segment_id").orderBy(
+            order_key, F.col("doclen"), F.hash("tv"))
+        with_ids = (
+            tokenized.withColumn("docid", (F.row_number().over(w_dup) - 1).cast("int"))
+            .withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
+            .persist()
+        )
+        docs = with_ids.select("segment_id", "docid", "key", "doclen", "norm_byte")
+    else:
+        # Fast path: docid assignment shuffles ONLY (segment_id, key, doclen) —
+        # the heavy term-vector structs never cross the window exchange. The
+        # full docid map of a wave is bounded by segments_per_wave *
+        # docs_per_segment rows, so it broadcasts back onto the tokenized scan
+        # partitions for the postings path (DocIDMerger-style rank assignment
+        # done small-side).
+        with_ids = None
+        docs = (
+            tokenized.select("segment_id", "key", "doclen")
+            .withColumn("docid", (F.row_number().over(w) - 1).cast("int"))
+            .withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
+            .select("segment_id", "docid", "key", "doclen", "norm_byte")
+        )
     (
         docs.withColumn("wave", F.lit(wave))
         .write.mode("append")
@@ -209,12 +248,17 @@ def index_wave(
         spark.read.parquet(os.path.join(index_dir, "docs"))
         .where(F.col("wave") == wave)
     )
-    docid_map = docs_wave.select("segment_id", "key", "docid", "norm_byte")
 
+    if has_dups:
+        keyed = with_ids.where(F.col("doclen") > 0)
+    else:
+        docid_map = docs_wave.select("segment_id", "key", "docid", "norm_byte")
+        keyed = (
+            tokenized.where(F.col("doclen") > 0)
+            .join(F.broadcast(docid_map), ["segment_id", "key"])
+        )
     exploded = (
-        tokenized.where(F.col("doclen") > 0)
-        .join(F.broadcast(docid_map), ["segment_id", "key"])
-        .select(
+        keyed.select(
             "segment_id", "docid", "norm_byte",
             F.explode("tv").alias("p"),
         )
@@ -276,6 +320,8 @@ def index_wave(
         .collect()
     )
     tokenized.unpersist()
+    if with_ids is not None:
+        with_ids.unpersist()
 
     segs = []
     for r in stats:
@@ -293,7 +339,8 @@ def index_wave(
     for s in segs:
         s["size_bytes"] = _dir_size(
             os.path.join(index_dir, "postings", f"wave={wave}",
-                         f"segment_id={s['segment_id']}")
+                         f"segment_id={s['segment_id']}"),
+            spark,
         )
     return segs
 

@@ -100,6 +100,12 @@ class IndexCatalog:
         `extra` keys land in the snapshot JSON (e.g. delete_gens); absent keys
         are inherited from the parent snapshot so commits that don't touch
         deletes carry the visible generation list forward.
+
+        `extra={"batch_id": n}` records streaming batch n as committed IN the
+        snapshot itself (snap["committed_batches"][n] = sid): commit and
+        batch-record are one atomic rename, so a replayed foreachBatch after a
+        crash either sees the batch in the committed map (skip) or the wave was
+        never published (safe to redo) — exactly-once either way.
         """
         parent = self.head()
         parent_snap = self.snapshot(parent) if parent >= 0 else None
@@ -110,9 +116,15 @@ class IndexCatalog:
             "operation": operation,
             "ts_ms": int(time.time() * 1000),
             "delete_gens": (parent_snap or {}).get("delete_gens", []),
+            "committed_batches": dict(
+                (parent_snap or {}).get("committed_batches", {})),
             "segments": sorted(segments, key=lambda s: s["segment_id"]),
         }
         if extra:
+            extra = dict(extra)
+            batch_id = extra.pop("batch_id", None)
+            if batch_id is not None:
+                snap["committed_batches"][str(batch_id)] = sid
             snap.update(extra)
         path = os.path.join(self.catalog_dir, f"snapshot-{sid}.json")
         tmp = path + ".tmp"

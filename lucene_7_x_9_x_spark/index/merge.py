@@ -319,12 +319,7 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
         .parquet(os.path.join(index_dir, "postings"))
     )
 
-    def _dir_size(path: str) -> int:
-        total = 0
-        for root, _, files in os.walk(path):
-            for fn in files:
-                total += os.path.getsize(os.path.join(root, fn))
-        return total
+    from .builder import _dir_size as _hdfs_dir_size
 
     new_seg = {
         "segment_id": new_id,
@@ -332,8 +327,9 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
         "doc_count": int(stats["doc_count"]),
         "sum_ttf": int(stats["sum_ttf"]),
         "max_doc": int(stats["max_doc"]),
-        "size_bytes": _dir_size(os.path.join(
-            index_dir, "postings", f"wave={new_wave}", f"segment_id={new_id}")),
+        "size_bytes": _hdfs_dir_size(os.path.join(
+            index_dir, "postings", f"wave={new_wave}", f"segment_id={new_id}"),
+            spark),
         "merged_from": sorted(segment_ids),
     }
     remaining = [s for sid, s in live.items() if sid not in set(segment_ids)]

@@ -96,11 +96,14 @@ class IndexWriter:
 
     # --- adds ---------------------------------------------------------------
     def add_documents(self, df: DataFrame, key_col: str,
-                      text_col: str) -> list[int]:
+                      text_col: str,
+                      commit_extra: dict | None = None) -> list[int]:
         """Index df into a fresh wave of NEW segments; atomic snapshot commit.
 
         Returns the new segment ids. Mirrors the DWPT rule that concurrent /
-        subsequent addDocument batches produce distinct segments."""
+        subsequent addDocument batches produce distinct segments.
+        commit_extra is forwarded into the snapshot commit (e.g. a streaming
+        batch_id, recorded atomically with the publish — exactly-once)."""
         t0 = time.time()
         live = self.cat.live_segments()
         next_seg = max((s["segment_id"] for s in live), default=-1) + 1
@@ -125,7 +128,7 @@ class IndexWriter:
         append_lineage(self.index_dir, [
             ("add_wave", s["segment_id"], self.cat.head() + 1, s["doc_count"],
              wall_ms, "done") for s in segs])
-        self.cat.commit(live + segs, operation="append")
+        self.cat.commit(live + segs, operation="append", extra=commit_extra)
         return [s["segment_id"] for s in segs]
 
     # --- deletes ------------------------------------------------------------

@@ -69,7 +69,7 @@ def more_like_this_terms(term_freqs: dict, global_df: dict, doc_count: int,
     scored = []
     for term, tf in term_freqs.items():
         df = global_df.get(term, 0)
-        idf = 1.0 + math.log(n / (df + 1.0))
+        idf = 1.0 + math.log((n + 1.0) / (df + 1.0))
         scored.append((-(tf * idf), term))
     scored.sort()
     return [t for _, t in scored[:max_terms]]

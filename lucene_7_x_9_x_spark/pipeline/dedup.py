@@ -117,11 +117,12 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 
 def _hash_shingle_col():
-    """Stable integer from a shingle: first 7 hex chars of md5 (< 2^28), then
-    reduced mod MERSENNE so the per-hash (a*x+b) stays within int64 under
-    Spark's ANSI overflow checks. md5 is reproducible in any SQL engine ->
-    oracle-checkable MinHash."""
-    return (F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10)
+    """Stable integer from a shingle: first 15 hex chars of md5 (60 bits, so
+    birthday collisions stay negligible at corpus scale), reduced mod MERSENNE
+    so the per-hash (a*x+b) stays within int64 (< 2^62) under Spark's ANSI
+    overflow checks. md5 is reproducible in any SQL engine -> oracle-checkable
+    MinHash."""
+    return (F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
             .cast("long") % F.lit(MERSENNE))
 
 

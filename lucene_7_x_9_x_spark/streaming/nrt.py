@@ -8,11 +8,12 @@ each micro-batch becomes one wave of new segments via IndexWriter.add_documents
 (foreachBatch), and every snapshot commit is a refresh point — an IndexSearcher
 constructed after the commit sees the new docs.
 
-Exactly-once: foreachBatch may replay a batch after a restart, so committed
-batch ids are recorded next to the snapshot catalog (batches.json, written via
-tmp+rename like snapshots) and replayed batches are skipped — the add is
-idempotent at wave granularity, same as the kill-resume contract of the batch
-builder.
+Exactly-once: foreachBatch may replay a batch after a restart, so the batch id
+is recorded INSIDE the snapshot commit itself (IndexCatalog.commit
+extra={"batch_id": n} → snap["committed_batches"]) — one atomic rename covers
+both the wave publish and the batch record. A replayed batch either finds its
+id in the committed map of the head snapshot (skipped) or the crash happened
+before the publish (the wave is invisible, redo is safe).
 
 Scale notes: one micro-batch = one wave = O(batch/docs_per_segment) new
 segments; maybe_merge() (optionally run every N batches) keeps the segment
@@ -21,39 +22,23 @@ count logarithmic exactly like Lucene's background TieredMergePolicy loop.
 
 from __future__ import annotations
 
-import json
-import os
+
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..analysis.tokenizer import Analyzer, STANDARD
+from ..index.catalog import IndexCatalog
 from ..index.merge import TieredMergeConfig, maybe_merge
 from ..index.writer import IndexWriter
 
 __all__ = ["stream_index", "committed_batches"]
 
 
-def _batches_file(index_dir: str) -> str:
-    return os.path.join(index_dir, "_catalog", "batches.json")
-
-
 def committed_batches(index_dir: str) -> dict:
-    path = _batches_file(index_dir)
-    if not os.path.exists(path):
-        return {}
-    with open(path) as f:
-        return json.load(f)
-
-
-def _record_batch(index_dir: str, batch_id: int, snapshot: int) -> None:
-    batches = committed_batches(index_dir)
-    batches[str(batch_id)] = snapshot
-    path = _batches_file(index_dir)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(batches, f)
-    os.rename(tmp, path)
+    """{batch_id(str): snapshot_id} as visible from the HEAD snapshot — the
+    record travels with the commit, so rollback also rolls back batch ids."""
+    snap = IndexCatalog(index_dir).snapshot()
+    return dict((snap or {}).get("committed_batches", {}))
 
 
 def stream_index(spark: SparkSession, stream_df: DataFrame, key_col: str,
@@ -79,8 +64,8 @@ def stream_index(spark: SparkSession, stream_df: DataFrame, key_col: str,
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if str(batch_id) in committed_batches(index_dir):
             return  # replayed after restart — wave already committed
-        writer.add_documents(batch_df, key_col, text_col)
-        _record_batch(index_dir, int(batch_id), writer.cat.head())
+        writer.add_documents(batch_df, key_col, text_col,
+                             commit_extra={"batch_id": int(batch_id)})
         if merge_every_batches and (batch_id + 1) % merge_every_batches == 0:
             maybe_merge(spark, index_dir, merge_cfg)
 

@@ -31,7 +31,7 @@ def idx(spark, tmp_path):
 def test_classic_formula_unit():
     sim = ClassicSimilarity(doc_count=100, sum_ttf=1000, dtype=np.float64)
     w = sim.weight(df=9, boost=1.0)
-    assert w == pytest.approx(np.log(100 / 10.0) + 1.0)
+    assert w == pytest.approx(np.log(101 / 10.0) + 1.0)
     nb = int(int_to_byte4(np.array([16]))[0])
     s = sim.score(np.array([4]), np.array([nb]), w)
     assert s[0] == pytest.approx(float(w) * 2.0 * (1.0 / 4.0))  # sqrt(4)/sqrt(16)
