@@ -29,7 +29,7 @@ __all__ = ["binary_metadata", "image_features", "frame_sample"]
 IMAGE_META_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
     T.StructField("n_bytes", T.LongType(), False),
-    T.StructField("sha1", T.StringType(), False),
+    T.StructField("sha256", T.StringType(), False),
     T.StructField("width", T.IntegerType(), True),
     T.StructField("height", T.IntegerType(), True),
 ])
@@ -46,7 +46,7 @@ def _decode_image(payload: bytes, strict: bool = False):
     payload hash (keeps the pipeline shape + tests real)."""
     if strict:
         raise NotImplementedError("image decoding requires an imaging library")
-    h = hashlib.sha1(payload).digest()
+    h = hashlib.sha256(payload).digest()
     return {
         "width": 64 + h[0] % 192,
         "height": 64 + h[1] % 192,
@@ -64,8 +64,8 @@ def binary_metadata(docs: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype(np.int64),
                 "n_bytes": pdf[bin_col].map(len).astype(np.int64),
-                "sha1": [hashlib.sha1(bytes(b)).hexdigest()
-                         for b in pdf[bin_col]],
+                "sha256": [hashlib.sha256(bytes(b)).hexdigest()
+                           for b in pdf[bin_col]],
                 "width": [m["width"] for m in metas],
                 "height": [m["height"] for m in metas],
             })

@@ -76,6 +76,14 @@ def _centroids(vectors: DataFrame, vec_col: str, n_lists: int, dim: int,
     return cents
 
 
+def _seq_sq_dist(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        acc = acc + d * d
+    return acc
+
+
 def _nearest_centroid_col(vec_col: str, cents: np.ndarray):
     """JVM-side argmin over centroid dot distances (centroids inlined as
     literals — small, broadcast by constant folding)."""
@@ -93,18 +101,32 @@ def ivf_top_k(vectors: DataFrame, queries: DataFrame, k: int = 10,
               n_lists: int = 8, n_probe: int = 2,
               id_col: str = "vec_id", vec_col: str = "embedding",
               query_id_col: str = "query_id", query_vec_col: str = "query_vec",
-              kmeans_iters: int = 4, seed: int = 13) -> DataFrame:
+              kmeans_iters: int = 4, seed: int = 13,
+              centroid_mode: str = "kmeans") -> DataFrame:
     """IVF-style approximate top-k: probe only the n_probe nearest inverted
     lists per query. Approximate by construction (recall < 1 when the true
-    neighbor lives in an unprobed list)."""
+    neighbor lives in an unprobed list).
+
+    centroid_mode="seed_ids" uses the vectors with the n_lists smallest ids as
+    the coarse quantizer (no Lloyd iterations) — fully reproducible by an
+    external SQL engine, which makes the whole IVF plan oracle-checkable;
+    "kmeans" (default) refines seeded centroids with DataFrame-side Lloyd
+    steps for better list balance."""
     dim = len(vectors.select(vec_col).first()[0])
-    cents = _centroids(vectors, vec_col, n_lists, dim, kmeans_iters, seed)
+    if centroid_mode == "seed_ids":
+        cpd = (vectors.select(id_col, vec_col)
+               .orderBy(id_col).limit(n_lists).toPandas())
+        cents = np.array(cpd[vec_col].tolist(), dtype=np.float64)
+    else:
+        cents = _centroids(vectors, vec_col, n_lists, dim, kmeans_iters, seed)
     v = vectors.withColumn("_list", _nearest_centroid_col(vec_col, cents))
 
     qpd = queries.select(query_id_col, query_vec_col).toPandas()
     qvecs = np.array(qpd[query_vec_col].tolist(), dtype=np.float64)
-    d2 = ((qvecs[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-    probes = np.argsort(d2, axis=1)[:, :n_probe]
+    # left-to-right scalar sums (not numpy pairwise) so an external SQL
+    # engine's sequential double fold reproduces the probe choice bit-exactly
+    d2 = np.array([[_seq_sq_dist(q, c) for c in cents] for q in qvecs])
+    probes = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
     probe_rows = [
         (int(qpd[query_id_col].iloc[i]),
          [float(x) for x in qpd[query_vec_col].iloc[i]],

@@ -102,6 +102,18 @@ class SegmentIndex:
     def norms_for(self, docids: np.ndarray) -> np.ndarray:
         return self._dense_norms[docids]
 
+    def flat_positions(self, term: str):
+        """(docids repeated per position, flat positions) — the whole
+        segment's position stream of a term, for vectorized phrase algebra."""
+        plists = self.positions(term)
+        d, _, _ = self.decode(term)
+        if not plists:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.copy()
+        lens = np.fromiter((len(p) for p in plists), dtype=np.int64,
+                           count=len(plists))
+        return np.repeat(d, lens), np.concatenate(plists).astype(np.int64)
+
     # --- per-block lazy decode for the pruned path -------------------------
     def block_meta(self, term: str):
         blocks = self.term_rows[term]["blocks"]
@@ -335,68 +347,42 @@ class Scorer:
         raise TypeError(f"unsupported query node: {type(q).__name__}")
 
     # ---- phrase matching (ExactPhraseMatcher / SloppyPhraseMatcher) --------
-    def _phrase_freqs(self, q: Q.PhraseQuery):
-        terms = q.terms
-        max_doc = self.seg.max_doc
-        cnt = np.zeros(max_doc, dtype=np.int32)
-        for t in terms:
-            cnt[self.seg.decode(t)[0]] += 1
-        cand = np.flatnonzero(cnt == len(terms))
-        if cand.size == 0:
-            return cand, np.zeros(0, dtype=np.int64)
-        # per-term: map candidate docid -> index into its postings
-        idx_maps = []
-        for t in terms:
-            d, _, _ = self.seg.decode(t)
-            idx_maps.append((d, self.seg.positions(t)))
-        out_docs, out_freqs = [], []
-        for doc in cand:
-            plists = []
-            for d, plist in idx_maps:
-                i = int(np.searchsorted(d, doc))
-                plists.append(np.asarray(plist[i], dtype=np.int64))
-            if q.slop == 0:
-                # positions of term j must appear at base+j (ExactPhraseMatcher)
-                base = plists[0]
-                for j in range(1, len(plists)):
-                    base = base[np.isin(base + j, plists[j])]
-                    if base.size == 0:
-                        break
-                pf = base.size
-            else:
-                pf = _sloppy_freq(plists, q.slop)
-            if pf > 0:
-                out_docs.append(doc)
-                out_freqs.append(pf)
-        return (np.asarray(out_docs, dtype=np.int64),
-                np.asarray(out_freqs, dtype=np.int64))
+    _POS_SHIFT = 32  # (docid << 32) + position composite keys
 
+    def _exact_phrase_counts(self, slot_flats):
+        """Vectorized ExactPhraseMatcher over a whole segment.
 
-    def _multi_phrase_freqs(self, q: Q.MultiPhraseQuery):
-        """MultiPhraseQuery matcher: per phrase position i, the posting union
-        of slots[i] (UnionPostingsEnum analog); freq = number of alignments
-        p such that every slot matches at p+i (exact; slop via the sloppy
-        matcher over the unioned position lists)."""
-        seg = self.seg
-        max_doc = seg.max_doc
-        # candidate docs: contain >= 1 term of EVERY slot
-        mask = np.ones(max_doc, dtype=bool)
-        for slot in q.slots:
-            m = np.zeros(max_doc, dtype=bool)
-            for t in slot:
-                m[seg.decode(t)[0]] = True
-            mask &= m
-        cand = np.flatnonzero(mask)
-        if cand.size == 0:
-            return cand, np.zeros(0, dtype=np.int64)
-        # per slot: docid -> unioned sorted position array
-        slot_maps = []
-        for slot in q.slots:
-            per_term = []
-            for t in slot:
-                d, _, _ = seg.decode(t)
-                per_term.append((d, seg.positions(t)))
-            slot_maps.append(per_term)
+        slot_flats: per phrase slot j, (docids-repeated, flat positions) of
+        the slot's term (or slot union). A phrase start at (doc, p) exists iff
+        every slot j has a position p+j in doc, i.e. the composite keys
+        (doc<<32)+(pos-j) intersect across slots — one sorted-set intersect
+        chain instead of a per-doc Python loop (ExactPhraseMatcher.java
+        semantics, whole-segment at once)."""
+        sh = self._POS_SHIFT
+        keys = None
+        for j, (dd, pp) in enumerate(slot_flats):
+            if j:
+                m = pp >= j  # position < offset can't start a phrase
+                dd, pp = dd[m], pp[m]
+            kj = (dd << sh) + (pp - j)
+            keys = kj if keys is None else np.intersect1d(
+                keys, kj, assume_unique=True)
+            if keys.size == 0:
+                break
+        if keys is None or keys.size == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.copy()
+        docs, counts = np.unique(keys >> sh, return_counts=True)
+        return docs, counts.astype(np.float64)
+
+    def _sloppy_counts(self, cand, slot_maps, terms_per_pp, slop: int):
+        """SloppyPhraseMatcher path: per candidate doc (conjunction-filtered,
+        the rare slop>0 case), run the faithful matcher; freq is the float
+        sum of 1/(1+matchLength) per match (PhraseScorer.java:76-79)."""
+        from .sloppy import SloppyPhraseMatcher
+        matcher = SloppyPhraseMatcher(
+            list(range(len(terms_per_pp))), terms_per_pp, slop)
+        acc_dt = (np.float32 if self.dtype == np.float32 else np.float64)
         out_docs, out_freqs = [], []
         for doc in cand:
             plists = []
@@ -411,20 +397,60 @@ class Scorer:
                 plists.append(merged)
             if any(p.size == 0 for p in plists):
                 continue
-            if q.slop == 0:
-                base = plists[0]
-                for j in range(1, len(plists)):
-                    base = base[np.isin(base + j, plists[j])]
-                    if base.size == 0:
-                        break
-                pf = base.size
-            else:
-                pf = _sloppy_freq(plists, q.slop)
+            pf = matcher.freq(plists, dtype=acc_dt)
             if pf > 0:
-                out_docs.append(doc)
+                out_docs.append(int(doc))
                 out_freqs.append(pf)
         return (np.asarray(out_docs, dtype=np.int64),
-                np.asarray(out_freqs, dtype=np.int64))
+                np.asarray(out_freqs, dtype=np.float64))
+
+    def _phrase_freqs(self, q: Q.PhraseQuery):
+        terms = q.terms
+        if q.slop == 0:
+            flats = [self.seg.flat_positions(t) for t in terms]
+            return self._exact_phrase_counts(flats)
+        max_doc = self.seg.max_doc
+        cnt = np.zeros(max_doc, dtype=np.int32)
+        for t in set(terms):
+            cnt[self.seg.decode(t)[0]] += 1
+        cand = np.flatnonzero(cnt == len(set(terms)))
+        if cand.size == 0:
+            return cand, np.zeros(0, dtype=np.float64)
+        slot_maps = [[(self.seg.decode(t)[0], self.seg.positions(t))]
+                     for t in terms]
+        return self._sloppy_counts(cand, slot_maps,
+                                   [(t,) for t in terms], q.slop)
+
+    def _multi_phrase_freqs(self, q: Q.MultiPhraseQuery):
+        """MultiPhraseQuery matcher: per phrase position i, the posting union
+        of slots[i] (UnionPostingsEnum analog); freq = number of alignments
+        p such that every slot matches at p+i (exact), or the faithful sloppy
+        matcher over the unioned position lists (slop > 0)."""
+        seg = self.seg
+        if q.slop == 0:
+            flats = []
+            for slot in q.slots:
+                parts = [seg.flat_positions(t) for t in slot]
+                dd = np.concatenate([p[0] for p in parts])
+                pp = np.concatenate([p[1] for p in parts])
+                keys = np.unique((dd << self._POS_SHIFT) + pp)
+                flats.append((keys >> self._POS_SHIFT,
+                              keys & ((1 << self._POS_SHIFT) - 1)))
+            return self._exact_phrase_counts(flats)
+        max_doc = seg.max_doc
+        # candidate docs: contain >= 1 term of EVERY slot
+        mask = np.ones(max_doc, dtype=bool)
+        for slot in q.slots:
+            m = np.zeros(max_doc, dtype=bool)
+            for t in slot:
+                m[seg.decode(t)[0]] = True
+            mask &= m
+        cand = np.flatnonzero(mask)
+        if cand.size == 0:
+            return cand, np.zeros(0, dtype=np.float64)
+        slot_maps = [[(seg.decode(t)[0], seg.positions(t)) for t in slot]
+                     for slot in q.slots]
+        return self._sloppy_counts(cand, slot_maps, list(q.slots), q.slop)
 
 
     # ---- spans family (o.a.l/search/spans/) -------------------------------
@@ -517,39 +543,6 @@ class Scorer:
                 freqs.append(len(spans))
         return (np.asarray(docs, dtype=np.int64),
                 np.asarray(freqs, dtype=np.int64))
-
-
-def _sloppy_freq(plists, slop: int) -> int:
-    """Count phrase matches allowing total positional slack <= slop.
-
-    Simplified sloppy matcher: an ordered alignment (p_0..p_n) counts when
-    sum_j |p_j - (p_0 + j)| <= slop, greedily matched left-to-right. This is the
-    common-case behavior of SloppyPhraseMatcher (679 LoC, full repeats handling
-    out of scope — documented divergence)."""
-    count = 0
-    for p0 in plists[0]:
-        budget = slop
-        ok = True
-        prev = p0
-        for j in range(1, len(plists)):
-            target = p0 + j
-            arr = plists[j]
-            k = np.searchsorted(arr, target)
-            best = None
-            for cand in (k - 1, k, k + 1):
-                if 0 <= cand < arr.size:
-                    cost = abs(int(arr[cand]) - target)
-                    if best is None or cost < best[0]:
-                        if arr[cand] > prev - 1:
-                            best = (cost, int(arr[cand]))
-            if best is None or best[0] > budget:
-                ok = False
-                break
-            budget -= best[0]
-            prev = best[1]
-        if ok:
-            count += 1
-    return count
 
 
 # ---------------------------------------------------------------------------

@@ -190,7 +190,36 @@ class OracleIndex:
                 if base:
                     out[key] = len(base)
             else:
-                raise NotImplementedError("oracle checks exact phrases only")
+                if len(q.terms) != 2 or q.terms[0] == q.terms[1]:
+                    raise NotImplementedError(
+                        "oracle sloppy phrases: 2 distinct terms only")
+                # Closed-form leader walk equivalent to SloppyPhraseMatcher
+                # for two distinct terms (derived independently of
+                # search/sloppy.py): adjust positions by query offset; the
+                # first leader is the larger of the two lists' first elements
+                # (tie: the offset-1 term leads, mirroring PhraseQueue pop
+                # order); each leader pairs with max{other <= leader} for one
+                # weight-1/(1+gap) match candidate (counted when gap<=slop),
+                # then the walk jumps to min{other > leader}.
+                lists = (sorted(per_term[0][key]),
+                         sorted(p - 1 for p in per_term[1][key]))
+                lead_lst = 0 if (lists[0][0], 0) > (lists[1][0], 1) else 1
+                qpos = lists[lead_lst][0]
+                f = self.dtype(0.0)
+                while True:
+                    other = lists[1 - lead_lst]
+                    partner = max(p for p in other if p <= qpos)
+                    gap = qpos - partner
+                    if gap <= q.slop:
+                        f = self.dtype(
+                            f + self.dtype(1.0) / self.dtype(1.0 + gap))
+                    nxt = [p for p in other if p > qpos]
+                    if not nxt:
+                        break
+                    qpos = nxt[0]
+                    lead_lst = 1 - lead_lst
+                if f > 0:
+                    out[key] = float(f)
         return out
 
     def top_k(self, q: Q.Query, k: int = 10):

@@ -86,6 +86,9 @@ def _register_queries(oracle):
             tie_breaker=0.3),
         "Q_synonym": Q.SynonymQuery((top_terms[2], top_terms[3])),
         "Q_phrase": Q.PhraseQuery(("twin", "document")),
+        "Q_phrase_sloppy": Q.PhraseQuery(("twin", "document"), slop=2),
+        "Q_phrase_sloppy_wide": Q.PhraseQuery((top_terms[2], top_terms[3]),
+                                              slop=4),
         "Q_const": Q.ConstantScoreQuery(Q.TermQuery(top_terms[0]), boost=1.5),
     }
 
