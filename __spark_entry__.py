@@ -385,8 +385,18 @@ def q_multimodal_metadata(spark, sf_dir):
     return binary_metadata(docs, id_col="doc_id", bin_col="payload")
 
 
+def _seeded_documents(spark, sf_dir):
+    """documents + exact copies of docs 0-4 under shifted ids: guarantees the
+    dedup operators have real duplicates to find (the synthetic corpus has
+    none), deterministically reproducible by the SQL oracle."""
+    docs = _documents(spark, sf_dir)
+    return docs.unionByName(
+        docs.where(F.col("doc_id") < 5)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+
+
 def q_exact_duplicates(spark, sf_dir):
-    out = dedup.exact_duplicates(_documents(spark, sf_dir))
+    out = dedup.exact_duplicates(_seeded_documents(spark, sf_dir))
     return out.select(
         "text_hash", F.col("dup_count").cast("long"),
         F.array_join(F.transform("doc_ids", lambda x: x.cast("string")), ",")
@@ -442,13 +452,19 @@ def q_ivf_topk(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"))
-    out = similarity.ivf_top_k(emb, queries, k=5, n_lists=8, n_probe=3)
+    out = similarity.ivf_top_k(emb, queries, k=5, n_lists=8, n_probe=3,
+                               centroid_mode="seed_ids")
     return out.select("query_id", "vec_id",
-                      _micro_col("cosine").alias("cosine_micro"), "rank")
+                      _micro_col("cosine").alias("cosine_micro"),
+                      F.col("rank").cast("long"))
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    out = dedup.embedding_near_dups(_embeddings(spark, sf_dir), tau=0.9)
+    emb = _embeddings(spark, sf_dir)
+    seeded = emb.unionByName(
+        emb.where(F.col("vec_id") < 3)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(1000000)))
+    out = dedup.embedding_near_dups(seeded, tau=0.9)
     return out.select("id_a", "id_b", _micro_col("cosine").alias("cosine_micro"))
 
 
@@ -831,9 +847,12 @@ SELECT doc_id, {_micro('s')} AS score_micro FROM ms
 ORDER BY s DESC, doc_id LIMIT 10""")
 
     out["exact_duplicates"] = """
+WITH sd AS (SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 5)
 SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS dup_count,
        array_to_string(list_sort(list(doc_id)), ',') AS doc_ids_csv
-FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1"""
+FROM sd GROUP BY md5(text) HAVING COUNT(*) > 1"""
 
     out["ngram_jaccard"] = _topk_sql(["""
 sh AS (SELECT DISTINCT a.doc_id AS doc_id,
@@ -920,6 +939,266 @@ pre AS (SELECT doc_id,
         FROM w WHERE pos <= 8 GROUP BY doc_id)
 SELECT c.doc_id, md5(c.c) AS fingerprint, md5(pre.p) AS prefix_fingerprint
 FROM canon c JOIN pre ON pre.doc_id = c.doc_id"""
+
+    # --- phrase_sloppy_topk: recursive leader walk ------------------------
+    # Closed form of SloppyPhraseMatcher for two distinct terms (the walk is
+    # proven equivalent in tests/test_sloppy_phrase.py): first leader = max of
+    # the two lists' first adjusted positions (tie -> offset-1 term), each
+    # leader contributes 1/(1+gap) when gap = leader - max{other <= leader}
+    # is <= slop, then the walk jumps to min{other > leader}.
+    snw2 = f"({_idf(PHRASE[0])} + {_idf(PHRASE[1])})"
+    out["phrase_sloppy_topk"] = f"""WITH RECURSIVE {_prelude()[len(chr(10) + 'WITH '):]},
+pp2 AS (SELECT doc_id, CAST(pos AS BIGINT) AS p, 0 AS lst FROM tok
+        WHERE term = '{PHRASE[0]}'
+        UNION ALL
+        SELECT doc_id, CAST(pos AS BIGINT) - 1, 1 FROM tok
+        WHERE term = '{PHRASE[1]}'),
+f2 AS (SELECT * FROM (
+         SELECT doc_id,
+                MIN(CASE WHEN lst = 0 THEN p END) AS fa,
+                MIN(CASE WHEN lst = 1 THEN p END) AS fb
+         FROM pp2 GROUP BY doc_id)
+       WHERE fa IS NOT NULL AND fb IS NOT NULL),
+walk(doc_id, qpos, lst) AS (
+    SELECT doc_id, CASE WHEN fa > fb THEN fa ELSE fb END,
+           CASE WHEN fa > fb THEN 0 ELSE 1 END
+    FROM f2
+    UNION ALL
+    SELECT w.doc_id, o2.p, 1 - w.lst
+    FROM walk w JOIN pp2 o2
+      ON o2.doc_id = w.doc_id AND o2.lst = 1 - w.lst
+     AND o2.p = (SELECT MIN(o.p) FROM pp2 o
+                 WHERE o.doc_id = w.doc_id AND o.lst = 1 - w.lst
+                   AND o.p > w.qpos)),
+gaps AS (SELECT w.doc_id,
+                w.qpos - (SELECT MAX(o.p) FROM pp2 o
+                          WHERE o.doc_id = w.doc_id AND o.lst = 1 - w.lst
+                            AND o.p <= w.qpos) AS gap
+         FROM walk w),
+sfq AS (SELECT doc_id, SUM(1e0/(1e0 + gap)) AS sfreq
+        FROM gaps WHERE gap <= 2 GROUP BY doc_id),
+sps2 AS (SELECT sfq.doc_id AS doc_id,
+                ({snw2} - {snw2}/(1e0 + sfq.sfreq*{_NI})) AS s
+         FROM sfq JOIN qd ON sfq.doc_id = qd.doc_id)
+SELECT doc_id, {_micro('s')} AS score_micro FROM sps2
+ORDER BY s DESC, doc_id LIMIT 10"""
+
+    # --- highlight_topk: fragmenter walk over the OR top-10 ----------------
+    hl_terms = f"('{T1}', '{T2}')"
+    out["highlight_topk"] = f"""WITH RECURSIVE {_prelude()[len(chr(10) + 'WITH '):]},
+{s1},
+{s2},
+u2 AS (SELECT COALESCE(s1.doc_id, s2.doc_id) AS doc_id,
+              COALESCE(s1.s, 0e0) + COALESCE(s2.s, 0e0) AS s
+       FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id),
+top10 AS (SELECT doc_id, {_micro('s')} AS score_micro FROM u2
+          ORDER BY s DESC, doc_id LIMIT 10),
+tko AS (SELECT t.doc_id, t.term, t.pos,
+               CAST(COALESCE(SUM(LENGTH(t2.term) + 1), 0) AS BIGINT) AS start_c,
+               CAST(COALESCE(SUM(LENGTH(t2.term) + 1), 0)
+                    + LENGTH(t.term) AS BIGINT) AS end_c
+        FROM tok t
+        LEFT JOIN tok t2 ON t2.doc_id = t.doc_id AND t2.pos < t.pos
+        WHERE t.doc_id IN (SELECT doc_id FROM top10)
+        GROUP BY t.doc_id, t.term, t.pos),
+fw(doc_id, frag_ord, fs_char, fs_pos) AS (
+    SELECT doc_id, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM (SELECT DISTINCT doc_id FROM tko)
+    UNION ALL
+    SELECT f.doc_id, f.frag_ord + 1, t2.start_c, t2.pos
+    FROM fw f JOIN tko t2
+      ON t2.doc_id = f.doc_id
+     AND t2.pos = (SELECT MIN(t.pos) FROM tko t
+                   WHERE t.doc_id = f.doc_id AND t.pos > f.fs_pos
+                     AND t.end_c > f.fs_char + 80)),
+frg AS (SELECT f.doc_id, f.frag_ord, f.fs_pos,
+               COALESCE((SELECT MIN(t.pos) FROM tko t
+                         WHERE t.doc_id = f.doc_id AND t.pos > f.fs_pos
+                           AND t.end_c > f.fs_char + 80),
+                        1073741824) AS fe_pos
+        FROM fw f),
+fsc AS (SELECT fr.*,
+               (SELECT COUNT(*) FROM tko t
+                WHERE t.doc_id = fr.doc_id AND t.pos >= fr.fs_pos
+                  AND t.pos < fr.fe_pos
+                  AND t.term IN {hl_terms}) AS fscore
+        FROM frg fr),
+pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY fscore DESC, frag_ord) AS rk
+         FROM fsc),
+chosen AS (SELECT * FROM pick WHERE rk <= 2 AND fscore > 0
+           UNION ALL
+           SELECT * FROM pick p WHERE p.rk = 1 AND p.fscore = 0),
+rendered AS (SELECT c.doc_id, c.rk,
+                    (SELECT string_agg(
+                               CASE WHEN t.term IN {hl_terms}
+                                    THEN '<b>' || t.term || '</b>'
+                                    ELSE t.term END, ' ' ORDER BY t.pos)
+                     FROM tko t
+                     WHERE t.doc_id = c.doc_id AND t.pos >= c.fs_pos
+                       AND t.pos < c.fe_pos) AS frag
+             FROM chosen c),
+snips AS (SELECT doc_id,
+                 string_agg(frag, ' ... ' ORDER BY rk) AS snippet
+          FROM rendered GROUP BY doc_id)
+SELECT top10.doc_id, top10.score_micro, snips.snippet AS snippet
+FROM top10 JOIN snips ON snips.doc_id = top10.doc_id"""
+
+    # --- multimodal_metadata: payload = utf-8 text bytes -------------------
+    out["multimodal_metadata"] = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       CAST(64 + CAST('0x' || substr(sha256(text), 1, 2) AS BIGINT) % 192
+            AS INTEGER) AS width,
+       CAST(64 + CAST('0x' || substr(sha256(text), 3, 2) AS BIGINT) % 192
+            AS INTEGER) AS height
+FROM documents"""
+
+    # --- minhash_lsh: md5-derived MinHash + banded LSH + exact Jaccard -----
+    _mrng = np.random.RandomState(42)
+    _ma = _mrng.randint(1, dedup.MERSENNE, 16).astype(np.int64)
+    _mb = _mrng.randint(0, dedup.MERSENNE, 16).astype(np.int64)
+    mh_cols = ",\n             ".join(
+        f"MIN((hx*{int(_ma[i])} + {int(_mb[i])}) % {dedup.MERSENNE}) AS mh_{i}"
+        for i in range(16))
+    band_rows = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {b} AS band, {expr} AS bucket FROM sig".format(
+            b=b, expr=" || '_' || ".join(
+                f"CAST(mh_{b * 4 + j} AS VARCHAR)" for j in range(4)))
+        for b in range(4))
+    out["minhash_lsh"] = _topk_sql(["""
+shm AS (SELECT DISTINCT a.doc_id AS doc_id,
+               a.term || ' ' || b.term || ' ' || c.term AS shingle
+        FROM tok a
+        JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2)""".strip(), f"""
+hxs AS (SELECT doc_id,
+               CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+                 % {dedup.MERSENNE} AS hx
+        FROM shm)""".strip(), f"""
+sig AS (SELECT doc_id,
+             {mh_cols}
+        FROM hxs GROUP BY doc_id)""".strip(), f"""
+banded AS (
+{band_rows})""".strip(), """
+candp AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM banded x JOIN banded y
+            ON x.band = y.band AND x.bucket = y.bucket
+           AND x.doc_id < y.doc_id)""".strip(), """
+szm AS (SELECT doc_id, COUNT(*) AS n_sh FROM shm GROUP BY doc_id)""".strip(), """
+interm AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+           FROM candp c
+           JOIN shm x ON x.doc_id = c.id_a
+           JOIN shm y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+           GROUP BY c.id_a, c.id_b)""".strip(), """
+jm AS (SELECT i.id_a, i.id_b,
+              i.n_common / CAST(a.n_sh + b.n_sh - i.n_common AS DOUBLE) AS jac
+       FROM interm i
+       JOIN szm a ON a.doc_id = i.id_a
+       JOIN szm b ON b.doc_id = i.id_b)""".strip()], f"""
+SELECT id_a, id_b, {_micro('jac')} AS jaccard_micro
+FROM jm WHERE jac >= 0.5e0""")
+
+    # --- simhash: 64-bit Charikar fingerprint from md5 token bits ----------
+    out["simhash"] = """
+WITH w AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents)
+           WHERE term <> '' GROUP BY doc_id, term),
+bits AS (SELECT w.doc_id, j.j,
+                SUM(CASE WHEN
+                      (CAST('0x' || substr(md5(w.term),
+                                           2*(7 - (j.j // 8)) + 1, 2)
+                            AS BIGINT) >> (j.j % 8)) & 1 = 1
+                    THEN w.c ELSE -w.c END) AS s
+         FROM w CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
+         GROUP BY w.doc_id, j.j),
+vals AS (SELECT doc_id,
+                SUM(CASE WHEN s > 0 THEN (CAST(1 AS HUGEINT) << j)
+                         ELSE CAST(0 AS HUGEINT) END) AS v
+         FROM bits GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(CASE WHEN COALESCE(v.v, 0) >= CAST(1 AS HUGEINT) << 63
+                 THEN COALESCE(v.v, 0) - (CAST(1 AS HUGEINT) << 64)
+                 ELSE COALESCE(v.v, 0) END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN vals v ON v.doc_id = d.doc_id"""
+
+    # --- ivf_topk: seeded-centroid IVF is fully SQL-reproducible -----------
+    out["ivf_topk"] = f"""
+WITH e AS (SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+           FROM (SELECT vec_id, unnest(embedding) AS x,
+                        generate_subscripts(embedding, 1) AS i
+                 FROM embeddings)),
+cents AS (SELECT vec_id AS cent, x, i FROM e WHERE vec_id < 8),
+assign_d AS (SELECT v.vec_id, c.cent, SUM((v.x - c.x)*(v.x - c.x)) AS d2
+             FROM e v JOIN cents c ON c.i = v.i
+             GROUP BY v.vec_id, c.cent),
+assignment AS (SELECT vec_id, cent AS list
+               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cent) AS rn
+                     FROM assign_d)
+               WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cent AS list
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cent) AS rn
+                 FROM assign_d WHERE vec_id < 5)
+           WHERE rn <= 3),
+nrm AS (SELECT vec_id, SQRT(SUM(x*x)) AS nv FROM e GROUP BY vec_id),
+cand AS (SELECT p.query_id, a.vec_id
+         FROM probes p JOIN assignment a ON a.list = p.list),
+dots AS (SELECT c.query_id, c.vec_id, SUM(v.x*q.x) AS dot
+         FROM cand c
+         JOIN e v ON v.vec_id = c.vec_id
+         JOIN e q ON q.vec_id = c.query_id AND q.i = v.i
+         GROUP BY c.query_id, c.vec_id),
+cs AS (SELECT d.query_id, d.vec_id, d.dot/(a.nv*b.nv) AS cosine
+       FROM dots d JOIN nrm a ON a.vec_id = d.vec_id
+       JOIN nrm b ON b.vec_id = d.query_id),
+rr AS (SELECT query_id, vec_id, cosine,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rank
+       FROM cs)
+SELECT query_id, vec_id, {_micro('cosine')} AS cosine_micro,
+       CAST(rank AS BIGINT) AS rank
+FROM rr WHERE rank <= 5"""
+
+    # --- embedding_near_dups: random-hyperplane LSH + exact cosine ---------
+    _prng = np.random.RandomState(7)
+    _planes = _prng.standard_normal((8, 64))
+    plane_rows = ",".join(
+        f"({pi},{i},CAST({w!r} AS DOUBLE))"
+        for pi in range(8) for i, w in enumerate(_planes[pi]))
+    out["embedding_near_dups"] = f"""
+WITH se AS (SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000, embedding FROM embeddings
+            WHERE vec_id < 3),
+e AS (SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM se)),
+pl AS (SELECT * FROM (VALUES {plane_rows}) AS t(plane, i, w)),
+signs AS (SELECT e.vec_id, pl.plane,
+                 CASE WHEN SUM(e.x * pl.w) >= 0 THEN '1' ELSE '0' END AS sg
+          FROM e JOIN pl ON pl.i = e.i - 1
+          GROUP BY e.vec_id, pl.plane),
+buckets AS (SELECT vec_id, string_agg(sg, '' ORDER BY plane) AS bucket
+            FROM signs GROUP BY vec_id),
+nrm AS (SELECT vec_id, SQRT(SUM(x*x)) AS nv FROM e GROUP BY vec_id),
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM buckets a JOIN buckets b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+dots AS (SELECT p.id_a, p.id_b, SUM(va.x*vb.x) AS dot
+         FROM pairs p
+         JOIN e va ON va.vec_id = p.id_a
+         JOIN e vb ON vb.vec_id = p.id_b AND vb.i = va.i
+         GROUP BY p.id_a, p.id_b),
+cosn AS (SELECT d.id_a, d.id_b, d.dot/(na.nv*nb.nv) AS cosine
+         FROM dots d JOIN nrm na ON na.vec_id = d.id_a
+         JOIN nrm nb ON nb.vec_id = d.id_b)
+SELECT id_a, id_b, {_micro('cosine')} AS cosine_micro
+FROM cosn WHERE cosine >= 0.9e0"""
 
     out["cosine_topk"] = f"""
 WITH e AS (SELECT vec_id, unnest(embedding) AS x,
