@@ -256,7 +256,7 @@ class Scorer:
             return d, st.score(f, seg.norms_for(d), w)
         if isinstance(q, Q.BooleanQuery):
             return self._eval_bool(q)
-        if isinstance(q, Q.TermInSetQuery):
+        if isinstance(q, (Q.TermInSetQuery, Q.TermPredicateQuery)):
             # only reachable unwrapped in tests; constant score 1*boost
             d = self.eval_match(q)
             return d, np.full(d.size, dt(q.boost), dtype=dt)
@@ -325,6 +325,14 @@ class Scorer:
             for t in q.terms:
                 mask[seg.decode(t)[0]] = True
             return np.flatnonzero(mask)
+        if isinstance(q, Q.TermPredicateQuery):
+            # the scan filter already restricted arriving terms; re-apply the
+            # predicate so terms pulled for OTHER query nodes don't leak in
+            mask = np.zeros(seg.max_doc, dtype=bool)
+            for t in seg.term_rows:
+                if q.matches(t):
+                    mask[seg.decode(t)[0]] = True
+            return np.flatnonzero(mask)
         if isinstance(q, Q.PhraseQuery):
             return self._phrase_freqs(q)[0]
         if isinstance(q, Q.MultiPhraseQuery):
@@ -341,10 +349,39 @@ class Scorer:
                 mask[self.eval_match(sub)] = True
             return np.flatnonzero(mask)
         if isinstance(q, Q.BooleanQuery):
-            return self._eval_bool(q)[0]
+            return self._eval_bool_match(q)
         if isinstance(q, Q.SpanQuery):
             return self.eval_spans(q)[0]
         raise TypeError(f"unsupported query node: {type(q).__name__}")
+
+    def _eval_bool_match(self, q: Q.BooleanQuery) -> np.ndarray:
+        """Match-only boolean evaluation: set algebra over eval_match sets,
+        zero scoring arithmetic (the count()/TotalHitCountCollector path —
+        no norm decode, no BM25)."""
+        max_doc = self.seg.max_doc
+        req = list(q.must) + list(q.filter)
+        if req:
+            mask = np.ones(max_doc, dtype=bool)
+            for sub in req:
+                m = np.zeros(max_doc, dtype=bool)
+                m[self.eval_match(sub)] = True
+                mask &= m
+        else:
+            mask = None
+        msm = q.minimum_should_match
+        if q.should and (mask is None or msm > 0):
+            opt_cnt = np.zeros(max_doc, dtype=np.int32)
+            for sub in q.should:
+                opt_cnt[self.eval_match(sub)] += 1
+            if mask is not None:
+                mask &= opt_cnt >= msm
+            else:
+                mask = opt_cnt >= max(1, msm)
+        elif mask is None:
+            mask = np.zeros(max_doc, dtype=bool)
+        for sub in q.must_not:
+            mask[self.eval_match(sub)] = False
+        return np.flatnonzero(mask)
 
     # ---- phrase matching (ExactPhraseMatcher / SloppyPhraseMatcher) --------
     _POS_SHIFT = 32  # (docid << 32) + position composite keys
@@ -563,14 +600,36 @@ def top_k_from_scored(docids: np.ndarray, scores: np.ndarray, k: int):
 def segment_top_k(seg: SegmentIndex, stats: bm25.BM25Stats,
                   global_df: Dict[str, int], q: Q.Query, k: int,
                   pruning: bool = True,
-                  total_hits_threshold: int = TOTAL_HITS_THRESHOLD):
-    """Per-segment search. Returns (docids, scores, hits, hits_exact)."""
+                  total_hits_threshold: int = TOTAL_HITS_THRESHOLD,
+                  counters: dict | None = None):
+    """Per-segment search. Returns (docids, scores, hits, hits_exact).
+
+    Pruned shapes (each provably returns the exhaustive top-k):
+      * flat term OR            -> _pruned_or   (block-max WAND analog)
+      * flat term AND [+SHOULD] -> _pruned_and  (BlockMaxConjunctionScorer.java
+                                   :30,44 + ReqOptSumScorer, chosen for scored
+                                   MUST at Boolean2ScorerSupplier.java:173)
+      * flat term dismax        -> _pruned_dismax (same chunk skipping with the
+                                   max+tie*(sum-max) upper bound)
+    counters (optional dict) receives chunks_total/chunks_visited for
+    pruning-rate telemetry."""
     q = _push_boost(q, 1.0)
     scorer = Scorer(seg, stats, global_df)
     if pruning:
         flat = _flat_term_disjunction(q)
         if flat is not None:
-            return _pruned_or(seg, stats, global_df, flat, k, total_hits_threshold)
+            return _pruned_or(seg, stats, global_df, flat, k,
+                              total_hits_threshold, counters)
+        conj = _flat_term_conjunction(q)
+        if conj is not None:
+            must, should = conj
+            return _pruned_and(seg, stats, global_df, must, should, k,
+                               total_hits_threshold, counters)
+        dm = _flat_term_dismax(q)
+        if dm is not None:
+            terms, tie = dm
+            return _pruned_dismax(seg, stats, global_df, terms, tie, k,
+                                  total_hits_threshold, counters)
     docids, scores = scorer.eval_scored(q)
     hits = int(docids.size)
     d, s = top_k_from_scored(docids, scores, k)
@@ -589,8 +648,203 @@ def _flat_term_disjunction(q: Q.Query):
     return None
 
 
+def _flat_term_conjunction(q: Q.Query):
+    """([(must_term, boost)], [(should_term, boost)]) if q is a
+    MUST-of-terms conjunction (optional SHOULD-of-terms, msm=0, no
+    must_not/filter) — the BlockMaxConjunction-eligible shape."""
+    if (isinstance(q, Q.BooleanQuery) and q.must and not q.must_not
+            and not q.filter and q.minimum_should_match == 0
+            and all(isinstance(s, Q.TermQuery) for s in q.must)
+            and all(isinstance(s, Q.TermQuery) for s in q.should)):
+        return ([(s.term, s.boost) for s in q.must],
+                [(s.term, s.boost) for s in q.should])
+    return None
+
+
+def _flat_term_dismax(q: Q.Query):
+    """([(term, boost)], tie_breaker) if q is a dismax of TermQuery."""
+    if (isinstance(q, Q.DisjunctionMaxQuery)
+            and all(isinstance(s, Q.TermQuery) for s in q.queries)):
+        return [(s.term, s.boost) for s in q.queries], q.tie_breaker
+    return None
+
+
+def _chunk_bounds(seg: SegmentIndex, stats, gdf, terms, n_chunks: int):
+    """Per-term per-chunk score upper bounds from the block-max metadata.
+    Returns (tbs: {term: float64[n_chunks]}, has: {term: bool[n_chunks]},
+    weights, metas)."""
+    tbs, has, weights, metas = {}, {}, {}, {}
+    for t, boost in terms:
+        w = stats.weight(gdf.get(t, 0), boost)
+        weights[t] = w
+        tb = np.zeros(n_chunks, dtype=np.float64)
+        hb = np.zeros(n_chunks, dtype=bool)
+        if seg.has(t):
+            first, last, mf, mn = seg.block_meta(t)
+            bmax = stats.score(mf, mn, w)
+            c0 = first // CHUNK
+            c1 = last // CHUNK
+            for i in range(first.size):
+                a, b2 = int(c0[i]), int(c1[i])
+                tb[a: b2 + 1] = np.maximum(tb[a: b2 + 1], np.float64(bmax[i]))
+                hb[a: b2 + 1] = True
+            metas[t] = (first, last)
+        tbs[t], has[t] = tb, hb
+    return tbs, has, weights, metas
+
+
+def _accum_chunk(seg, stats, metas, weights, terms, lo, hi, acc, cnt, mask):
+    """Decode each term's blocks overlapping [lo, hi) and accumulate scores
+    into the dense chunk arrays (float64 accumulation, Lucene's double-sum)."""
+    for t, _ in terms:
+        if t not in metas:
+            continue
+        first, last = metas[t]
+        bs = np.flatnonzero((first < hi) & (last >= lo))
+        for bi in bs:
+            d, f, n = seg.decode_block(t, int(bi))
+            sel = (d >= lo) & (d < hi)
+            if not sel.any():
+                continue
+            s = stats.score(f[sel], n[sel], weights[t])
+            acc[d[sel] - lo] += s.astype(np.float64)
+            if cnt is not None:
+                cnt[d[sel] - lo] += 1
+            mask[d[sel] - lo] = True
+
+
+def _pruned_and(seg: SegmentIndex, stats, gdf: Dict[str, int],
+                must, should, k: int, threshold: int,
+                counters: dict | None = None):
+    """Chunked block-max conjunction + optional SHOULD (ReqOptSum): visit
+    chunks where ALL must terms have blocks, in descending upper-bound order,
+    skipping chunks whose bound falls below θ once totalHitsThreshold hits
+    are counted. Scores reproduce _eval_bool bit-for-bit (f64 req/opt sums
+    cast to dtype, ReqOptSumScorer.java:255-265 combine)."""
+    dt = stats.dtype
+    max_doc = seg.max_doc
+    n_chunks = (max_doc + CHUNK - 1) // CHUNK
+    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dt), 0, True)
+    if n_chunks == 0 or any(not seg.has(t) for t, _ in must):
+        return empty
+    m_tbs, m_has, m_w, m_metas = _chunk_bounds(seg, stats, gdf, must, n_chunks)
+    s_tbs, s_has, s_w, s_metas = _chunk_bounds(seg, stats, gdf, should,
+                                               n_chunks)
+    eligible = np.ones(n_chunks, dtype=bool)
+    bounds = np.zeros(n_chunks, dtype=np.float64)
+    for t, _ in must:
+        eligible &= m_has[t]
+        bounds += m_tbs[t]
+    for t, _ in should:
+        bounds += s_tbs[t]
+    order = [int(c) for c in np.argsort(-bounds, kind="stable")
+             if eligible[c]]
+    if counters is not None:
+        counters["chunks_total"] = counters.get("chunks_total", 0) + len(order)
+    top_d = np.zeros(0, dtype=np.int64)
+    top_s = np.zeros(0, dtype=dt)
+    hits, exact, theta = 0, True, -np.inf
+    n_must = len(must)
+    for c in order:
+        if hits >= threshold and top_d.size >= k and bounds[c] < theta:
+            exact = False
+            break
+        if counters is not None:
+            counters["chunks_visited"] = counters.get("chunks_visited", 0) + 1
+        lo, hi = c * CHUNK, min((c + 1) * CHUNK, max_doc)
+        req = np.zeros(hi - lo, dtype=np.float64)
+        cnt = np.zeros(hi - lo, dtype=np.int32)
+        mmask = np.zeros(hi - lo, dtype=bool)
+        _accum_chunk(seg, stats, m_metas, m_w, must, lo, hi, req, cnt, mmask)
+        local = np.flatnonzero(cnt == n_must)
+        if local.size == 0:
+            continue
+        if should:
+            opt = np.zeros(hi - lo, dtype=np.float64)
+            omask = np.zeros(hi - lo, dtype=bool)
+            _accum_chunk(seg, stats, s_metas, s_w, should, lo, hi, opt,
+                         None, omask)
+            r = req[local].astype(dt)
+            o = opt[local].astype(dt)
+            cs = r.copy()
+            has_o = omask[local]
+            cs[has_o] = (r[has_o] + o[has_o]).astype(dt)
+        else:
+            cs = req[local].astype(dt)
+        hits += int(local.size)
+        top_d = np.concatenate([top_d, local + lo])
+        top_s = np.concatenate([top_s, cs])
+        top_d, top_s = top_k_from_scored(top_d, top_s, k)
+        if top_d.size >= k:
+            theta = float(top_s[-1])
+    return top_d, top_s, hits, exact
+
+
+def _pruned_dismax(seg: SegmentIndex, stats, gdf: Dict[str, int],
+                   terms, tie: float, k: int, threshold: int,
+                   counters: dict | None = None):
+    """Chunked block-max dismax: chunk bound = max_i b_i + tie*(Σb - max_i b)
+    — a valid upper bound of max + tie*(sum-max) per doc."""
+    dt = stats.dtype
+    max_doc = seg.max_doc
+    n_chunks = (max_doc + CHUNK - 1) // CHUNK
+    present = [(t, b) for (t, b) in terms if seg.has(t)]
+    if not present or n_chunks == 0:
+        return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dt), 0, True)
+    tbs, has, weights, metas = _chunk_bounds(seg, stats, gdf, present,
+                                             n_chunks)
+    any_has = np.zeros(n_chunks, dtype=bool)
+    mx = np.zeros(n_chunks, dtype=np.float64)
+    sm = np.zeros(n_chunks, dtype=np.float64)
+    for t, _ in present:
+        any_has |= has[t]
+        mx = np.maximum(mx, tbs[t])
+        sm += tbs[t]
+    bounds = mx + (sm - mx) * tie
+    order = [int(c) for c in np.argsort(-bounds, kind="stable")
+             if any_has[c]]
+    if counters is not None:
+        counters["chunks_total"] = counters.get("chunks_total", 0) + len(order)
+    top_d = np.zeros(0, dtype=np.int64)
+    top_s = np.zeros(0, dtype=dt)
+    hits, exact, theta = 0, True, -np.inf
+    for c in order:
+        if hits >= threshold and top_d.size >= k and bounds[c] < theta:
+            exact = False
+            break
+        if counters is not None:
+            counters["chunks_visited"] = counters.get("chunks_visited", 0) + 1
+        lo, hi = c * CHUNK, min((c + 1) * CHUNK, max_doc)
+        dmx = np.full(hi - lo, -np.inf, dtype=np.float64)
+        dsm = np.zeros(hi - lo, dtype=np.float64)
+        mask = np.zeros(hi - lo, dtype=bool)
+        for t, _ in present:
+            first, last = metas[t]
+            bs = np.flatnonzero((first < hi) & (last >= lo))
+            for bi in bs:
+                d, f, n = seg.decode_block(t, int(bi))
+                sel = (d >= lo) & (d < hi)
+                if not sel.any():
+                    continue
+                s = stats.score(f[sel], n[sel], weights[t]).astype(np.float64)
+                np.maximum.at(dmx, d[sel] - lo, s)
+                dsm[d[sel] - lo] += s
+                mask[d[sel] - lo] = True
+        local = np.flatnonzero(mask)
+        if local.size == 0:
+            continue
+        cs = (dmx[local] + (dsm[local] - dmx[local]) * tie).astype(dt)
+        hits += int(local.size)
+        top_d = np.concatenate([top_d, local + lo])
+        top_s = np.concatenate([top_s, cs])
+        top_d, top_s = top_k_from_scored(top_d, top_s, k)
+        if top_d.size >= k:
+            theta = float(top_s[-1])
+    return top_d, top_s, hits, exact
+
+
 def _pruned_or(seg: SegmentIndex, stats: bm25.BM25Stats, gdf: Dict[str, int],
-               terms, k: int, threshold: int):
+               terms, k: int, threshold: int, counters: dict | None = None):
     """Chunked block-max disjunction (vectorized WAND analog)."""
     dt = stats.dtype
     max_doc = seg.max_doc
@@ -619,6 +873,8 @@ def _pruned_or(seg: SegmentIndex, stats: bm25.BM25Stats, gdf: Dict[str, int],
         metas[t] = (first, last)
 
     order = [int(c) for c in np.argsort(-bounds, kind="stable") if has_block[c]]
+    if counters is not None:
+        counters["chunks_total"] = counters.get("chunks_total", 0) + len(order)
     top_d = np.zeros(0, dtype=np.int64)
     top_s = np.zeros(0, dtype=dt)
     hits = 0
@@ -628,6 +884,8 @@ def _pruned_or(seg: SegmentIndex, stats: bm25.BM25Stats, gdf: Dict[str, int],
         if hits >= threshold and top_d.size >= k and bounds[c] < theta:
             exact = False
             break
+        if counters is not None:
+            counters["chunks_visited"] = counters.get("chunks_visited", 0) + 1
         lo, hi = int(c) * CHUNK, min((int(c) + 1) * CHUNK, max_doc)
         acc = np.zeros(hi - lo, dtype=np.float64)
         mask = np.zeros(hi - lo, dtype=bool)

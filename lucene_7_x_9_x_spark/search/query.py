@@ -120,6 +120,7 @@ class FuzzyQuery(Query):
     max_edits: int = 2
     prefix_length: int = 0
     boost: float = 1.0
+    max_expansions: int = 50  # FuzzyQuery.java:57 defaultMaxExpansions
 
 
 @dataclass(frozen=True)
@@ -135,6 +136,39 @@ class TermRangeQuery(Query):
 class TermInSetQuery(Query):
     terms: Tuple[str, ...]
     boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermPredicateQuery(Query):
+    """INTERNAL: constant-score MultiTermQuery rewrite target that carries the
+    term PREDICATE instead of a materialized term list, so prefix/wildcard/
+    regexp/range expansion never leaves the executors (no driver collect, no
+    million-literal isin — the scale guard Lucene gets from automata +
+    maxClauseCount, MultiTermQuery.java:66-100). The same predicate is applied
+    twice: pushed into the postings scan as a Column filter (partition/
+    row-group pruning) and re-evaluated in the kernel on the terms that
+    arrive.
+
+    kind: 'prefix' (args=(prefix,)), 'regex' (args=(anchored_pattern,)),
+    'range' (args=(lower, upper, include_lower, include_upper))."""
+    kind: str
+    args: tuple
+    boost: float = 1.0
+
+    def matches(self, term: str) -> bool:
+        if self.kind == "prefix":
+            return term.startswith(self.args[0])
+        if self.kind == "regex":
+            import re
+            return re.match(self.args[0], term) is not None
+        if self.kind == "range":
+            lo, hi, inc_lo, inc_hi = self.args
+            if lo is not None and (term < lo or (term == lo and not inc_lo)):
+                return False
+            if hi is not None and (term > hi or (term == hi and not inc_hi)):
+                return False
+            return True
+        raise ValueError(self.kind)
 
 
 # ---- Spans family (o.a.l/search/spans/, SURVEY §2.3) ----------------------
@@ -228,3 +262,23 @@ def collect_terms(q: Query) -> set:
     if isinstance(q, SpanQuery):
         return span_terms(q)
     return set()
+
+
+def collect_predicates(q: Query) -> list:
+    """All TermPredicateQuery nodes of a (rewritten) query — their predicates
+    must be OR-ed into the postings scan filter."""
+    if isinstance(q, TermPredicateQuery):
+        return [q]
+    if isinstance(q, BooleanQuery):
+        out = []
+        for sub in q.must + q.should + q.must_not + q.filter:
+            out.extend(collect_predicates(sub))
+        return out
+    if isinstance(q, DisjunctionMaxQuery):
+        out = []
+        for sub in q.queries:
+            out.extend(collect_predicates(sub))
+        return out
+    if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+        return collect_predicates(q.query)
+    return []

@@ -60,10 +60,12 @@ class TopDocs:
 
 
 def _segment_kernel_fn(query, seg_meta, stats_args, gdf, k, pruning, threshold,
-                       after=None, seg_ords=None, deletes=None):
-    deletes = deletes or {}
-
+                       after=None, seg_ords=None, deletes_bc=None):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deletes ride a broadcast, not the task closure: at
+        # deletesPctAllowed-scale .liv sets, closure-shipping would re-send
+        # megabytes per task (searcher.py round-1 defect #6)
+        deletes = deletes_bc.value if deletes_bc is not None else {}
         seg_id = int(pdf["segment_id"].iloc[0])
         rows = {
             r.term: {"df": r.df, "ttf": r.ttf,
@@ -133,6 +135,10 @@ class IndexSearcher:
         self.deletes = load_deletes(
             spark, index_dir, set(self._seg_ids),
             gens=self._snapshot.get("delete_gens", []))
+        # one broadcast per searcher; every kernel UDF reads deletes from it
+        self._deletes_bc = (
+            spark.sparkContext.broadcast(self.deletes)
+            if self.deletes else None)
         self._df_cache: dict = {}
         self.del_counts = {s["segment_id"]: s.get("del_count", 0)
                            for s in self.segments}
@@ -155,21 +161,50 @@ class IndexSearcher:
         return self._docs
 
     def _expand_query(self, q: Q.Query) -> Q.Query:
-        """Expand MultiTermQuery nodes with DataFrame predicates on the term
-        dictionary (partition-/stats-pruned scan), then fixpoint-rewrite."""
+        """Rewrite MultiTermQuery nodes (MultiTermQuery.java:66-100):
+
+        CONSTANT_SCORE rewrites (prefix/wildcard/regexp/range, the 8.x
+        default) become TermPredicateQuery nodes — the predicate is pushed
+        into the postings scan and re-applied executor-side; NO term list is
+        ever materialized on the driver (the automaton-over-FST scale guard).
+        Scored rewrites (fuzzy) expand driver-side but capped at
+        maxExpansions by descending docFreq (TopTermsRewrite.java), so the
+        collect is bounded at 50 rows regardless of dictionary size."""
         def expand(node):
-            if isinstance(node, Q.MULTI_TERM_TYPES):
-                terms = self._matching_terms(node)
+            if isinstance(node, Q.PrefixQuery):
+                return Q.ConstantScoreQuery(
+                    Q.TermPredicateQuery("prefix", (node.prefix,)),
+                    boost=node.boost)
+            if isinstance(node, Q.WildcardQuery):
+                import fnmatch
+                return Q.ConstantScoreQuery(
+                    Q.TermPredicateQuery(
+                        "regex", (fnmatch.translate(node.pattern),)),
+                    boost=node.boost)
+            if isinstance(node, Q.RegexpQuery):
+                return Q.ConstantScoreQuery(
+                    Q.TermPredicateQuery("regex", (f"^(?:{node.regexp})$",)),
+                    boost=node.boost)
+            if isinstance(node, Q.TermRangeQuery):
+                return Q.ConstantScoreQuery(
+                    Q.TermPredicateQuery(
+                        "range", (node.lower, node.upper, node.include_lower,
+                                  node.include_upper)),
+                    boost=node.boost)
+            if isinstance(node, Q.TermInSetQuery):
+                # terms are user-given: no dictionary lookup needed at all
+                return Q.ConstantScoreQuery(
+                    Q.TermInSetQuery(tuple(sorted(node.terms))),
+                    boost=node.boost)
+            if isinstance(node, Q.FuzzyQuery):
+                terms = self._fuzzy_terms(node)
                 if not terms:
                     return Q.MatchNoDocsQuery()
-                if isinstance(node, Q.FuzzyQuery):
-                    # FuzzyQuery blends matched terms as synonyms of the target
-                    # (TopTermsBlendedFreqScoringRewrite simplified to the
-                    # SynonymQuery-style blend; documented divergence: no
-                    # top-50 expansion cap needed at our term cardinalities)
-                    return Q.SynonymQuery(tuple(sorted(terms)), boost=node.boost)
-                return Q.ConstantScoreQuery(
-                    Q.TermInSetQuery(tuple(sorted(terms))), boost=node.boost)
+                # matched terms blend as synonyms of the target
+                # (TopTermsBlendedFreqScoringRewrite simplified to the
+                # SynonymQuery-style blend; documented divergence: per-term
+                # distance boosts are not applied)
+                return Q.SynonymQuery(tuple(sorted(terms)), boost=node.boost)
             if isinstance(node, Q.BooleanQuery):
                 return Q.BooleanQuery(
                     tuple(expand(s) for s in node.must),
@@ -188,33 +223,49 @@ class IndexSearcher:
 
         return _rewrite_tree(expand(q))
 
-    def _matching_terms(self, node) -> list:
-        td = self._postings.select("term").distinct()
+    def _fuzzy_terms(self, node: Q.FuzzyQuery) -> list:
+        """Top-maxExpansions matching terms by descending docFreq (term asc
+        tie-break) — the bounded scored-rewrite expansion."""
         c = F.col("term")
-        if isinstance(node, Q.PrefixQuery):
-            td = td.where(c.startswith(node.prefix))
-        elif isinstance(node, Q.WildcardQuery):
-            import fnmatch
-            td = td.where(c.rlike(fnmatch.translate(node.pattern)))
-        elif isinstance(node, Q.RegexpQuery):
-            td = td.where(c.rlike(f"^(?:{node.regexp})$"))
-        elif isinstance(node, Q.TermRangeQuery):
-            if node.lower is not None:
-                td = td.where(c >= node.lower if node.include_lower else c > node.lower)
-            if node.upper is not None:
-                td = td.where(c <= node.upper if node.include_upper else c < node.upper)
-        elif isinstance(node, Q.TermInSetQuery):
-            td = td.where(c.isin(list(node.terms)))
-        elif isinstance(node, Q.FuzzyQuery):
-            pre = node.term[: node.prefix_length]
-            if pre:
-                td = td.where(c.startswith(pre))
-            td = td.where(
-                (F.abs(F.length(c) - len(node.term)) <= node.max_edits)
-                & (F.levenshtein(c, F.lit(node.term)) <= node.max_edits))
-        else:
-            raise TypeError(type(node))
-        return [r[0] for r in td.collect()]
+        td = self._postings
+        pre = node.term[: node.prefix_length]
+        if pre:
+            td = td.where(c.startswith(pre))
+        td = td.where(
+            (F.abs(F.length(c) - len(node.term)) <= node.max_edits)
+            & (F.levenshtein(c, F.lit(node.term)) <= node.max_edits))
+        rows = (td.groupBy("term").agg(F.sum("df").alias("df"))
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(node.max_expansions).collect())
+        return [r["term"] for r in rows]
+
+    def _predicate_col(self, p: Q.TermPredicateQuery):
+        """The same predicate as p.matches(), as a pushable Column filter."""
+        c = F.col("term")
+        if p.kind == "prefix":
+            return c.startswith(p.args[0])
+        if p.kind == "regex":
+            return c.rlike(p.args[0])
+        if p.kind == "range":
+            lo, hi, inc_lo, inc_hi = p.args
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (c >= lo if inc_lo else c > lo)
+            if hi is not None:
+                cond = cond & (c <= hi if inc_hi else c < hi)
+            return cond
+        raise ValueError(p.kind)
+
+    def _term_scan(self, q: Q.Query) -> DataFrame:
+        """Postings scan filtered to exactly what the query needs: explicit
+        terms via IN (row-group pruned by the term sort) OR'd with pushed-down
+        predicate filters for TermPredicateQuery nodes."""
+        terms = Q.collect_terms(q)
+        preds = Q.collect_predicates(q)
+        cond = F.col("term").isin(list(terms)) if terms else F.lit(False)
+        for p in preds:
+            cond = cond | self._predicate_col(p)
+        return self._postings.where(cond)
 
     def _global_df(self, terms) -> dict:
         """Cross-segment docFreq per term (TermStates resolution). Memoized:
@@ -255,12 +306,12 @@ class IndexSearcher:
             return self._match_all_top_k(q, k, fetch_keys)
         terms = Q.collect_terms(q)
         gdf = self._global_df(terms)
-        scan = self._postings.where(F.col("term").isin(list(terms)))
+        scan = self._term_scan(q)
         fn = _segment_kernel_fn(
             q, self.seg_meta, self._stats_args(), gdf, k, pruning,
             total_hits_threshold,
             after=after, seg_ords=self.seg_ords if after else None,
-            deletes=self.deletes)
+            deletes_bc=self._deletes_bc)
         out = scan.groupBy("segment_id").applyInPandas(fn, _KERNEL_OUT).toPandas()
         per_seg_hits = out.drop_duplicates("segment_id")[["hits", "exact"]] \
             if len(out) else pd.DataFrame(columns=["hits", "exact"])
@@ -332,7 +383,7 @@ class IndexSearcher:
         terms = Q.collect_terms(q)
         gdf = self._global_df(terms)
         rows = (
-            self._postings.where(F.col("term").isin(list(terms)))
+            self._term_scan(q)
             .where(F.col("segment_id") == segment_id).collect()
         )
         term_rows = {
@@ -347,21 +398,23 @@ class IndexSearcher:
         return K.explain(seg, stats, gdf, q, docid)
 
     def count(self, q: Q.Query) -> int:
-        """TotalHitCountCollector analog (TotalHitCountCollector.java)."""
+        """TotalHitCountCollector analog (TotalHitCountCollector.java):
+        match-only evaluation — no norm decode, no BM25 arithmetic in the
+        plan, just the match-set cardinality."""
         q = self._expand_query(q)
         if isinstance(q, Q.MatchNoDocsQuery):
             return 0
         if isinstance(q, Q.MatchAllDocsQuery):
             return sum(s["max_doc"] - s.get("del_count", 0)
                        for s in self.segments)
-        td = self.search(q, k=1, pruning=False, fetch_keys=False)
-        return td.total_hits
+        return int(self.matches_df(q, _pre_expanded=True).count())
 
-    def matches_df(self, q: Q.Query) -> DataFrame:
+    def matches_df(self, q: Q.Query, _pre_expanded: bool = False) -> DataFrame:
         """Distributed (segment_id, docid) match set — composes with DataFrame
         ops for grouping / faceting / field-sort (SURVEY §2.5: all Spark
         built-ins once the match set exists)."""
-        q = self._expand_query(q)
+        if not _pre_expanded:
+            q = self._expand_query(q)
         if isinstance(q, Q.MatchNoDocsQuery):
             return self._docs.select("segment_id", "docid").limit(0)
         if isinstance(q, Q.MatchAllDocsQuery):
@@ -370,9 +423,10 @@ class IndexSearcher:
         gdf = self._global_df(terms)
         stats_args = self._stats_args()
         seg_meta = self.seg_meta
-        deletes = self.deletes
+        deletes_bc = self._deletes_bc
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            deletes = deletes_bc.value if deletes_bc is not None else {}
             seg_id = int(pdf["segment_id"].iloc[0])
             rows = {
                 r.term: {"df": r.df, "ttf": r.ttf,
@@ -393,7 +447,7 @@ class IndexSearcher:
                 "docid": d.astype(np.int32),
             })
 
-        scan = self._postings.where(F.col("term").isin(list(terms)))
+        scan = self._term_scan(q)
         return scan.groupBy("segment_id").applyInPandas(fn, _MATCH_OUT)
 
     def scores_df(self, q: Q.Query) -> DataFrame:
@@ -404,7 +458,7 @@ class IndexSearcher:
         gdf = self._global_df(terms)
         stats_args = self._stats_args()
         seg_meta = self.seg_meta
-        deletes = self.deletes
+        deletes_bc = self._deletes_bc
 
         out_schema = T.StructType([
             T.StructField("segment_id", T.IntegerType(), False),
@@ -413,6 +467,7 @@ class IndexSearcher:
         ])
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            deletes = deletes_bc.value if deletes_bc is not None else {}
             seg_id = int(pdf["segment_id"].iloc[0])
             rows = {
                 r.term: {"df": r.df, "ttf": r.ttf,
@@ -434,5 +489,5 @@ class IndexSearcher:
                 "score": s.astype(np.float64),
             })
 
-        scan = self._postings.where(F.col("term").isin(list(terms)))
+        scan = self._term_scan(q)
         return scan.groupBy("segment_id").applyInPandas(fn, out_schema)
