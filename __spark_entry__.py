@@ -305,6 +305,36 @@ def q_span_first_count(spark, sf_dir):
                      Q.SpanFirstQuery(Q.SpanTermQuery(T1), end=5))
 
 
+def _span_big(slop=6):
+    """near(spark .. merge, ordered) — the container span for contain tests."""
+    return Q.SpanNearQuery((Q.SpanTermQuery(T1), Q.SpanTermQuery(T3)),
+                           slop=slop, in_order=True)
+
+
+def q_span_containing_topk(spark, sf_dir):
+    """SpanContainingQuery: spark..merge spans that contain a 'table'."""
+    return _topk_df(spark, sf_dir,
+                    Q.SpanContainingQuery(_span_big(), Q.SpanTermQuery(T2)))
+
+
+def q_span_within_count(spark, sf_dir):
+    """SpanWithinQuery: 'table' occurrences inside a spark..merge span."""
+    return _count_df(spark, sf_dir,
+                     Q.SpanWithinQuery(_span_big(), Q.SpanTermQuery(T2)))
+
+
+def q_span_position_range_count(spark, sf_dir):
+    return _count_df(spark, sf_dir,
+                     Q.SpanPositionRangeQuery(Q.SpanTermQuery(T2),
+                                              start=2, end=8))
+
+
+def q_span_unordered_topk(spark, sf_dir):
+    """Unordered SpanNear (NearSpansUnordered window semantics)."""
+    return _topk_df(spark, sf_dir, Q.SpanNearQuery(
+        (Q.SpanTermQuery(T1), Q.SpanTermQuery(T3)), slop=4, in_order=False))
+
+
 def q_multi_phrase_topk(spark, sf_dir):
     """MultiPhraseQuery: ('fast'|'slow') followed by 'sort'."""
     return _topk_df(spark, sf_dir,
@@ -355,6 +385,49 @@ def q_spell_suggest(spark, sf_dir):
     from lucene_7_x_9_x_spark.operators.suggest import spell_suggest
     s = _searcher(spark, sf_dir)
     return spell_suggest(s.postings_df(), "sparkk", max_edits=2, k=5)
+
+
+def q_suggest_completions(spark, sf_dir):
+    """Lookup/AnalyzingSuggester analog: weighted prefix completion."""
+    from lucene_7_x_9_x_spark.operators.suggest import prefix_completions
+    s = _searcher(spark, sf_dir)
+    return prefix_completions(s.postings_df(), "s", k=5)
+
+
+def q_facet_hierarchy(spark, sf_dir):
+    """Hierarchical taxonomy facets (lang -> lang/source) over the match set."""
+    from lucene_7_x_9_x_spark.operators.collectors import (
+        hierarchical_facet_counts)
+    m = _matches_with_meta(spark, sf_dir, Q.TermQuery(T1))
+    return hierarchical_facet_counts(m.select("lang", "source"),
+                                     ["lang", "source"])
+
+
+def _geo_docs(spark, sf_dir):
+    """documents + deterministic synthetic lat/lon derived from doc_id (the
+    testdata has no geo columns; integer-arithmetic derivation is reproduced
+    exactly by the SQL oracle)."""
+    d = _documents(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        (F.lit(-60.0) + (F.col("doc_id") * 7919 % 12000) / 100.0).alias("lat"),
+        (F.lit(-180.0) + (F.col("doc_id") * 104729 % 36000) / 100.0)
+        .alias("lon"))
+
+
+def q_geo_box_count(spark, sf_dir):
+    from lucene_7_x_9_x_spark.operators.geo import box_query
+    n = box_query(_geo_docs(spark, sf_dir), "lat", "lon",
+                  10.0, 45.0, -30.0, 60.0).count()
+    return spark.createDataFrame([(int(n),)], "cnt long")
+
+
+def q_geo_distance_matches(spark, sf_dir):
+    from lucene_7_x_9_x_spark.operators.geo import distance_query
+    out = distance_query(_geo_docs(spark, sf_dir), "lat", "lon",
+                         25.0, 10.0, 2_000_000.0)
+    return out.select("doc_id",
+                      _micro_col("distance_m").alias("distance_micro"))
 
 
 def q_queryparser_topk(spark, sf_dir):
@@ -510,12 +583,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classic_tfidf_topk": q_classic_tfidf_topk,
         "span_near_topk": q_span_near_topk,
         "span_first_count": q_span_first_count,
+        "span_containing_topk": q_span_containing_topk,
+        "span_within_count": q_span_within_count,
+        "span_position_range_count": q_span_position_range_count,
+        "span_unordered_topk": q_span_unordered_topk,
         "multi_phrase_topk": q_multi_phrase_topk,
         "rescore_topk": q_rescore_topk,
         "sorted_by_field": q_sorted_by_field,
         "numeric_range_count": q_numeric_range_count,
         "join_query": q_join_query,
         "spell_suggest": q_spell_suggest,
+        "suggest_completions": q_suggest_completions,
+        "facet_hierarchy": q_facet_hierarchy,
+        "geo_box_count": q_geo_box_count,
+        "geo_distance_matches": q_geo_distance_matches,
         "queryparser_topk": q_queryparser_topk,
         "phrase_sloppy_topk": q_phrase_sloppy_topk,
         "highlight_topk": q_highlight_topk,
@@ -721,14 +802,23 @@ cs AS (SELECT tf.doc_id AS doc_id,
 SELECT doc_id, {_micro('s')} AS score_micro FROM cs
 ORDER BY s DESC, doc_id LIMIT 10""")
 
-    # span weight: idf summed over sorted(span_terms) = [fast, sort]
+    # span weight: idf summed over sorted(span_terms) = [fast, sort].
+    # NearSpansOrdered semantics: each clause-0 span pairs with the FIRST
+    # 'sort' occurrence at pos >= its end (monotonic pointer — equivalent to
+    # MIN since span ends are increasing); freq = SpanScorer's sloppy freq
+    # sum(1/(1+width)), width = the gap (NearSpansOrdered.java:96-121,
+    # SpanScorer.java:118).
     snw = f"({_idf(PHRASE[0])} + {_idf(PHRASE[1])})"
     out["span_near_topk"] = _topk_sql([f"""
-sp AS (SELECT a.doc_id, COUNT(*) AS sf
-       FROM tok a JOIN tok b ON b.doc_id = a.doc_id
-       WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
-         AND b.pos >= a.pos + 1 AND b.pos - a.pos - 1 <= 1
-       GROUP BY a.doc_id)""".strip(), f"""
+snp AS (SELECT a.doc_id, a.pos AS apos,
+               (SELECT MIN(b.pos) FROM tok b
+                WHERE b.doc_id = a.doc_id AND b.term = '{PHRASE[1]}'
+                  AND b.pos >= a.pos + 1) AS bpos
+        FROM tok a WHERE a.term = '{PHRASE[0]}')""".strip(), """
+sp AS (SELECT doc_id,
+              SUM(1e0/(1e0 + (bpos - apos - 1))) AS sf
+       FROM snp WHERE bpos IS NOT NULL AND bpos - apos - 1 <= 1
+       GROUP BY doc_id)""".strip(), f"""
 sps AS (SELECT sp.doc_id AS doc_id,
                ({snw} - {snw}/(1e0 + sp.sf*{_NI})) AS s
         FROM sp JOIN qd ON sp.doc_id = qd.doc_id)""".strip()], f"""
@@ -750,6 +840,74 @@ mps AS (SELECT mp.doc_id AS doc_id,
                ({mpw} - {mpw}/(1e0 + mp.ptf*{_NI})) AS s
         FROM mp JOIN qd ON mp.doc_id = qd.doc_id)""".strip()], f"""
 SELECT doc_id, {_micro('s')} AS score_micro FROM mps
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    # --- spans completeness: containing / within / position-range /
+    # unordered near -------------------------------------------------------
+    # big spans = ordered near(spark .. merge, slop=6): clause-0 occurrence
+    # paired with the first 'merge' at pos >= end (monotonic pointer == MIN)
+    bigs_cte = f"""
+bigs AS (SELECT doc_id, apos AS bstart, cpos + 1 AS bend,
+                cpos - apos - 1 AS width
+         FROM (SELECT a.doc_id, a.pos AS apos,
+                      (SELECT MIN(c.pos) FROM tok c
+                       WHERE c.doc_id = a.doc_id AND c.term = '{T3}'
+                         AND c.pos >= a.pos + 1) AS cpos
+               FROM tok a WHERE a.term = '{T1}')
+         WHERE cpos IS NOT NULL AND cpos - apos - 1 <= 6)""".strip()
+    # span weight: idf over sorted({spark, merge, table})
+    scw = f"({_idf(T3)} + {_idf(T1)} + {_idf(T2)})"
+    out["span_containing_topk"] = _topk_sql([bigs_cte, f"""
+cont AS (SELECT b.doc_id,
+                SUM(1e0/(1e0 + b.width)) AS sf
+         FROM (SELECT bg.*,
+                      (SELECT MIN(t.pos) FROM tok t
+                       WHERE t.doc_id = bg.doc_id AND t.term = '{T2}'
+                         AND t.pos >= bg.bstart) AS lpos
+               FROM bigs bg) b
+         WHERE b.lpos IS NOT NULL AND b.lpos + 1 <= b.bend
+         GROUP BY b.doc_id)""".strip(), f"""
+cps AS (SELECT cont.doc_id AS doc_id,
+               ({scw} - {scw}/(1e0 + cont.sf*{_NI})) AS s
+        FROM cont JOIN qd ON cont.doc_id = qd.doc_id)""".strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM cps
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    out["span_within_count"] = _topk_sql([bigs_cte, f"""
+wins AS (SELECT l.doc_id
+         FROM (SELECT t.doc_id, t.pos,
+                      (SELECT bg.bstart FROM bigs bg
+                       WHERE bg.doc_id = t.doc_id AND bg.bend >= t.pos + 1
+                       ORDER BY bg.bstart, bg.bend LIMIT 1) AS fb
+               FROM tok t WHERE t.term = '{T2}') l
+         WHERE l.fb IS NOT NULL AND l.fb <= l.pos)""".strip()], """
+SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS cnt FROM wins""")
+
+    out["span_position_range_count"] = _topk_sql([], f"""
+SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS cnt
+FROM tok WHERE term = '{T2}' AND pos >= 2 AND pos + 1 <= 8""")
+
+    # unordered near: two-pointer window staircase — pair (a_i, b_j) is a
+    # visited window iff max(prev_a, prev_b) <= min(a_i, b_j)
+    unw = f"({_idf(T3)} + {_idf(T1)})"
+    out["span_unordered_topk"] = _topk_sql([f"""
+ua AS (SELECT doc_id, pos,
+              LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS pp
+       FROM tok WHERE term = '{T1}')""".strip(), f"""
+ub AS (SELECT doc_id, pos,
+              LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS pp
+       FROM tok WHERE term = '{T3}')""".strip(), """
+uw AS (SELECT a.doc_id, a.pos AS pa, b.pos AS pb
+       FROM ua a JOIN ub b ON b.doc_id = a.doc_id
+       WHERE GREATEST(COALESCE(a.pp, -1), COALESCE(b.pp, -1))
+             <= LEAST(a.pos, b.pos))""".strip(), """
+usf AS (SELECT doc_id, SUM(1e0/(2e0 + ABS(pa - pb))) AS sf
+        FROM uw WHERE ABS(pa - pb) - 1 <= 4
+        GROUP BY doc_id)""".strip(), f"""
+ups AS (SELECT usf.doc_id AS doc_id,
+               ({unw} - {unw}/(1e0 + usf.sf*{_NI})) AS s
+        FROM usf JOIN qd ON usf.doc_id = qd.doc_id)""".strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM ups
 ORDER BY s DESC, doc_id LIMIT 10""")
 
     out["rescore_topk"] = _topk_sql([s1, s2, s3, or_union.strip(), """
@@ -939,6 +1097,44 @@ pre AS (SELECT doc_id,
         FROM w WHERE pos <= 8 GROUP BY doc_id)
 SELECT c.doc_id, md5(c.c) AS fingerprint, md5(pre.p) AS prefix_fingerprint
 FROM canon c JOIN pre ON pre.doc_id = c.doc_id"""
+
+    out["suggest_completions"] = _topk_sql([], """
+SELECT term, CAST(COUNT(*) AS BIGINT) AS weight
+FROM tok WHERE term LIKE 's%'
+GROUP BY term ORDER BY weight DESC, term LIMIT 5""")
+
+    out["facet_hierarchy"] = _topk_sql([f"""
+fh AS (SELECT d.lang, d.source
+       FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{T1}') m
+       JOIN documents d ON d.doc_id = m.doc_id)""".strip()], """
+SELECT lang AS path, CAST(1 AS BIGINT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM fh GROUP BY lang
+UNION ALL
+SELECT lang || '/' || source, CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+FROM fh GROUP BY lang, source""")
+
+    geo_cte = """
+geo AS (SELECT doc_id,
+               -60.0 + (doc_id * 7919 % 12000) / 100.0 AS lat,
+               -180.0 + (doc_id * 104729 % 36000) / 100.0 AS lon
+        FROM documents)""".strip()
+    out["geo_box_count"] = f"""
+WITH {geo_cte}
+SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM geo
+WHERE lat BETWEEN 10.0 AND 45.0 AND lon BETWEEN -30.0 AND 60.0"""
+
+    # same haversine shape as operators/geo.py (2R asin(sqrt(h)))
+    hav = """
+(2.0 * 6371008.7714) * asin(sqrt(
+    pow(sin((radians(lat) - radians(25.0)) / 2), 2)
+    + cos(radians(25.0)) * cos(radians(lat))
+      * pow(sin((radians(lon) - radians(10.0)) / 2), 2)))""".strip()
+    out["geo_distance_matches"] = f"""
+WITH {geo_cte},
+gd AS (SELECT doc_id, {hav} AS distance_m FROM geo)
+SELECT doc_id, {_micro('distance_m')} AS distance_micro
+FROM gd WHERE distance_m <= 2000000.0"""
 
     # --- phrase_sloppy_topk: recursive leader walk ------------------------
     # Closed form of SloppyPhraseMatcher for two distinct terms (the walk is

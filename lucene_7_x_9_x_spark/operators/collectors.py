@@ -27,8 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["top_docs_per_group", "facet_counts", "distinct_values",
-           "more_like_this_terms"]
+__all__ = ["top_docs_per_group", "facet_counts", "hierarchical_facet_counts",
+           "distinct_values", "more_like_this_terms"]
 
 
 def top_docs_per_group(scored: DataFrame, group_col: str, k: int,
@@ -50,6 +50,27 @@ def facet_counts(matched: DataFrame, dim_col: str) -> DataFrame:
     Map-side partial aggregation makes this one narrow shuffle of (dim, count)
     partials regardless of match-set size."""
     return matched.groupBy(dim_col).agg(F.count("*").alias("cnt"))
+
+
+def hierarchical_facet_counts(matched: DataFrame,
+                              path_cols: list[str]) -> DataFrame:
+    """Taxonomy facet counts over a dim/path hierarchy: one row per path
+    prefix at every depth ('lang', 'lang/source', ...), the
+    SortedSetDocValuesFacetCounts hierarchical-dim shape (FacetsConfig
+    setHierarchical; demo facet/SortedSetDocValuesFacetsTest.java).
+
+    Single pass: ROLLUP computes all prefix levels in one map-side partial
+    aggregation (no per-level rescan), the exact scale shape a taxonomy count
+    needs at 100 TB. Returns (path, depth, cnt)."""
+    rolled = matched.rollup(*path_cols).agg(F.count("*").alias("cnt"))
+    depth = sum(
+        F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in path_cols)
+    # ROLLUP emits prefix groups: depth d rows have the first d levels set
+    return (rolled.withColumn("depth", depth.cast("long"))
+            .where(F.col("depth") >= 1)
+            .withColumn("path", F.concat_ws(
+                "/", *[F.col(c) for c in path_cols]))
+            .select("path", "depth", "cnt"))
 
 
 def distinct_values(matched: DataFrame, col: str) -> DataFrame:

@@ -1,10 +1,16 @@
-"""Spell suggestion over the term dictionary (suggest/spellcheck analog).
+"""Suggest module analogs over the term dictionary.
 
-Semantics source (behavior only): lucene/suggest module's DirectSpellChecker —
-candidate terms within max_edits of the input, ranked by (edit distance asc,
-docFreq desc, term asc). The term dictionary here is the postings table, so
-candidate generation is a partition-/rowgroup-pruned scan with a JVM-side
-levenshtein filter — no document data is touched.
+Semantics sources (behavior only):
+  * DirectSpellChecker (suggest/src/java/.../spell/DirectSpellChecker.java) —
+    candidate terms within max_edits of the input, ranked by (edit distance
+    asc, docFreq desc, term asc).
+  * Lookup/AnalyzingSuggester (suggest/src/java/.../Lookup.java,
+    analyzing/AnalyzingSuggester.java) — weighted prefix completion: top-k
+    completions of a prefix by weight desc. Lucene backs this with an FST
+    built offline; here the postings table IS the weighted dictionary, and the
+    prefix predicate prunes the scan (row-group term stats play the FST's
+    'which block' role), so a completion touches only matching dictionary
+    rows — no document data.
 """
 
 from __future__ import annotations
@@ -12,7 +18,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["spell_suggest"]
+__all__ = ["spell_suggest", "prefix_completions"]
+
+
+def prefix_completions(postings: DataFrame, prefix: str, k: int = 5) -> DataFrame:
+    """Lookup.lookup(prefix) analog: top-k (term, weight) completions, weight =
+    total term frequency across the index (the corpus-popularity weight an
+    AnalyzingSuggester is typically built with), tie-broken by term asc."""
+    prefix = prefix.lower()
+    return (
+        postings.where(F.col("term").startswith(prefix))
+        .groupBy("term").agg(F.sum("ttf").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(k)
+        .select("term", F.col("weight").cast("long"))
+    )
 
 
 def spell_suggest(postings: DataFrame, term: str, max_edits: int = 2,

@@ -245,9 +245,9 @@ class Scorer:
             return docids, sc
         if isinstance(q, Q.SpanQuery):
             # SpanWeight: stats over ALL clause terms (buildSimWeight gathers
-            # every term's TermStatistics); freq = number of matching spans
-            # (integer span count — simplification of SpanScorer's
-            # slop-factor-weighted freq, documented divergence)
+            # every term's TermStatistics); freq = SpanScorer's slop-adjusted
+            # sloppy freq, sum over spans of 1/(1+width)
+            # (SpanScorer.java:118)
             d, f = self.eval_spans(q)
             if d.size == 0:
                 return d, np.zeros(0, dtype=dt)
@@ -491,6 +491,11 @@ class Scorer:
 
 
     # ---- spans family (o.a.l/search/spans/) -------------------------------
+    # Spans are (start, end, width) triples in Lucene iteration order
+    # ((start, end) nondecreasing, duplicates preserved); width is what
+    # SpanScorer's slop factor consumes (SpanScorer.java:118:
+    # freq += 1.0/(1.0 + spans.width()), accumulated in float).
+
     def _span_candidates(self, q: Q.SpanQuery) -> np.ndarray:
         """Docs that can possibly produce spans (structural prefilter)."""
         seg = self.seg
@@ -510,76 +515,160 @@ class Scorer:
             return np.flatnonzero(mask)
         if isinstance(q, Q.SpanNotQuery):
             return self._span_candidates(q.include)
-        if isinstance(q, Q.SpanFirstQuery):
+        if isinstance(q, (Q.SpanFirstQuery, Q.SpanPositionRangeQuery)):
             return self._span_candidates(q.match)
+        if isinstance(q, (Q.SpanContainingQuery, Q.SpanWithinQuery)):
+            # ConjunctionSpans over (big, little): both must have spans
+            mask = np.zeros(seg.max_doc, dtype=bool)
+            mask[self._span_candidates(q.big)] = True
+            m2 = np.zeros(seg.max_doc, dtype=bool)
+            m2[self._span_candidates(q.little)] = True
+            return np.flatnonzero(mask & m2)
         raise TypeError(type(q))
 
-    def _doc_spans(self, q: Q.SpanQuery, doc: int) -> list:
-        """Sorted (start, end) spans of q in one doc.
+    @staticmethod
+    def _near_ordered(per_clause: list, slop: int) -> list:
+        """NearSpansOrdered.java:60-121 port: iterate clause-0 spans; advance
+        each later clause's pointer (monotonic, never reset) to the first span
+        with start >= previous clause's end; width = sum of gaps; match when
+        width <= slop, emitting (first.start, last.end, width)."""
+        out = []
+        n = len(per_clause)
+        ptr = [0] * n
+        for (s0, e0, _w0) in per_clause[0]:
+            prev_end = e0
+            width = 0
+            ok = True
+            for ci in range(1, n):
+                lst = per_clause[ci]
+                while ptr[ci] < len(lst) and lst[ptr[ci]][0] < prev_end:
+                    ptr[ci] += 1
+                if ptr[ci] >= len(lst):
+                    return out  # a clause exhausted -> no further matches
+                s, e, _w = lst[ptr[ci]]
+                width += s - prev_end
+                prev_end = e
+            if ok and width <= slop:
+                out.append((s0, prev_end, width))
+        return out
 
-        SpanNear combination enumerates clause-span tuples (fine at per-doc
-        position-list sizes); unordered overlap handling is simplified to
-        'distinct spans per clause slot' — documented divergence from
-        NearSpansUnordered's sub-span bookkeeping."""
+    @staticmethod
+    def _near_unordered(per_clause: list, slop: int) -> list:
+        """NearSpansUnordered.java port: window of one span per clause ordered
+        by (start, end); match when maxEnd - top.start - totalLength <= slop,
+        emitting (top.start, maxEnd, maxEnd - top.start); advance the top."""
+        n = len(per_clause)
+        if any(not lst for lst in per_clause):
+            return []
+        ptr = [0] * n
+        cur = [per_clause[i][0] for i in range(n)]
+        total_len = sum(e - s for s, e, _ in cur)
+        max_end = max(e for _, e, _ in cur)
+        out = []
+        while True:
+            ti = min(range(n), key=lambda i: (cur[i][0], cur[i][1]))
+            top_start = cur[ti][0]
+            if max_end - top_start - total_len <= slop:
+                out.append((top_start, max_end, max_end - top_start))
+            ptr[ti] += 1
+            if ptr[ti] >= len(per_clause[ti]):
+                return out
+            s_old, e_old, _ = cur[ti]
+            cur[ti] = per_clause[ti][ptr[ti]]
+            total_len += (cur[ti][1] - cur[ti][0]) - (e_old - s_old)
+            if cur[ti][1] > max_end:
+                max_end = cur[ti][1]
+
+    def _doc_spans(self, q: Q.SpanQuery, doc: int) -> list:
+        """(start, end, width) spans of q in one doc, Lucene iteration order."""
         if isinstance(q, Q.SpanTermQuery):
             d, _, _ = self.seg.decode(q.term)
             i = int(np.searchsorted(d, doc))
             if i >= d.size or d[i] != doc:
                 return []
-            return [(int(p), int(p) + 1) for p in self.seg.positions(q.term)[i]]
+            # TermSpans.width() == 0
+            return [(int(p), int(p) + 1, 0)
+                    for p in self.seg.positions(q.term)[i]]
         if isinstance(q, Q.SpanOrQuery):
-            out = set()
+            # disjunction by (start, end) priority queue — duplicates kept
+            out = []
             for c in q.clauses:
-                out.update(self._doc_spans(c, doc))
-            return sorted(out)
+                out.extend(self._doc_spans(c, doc))
+            out.sort(key=lambda s: (s[0], s[1]))
+            return out
         if isinstance(q, Q.SpanFirstQuery):
-            return [s for s in self._doc_spans(q.match, doc) if s[1] <= q.end]
+            # SpanFirstQuery == SpanPositionRangeQuery(match, 0, end)
+            return [s for s in self._doc_spans(q.match, doc)
+                    if s[0] < q.end and s[1] <= q.end]
+        if isinstance(q, Q.SpanPositionRangeQuery):
+            # acceptPosition (SpanPositionRangeQuery.java:41-48); spans with
+            # start >= end terminate the doc (sorted -> plain filter)
+            return [s for s in self._doc_spans(q.match, doc)
+                    if s[0] < q.end and s[0] >= q.start and s[1] <= q.end]
         if isinstance(q, Q.SpanNotQuery):
             inc = self._doc_spans(q.include, doc)
             exc = self._doc_spans(q.exclude, doc)
             return [s for s in inc
                     if not any(s[0] < e_end and e_start < s[1]
-                               for (e_start, e_end) in exc)]
+                               for (e_start, e_end, _w) in exc)]
+        if isinstance(q, Q.SpanContainingQuery):
+            # ContainSpans via SpanContainingQuery.java:70-90: iterate big,
+            # advance little to the first span with start >= big.start, match
+            # when big.end >= little.end (emit big)
+            big = self._doc_spans(q.big, doc)
+            little = self._doc_spans(q.little, doc)
+            out = []
+            li = 0
+            for (bs, be, bw) in big:
+                while li < len(little) and little[li][0] < bs:
+                    li += 1
+                if li >= len(little):
+                    break  # little exhausted in doc
+                if be >= little[li][1]:
+                    out.append((bs, be, bw))
+            return out
+        if isinstance(q, Q.SpanWithinQuery):
+            # SpanWithinQuery.java:80-100: iterate little, advance big to the
+            # first span with end >= little.end, match when big.start <=
+            # little.start (emit little)
+            big = self._doc_spans(q.big, doc)
+            little = self._doc_spans(q.little, doc)
+            out = []
+            bi = 0
+            for (ls, le, lw) in little:
+                while bi < len(big) and big[bi][1] < le:
+                    bi += 1
+                if bi >= len(big):
+                    break
+                if big[bi][0] <= ls:
+                    out.append((ls, le, lw))
+            return out
         if isinstance(q, Q.SpanNearQuery):
             per_clause = [self._doc_spans(c, doc) for c in q.clauses]
             if any(not ps for ps in per_clause):
                 return []
-            out = set()
-
-            def rec(idx: int, chosen: list):
-                if idx == len(per_clause):
-                    starts = [s for s, _ in chosen]
-                    ends = [e for _, e in chosen]
-                    width = max(ends) - min(starts)
-                    lengths = sum(e - s for s, e in chosen)
-                    if width - lengths <= q.slop:
-                        out.add((min(starts), max(ends)))
-                    return
-                for s in per_clause[idx]:
-                    if q.in_order and chosen and s[0] < chosen[-1][1]:
-                        continue
-                    if chosen and (max(s[1], max(e for _, e in chosen))
-                                   - min(s[0], min(st for st, _ in chosen))
-                                   - sum(e - st for st, e in chosen)
-                                   - (s[1] - s[0])) > q.slop:
-                        continue  # prune: slack already exceeded
-                    rec(idx + 1, chosen + [s])
-
-            rec(0, [])
-            return sorted(out)
+            if q.in_order:
+                return self._near_ordered(per_clause, q.slop)
+            return self._near_unordered(per_clause, q.slop)
         raise TypeError(type(q))
 
     def eval_spans(self, q: Q.SpanQuery):
-        """(docids asc, span_counts) over the segment."""
+        """(docids asc, sloppy freqs) over the segment. freq = sum over spans
+        of 1/(1 + width), accumulated in the scoring dtype exactly like
+        SpanScorer.setFreqCurrentDoc (float32 in Lucene-parity mode)."""
         cand = self._span_candidates(q)
+        acc_dt = (np.float32 if self.dtype == np.float32 else np.float64)
         docs, freqs = [], []
         for doc in cand:
             spans = self._doc_spans(q, int(doc))
             if spans:
+                f = acc_dt(0.0)
+                for (_s, _e, w) in spans:
+                    f = acc_dt(f + (1.0 / (1.0 + w)))
                 docs.append(int(doc))
-                freqs.append(len(spans))
+                freqs.append(float(f))
         return (np.asarray(docs, dtype=np.int64),
-                np.asarray(freqs, dtype=np.int64))
+                np.asarray(freqs, dtype=np.float64))
 
 
 # ---------------------------------------------------------------------------

@@ -218,6 +218,34 @@ class SpanFirstQuery(SpanQuery):
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class SpanPositionRangeQuery(SpanQuery):
+    """Spans of `match` with start >= start and end <= end
+    (SpanPositionRangeQuery.java:41-48)."""
+    match: SpanQuery
+    start: int
+    end: int
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanContainingQuery(SpanQuery):
+    """Spans from `big` that contain at least one span of `little`
+    (SpanContainingQuery.java)."""
+    big: SpanQuery
+    little: SpanQuery
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanWithinQuery(SpanQuery):
+    """Spans from `little` that fall inside a span of `big`
+    (SpanWithinQuery.java)."""
+    big: SpanQuery
+    little: SpanQuery
+    boost: float = 1.0
+
+
 def span_terms(q: "SpanQuery") -> set:
     if isinstance(q, SpanTermQuery):
         return {q.term}
@@ -228,8 +256,10 @@ def span_terms(q: "SpanQuery") -> set:
         return out
     if isinstance(q, SpanNotQuery):
         return span_terms(q.include) | span_terms(q.exclude)
-    if isinstance(q, SpanFirstQuery):
+    if isinstance(q, (SpanFirstQuery, SpanPositionRangeQuery)):
         return span_terms(q.match)
+    if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
+        return span_terms(q.big) | span_terms(q.little)
     raise TypeError(type(q))
 
 
