@@ -41,6 +41,10 @@ BENCH_QUERIES = {
         should=(Q.TermQuery("spark"), Q.TermQuery("table"), Q.TermQuery("merge")),
         minimum_should_match=2),
     "q_prefix": Q.PrefixQuery("sc"),
+    "q_sloppy": Q.PhraseQuery(("fast", "sort"), slop=2),
+    "q_span_near": Q.SpanNearQuery(
+        (Q.SpanTermQuery("fast"), Q.SpanTermQuery("sort")),
+        slop=1, in_order=True),
 }
 
 

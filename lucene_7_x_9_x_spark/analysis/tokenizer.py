@@ -45,6 +45,12 @@ _TOKEN_RE = re.compile(
     rf"|(?P<word>{_ALNUM}+(?:['’.]{_ALNUM}+)*)",
     re.UNICODE,
 )
+# ASCII fast path: on pure-ASCII text the general pattern reduces to alnum
+# runs with '/. joins, and LowerCaseFilter commutes with tokenization (ASCII
+# case-folding never changes character classes), so the whole text can be
+# lowered in ONE C-level pass and tokens extracted with findall (a single
+# C-level scan, no per-match Match objects) -- the build's hot-loop lever.
+_ASCII_TOKEN_RE = re.compile(r"[A-Za-z0-9]+(?:['.][A-Za-z0-9]+)*")
 
 
 def _raw_tokens(text: str) -> Iterable[str]:
@@ -93,8 +99,34 @@ class Analyzer:
         pos = 0
         stop = self.stopwords
         lower = self.lowercase
-        for m in _TOKEN_RE.finditer(text):
-            tok = m.group(0)
+        if text.isascii():
+            # fast path: one C-level lower + one C-level findall (see
+            # _ASCII_TOKEN_RE note); token stream is provably identical
+            toks = _ASCII_TOKEN_RE.findall(
+                text.lower() if lower else text)
+            if not stop:
+                for tok in toks:
+                    if len(tok) > MAX_TOKEN_LENGTH:
+                        for i in range(0, len(tok), MAX_TOKEN_LENGTH):
+                            sub = tok[i: i + MAX_TOKEN_LENGTH]
+                            lst = acc.get(sub)
+                            if lst is None:
+                                acc[sub] = [pos]
+                            else:
+                                lst.append(pos)
+                            pos += 1
+                        continue
+                    lst = acc.get(tok)
+                    if lst is None:
+                        acc[tok] = [pos]
+                    else:
+                        lst.append(pos)
+                    pos += 1
+                return [(t, len(ps), ps) for t, ps in acc.items()], pos
+            token_iter = iter(toks)
+        else:
+            token_iter = (m.group(0) for m in _TOKEN_RE.finditer(text))
+        for tok in token_iter:
             if len(tok) > MAX_TOKEN_LENGTH:
                 for i in range(0, len(tok), MAX_TOKEN_LENGTH):
                     sub = tok[i: i + MAX_TOKEN_LENGTH]

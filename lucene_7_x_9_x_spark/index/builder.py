@@ -199,57 +199,72 @@ def index_wave(
         .persist()
     )
 
-    # Duplicate keys within a segment would cross-match the broadcast docid
-    # join below (inflating df/ttf and corrupting postings), so probe for them
-    # first — the probe shuffles only (segment_id, key) with a map-side partial
-    # count, then stops at the first duplicate.
-    has_dups = (
-        tokenized.groupBy("segment_id", "key").count()
-        .where(F.col("count") > 1).limit(1).count() > 0
+    # Fast path: docid assignment shuffles ONLY (segment_id, key, doclen) —
+    # the heavy term-vector structs never cross the window exchange. The full
+    # docid map of a wave is bounded by segments_per_wave * docs_per_segment
+    # rows, so it broadcasts back onto the tokenized scan partitions for the
+    # postings path (DocIDMerger-style rank assignment done small-side).
+    #
+    # key_dups rides the SAME sort/exchange as the docid window (peers frame
+    # over the identical window spec): duplicate keys within a segment would
+    # cross-match the broadcast docid join (inflating df/ttf), and this column
+    # detects them for free — no separate probe job.
+    w_peers = (Window.partitionBy("segment_id").orderBy(order_key)
+               .rangeBetween(Window.currentRow, Window.currentRow))
+    docs = (
+        tokenized.select("segment_id", "key", "doclen")
+        .withColumn("docid", (F.row_number().over(w) - 1).cast("int"))
+        .withColumn("key_dups", F.count("*").over(w_peers).cast("int"))
+        .withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
+        .select("segment_id", "docid", "key", "doclen", "norm_byte",
+                "key_dups")
     )
-
-    if has_dups:
-        # Slow-but-correct path: assign docids by a window over the tokenized
-        # frame itself, so each row keeps ITS OWN term vector (no join). The
-        # heavy tv structs cross the window exchange — acceptable for the rare
-        # duplicate-key wave. F.hash(tv) tiebreaks duplicate keys
-        # deterministically; truly identical rows are interchangeable.
-        w_dup = Window.partitionBy("segment_id").orderBy(
-            order_key, F.col("doclen"), F.hash("tv"))
-        with_ids = (
-            tokenized.withColumn("docid", (F.row_number().over(w_dup) - 1).cast("int"))
-            .withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
-            .persist()
-        )
-        docs = with_ids.select("segment_id", "docid", "key", "doclen", "norm_byte")
-    else:
-        # Fast path: docid assignment shuffles ONLY (segment_id, key, doclen) —
-        # the heavy term-vector structs never cross the window exchange. The
-        # full docid map of a wave is bounded by segments_per_wave *
-        # docs_per_segment rows, so it broadcasts back onto the tokenized scan
-        # partitions for the postings path (DocIDMerger-style rank assignment
-        # done small-side).
-        with_ids = None
-        docs = (
-            tokenized.select("segment_id", "key", "doclen")
-            .withColumn("docid", (F.row_number().over(w) - 1).cast("int"))
-            .withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
-            .select("segment_id", "docid", "key", "doclen", "norm_byte")
-        )
     (
         docs.withColumn("wave", F.lit(wave))
         .write.mode("append")
         .partitionBy("wave", "segment_id")
         .parquet(os.path.join(index_dir, "docs"))
     )
-    # re-read the committed docs files: a clean barrier that avoids recomputing
-    # the window and gives the broadcast a compact columnar source
-    docs_wave = (
-        spark.read.parquet(os.path.join(index_dir, "docs"))
-        .where(F.col("wave") == wave)
-    )
 
+    def _read_wave():
+        # read the wave subdir directly: clean barrier (no window recompute),
+        # compact columnar source for the broadcast, and schema taken from
+        # THIS wave's files only (older waves may predate key_dups)
+        return spark.read.parquet(
+            os.path.join(index_dir, "docs", f"wave={wave}"))
+
+    docs_wave = _read_wave()
+    has_dups = (docs_wave.where(F.col("key_dups") > 1).limit(1).count() > 0)
+
+    with_ids = None
     if has_dups:
+        # Rare slow-but-correct path: re-assign docids by a window over the
+        # tokenized frame itself, so each row keeps ITS OWN term vector (no
+        # join — the heavy tv structs cross the window exchange once).
+        # F.hash(tv) tiebreaks duplicate keys deterministically; truly
+        # identical rows are interchangeable.
+        wdir = os.path.join(index_dir, "docs", f"wave={wave}")
+        if os.path.exists(wdir):
+            shutil.rmtree(wdir)
+        w_dup = Window.partitionBy("segment_id").orderBy(
+            order_key, F.col("doclen"), F.hash("tv"))
+        w_dup_peers = Window.partitionBy("segment_id", "key")
+        with_ids = (
+            tokenized.withColumn(
+                "docid", (F.row_number().over(w_dup) - 1).cast("int"))
+            .withColumn("key_dups", F.count("*").over(w_dup_peers).cast("int"))
+            .withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
+            .persist()
+        )
+        (
+            with_ids.select("segment_id", "docid", "key", "doclen",
+                            "norm_byte", "key_dups")
+            .withColumn("wave", F.lit(wave))
+            .write.mode("append")
+            .partitionBy("wave", "segment_id")
+            .parquet(os.path.join(index_dir, "docs"))
+        )
+        docs_wave = _read_wave()
         keyed = with_ids.where(F.col("doclen") > 0)
     else:
         docid_map = docs_wave.select("segment_id", "key", "docid", "norm_byte")

@@ -130,6 +130,66 @@ def test_two_term_closed_form_differential():
         assert got == pytest.approx(want), (a, b, slop)
 
 
+def test_multi_term_slots_hidden_collision():
+    """initFirstTime javadoc (SloppyPhraseMatcher.java:471-473): P1={A,B},
+    P2={B,C} over doc 'A C B' — multi-term repeats take the bipartite
+    term-group path. Sanity: the obvious sloppy alignments match."""
+    # doc "a c b": a@0, c@1, b@2; P1 = union(a,b) = [0,2]; P2 = union(b,c)
+    # = [1,2] (actual positions; the matcher applies the query offsets)
+    m = SloppyPhraseMatcher([0, 1], [("a", "b"), ("b", "c")], 2)
+    f = m.freq([np.asarray([0, 2], np.int64), np.asarray([1, 2], np.int64)],
+               dtype=np.float64)
+    assert f > 0.0
+    assert m.has_multi_term_rpts
+    # doc "a b": exact adjacency via slot1=a@0, slot2=b@1
+    m2 = SloppyPhraseMatcher([0, 1], [("a", "b"), ("b", "c")], 0)
+    f2 = m2.freq([np.asarray([0, 1], np.int64), np.asarray([1], np.int64)],
+                 dtype=np.float64)
+    assert f2 > 0.0
+    # doc "c a": c@0, a@1 -> P1=[1], P2=[0]: reversed, slop 0 -> no match
+    m3 = SloppyPhraseMatcher([0, 1], [("a", "b"), ("b", "c")], 0)
+    f3 = m3.freq([np.asarray([1], np.int64), np.asarray([0], np.int64)],
+                 dtype=np.float64)
+    assert f3 == 0.0
+
+
+def test_multiphrase_sloppy_end_to_end(tmp_path):
+    """MultiPhraseQuery slop>0 routes through the faithful matcher with
+    multi-term pps (kernel._sloppy_counts with slot tuples)."""
+    from lucene_7_x_9_x_spark.functions import bm25, codecs, smallfloat
+    from lucene_7_x_9_x_spark.search import kernel as K
+    from lucene_7_x_9_x_spark.search import query as Q
+
+    docs_text = {0: "fast x sort", 1: "slow sort", 2: "sort fast", 3: "x y z"}
+    terms: dict = {}
+    norms = np.zeros(4, dtype=np.uint8)
+    for did, txt in docs_text.items():
+        toks = txt.split()
+        norms[did] = smallfloat.int_to_byte4(np.array([len(toks)]))[0]
+        for p, t in enumerate(toks):
+            terms.setdefault(t, {}).setdefault(did, []).append(p)
+    rows = {}
+    for t, occ in terms.items():
+        dd = np.array(sorted(occ), dtype=np.int64)
+        ff = np.array([len(occ[d]) for d in dd], dtype=np.int64)
+        pos = [np.array(occ[d], dtype=np.int64) for d in dd]
+        rows[t] = {"df": len(dd), "ttf": int(ff.sum()),
+                   "blocks": codecs.encode_posting_list(dd, ff, norms[dd], pos)}
+    seg = K.SegmentIndex(rows, 4)
+    stats = bm25.BM25Stats(4, 10, dtype=np.float64)
+    sc = K.Scorer(seg, stats, {t: len(v) for t, v in terms.items()})
+    q = Q.MultiPhraseQuery((("fast", "slow"), ("sort",)), slop=2)
+    d, f = sc._multi_phrase_freqs(q)
+    # doc 0 "fast x sort": matchLength 1 -> 1/2; doc 1 "slow sort": exact ->
+    # 1; doc 2 "sort fast": fast adjusted 1 vs sort adjusted -1 ->
+    # matchLength 2 -> 1/3 (transposed within slop)
+    got = dict(zip(d.tolist(), f.tolist()))
+    assert got[0] == pytest.approx(0.5)
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(1.0 / 3.0)
+    assert 3 not in got
+
+
 def test_repeat_group_reinit_across_docs():
     """Matcher state (repeat groups found on the first doc) must keep working
     for subsequent docs fed to the same matcher instance."""
