@@ -1,0 +1,3 @@
+"""Input sources: connectors from external formats to the corpus schema."""
+
+from .warc import parse_warc_bytes, read_warc  # noqa: F401
