@@ -171,6 +171,7 @@ def index_wave(
     term_shards: int = 32,
     salt_bucket_docs: int | None = None,
     docs_per_segment: int = 4096,
+    coalesce_postings: bool = False,
 ) -> list[dict]:
     """Index one wave: src(key, text, segment_id) -> docs+postings partitions.
 
@@ -178,17 +179,24 @@ def index_wave(
     sink. Returns the new segments' stats dicts (uncommitted — the caller owns
     the snapshot commit). Cleans any partial output of this wave first, so a
     crashed attempt is safely retried (parquet dirs are only visible to readers
-    after the snapshot commit anyway)."""
+    after the snapshot commit anyway).
+
+    coalesce_postings=True re-clusters the encoded postings by segment before
+    the partitioned write (one file per segment instead of tasks x segments).
+    On object stores the commit's rename/list loop is serial and per-file, so
+    fewer files directly cuts the un-parallelizable tail; the price is one
+    extra (fully parallel) shuffle of the compressed index. On local disks the
+    renames are cheap and the shuffle is pure overhead — default off."""
     tok_udf = _tokenize_udf(analyzer)
     for root in ("docs", "postings"):
         wdir = os.path.join(index_dir, root, f"wave={wave}")
         if os.path.exists(wdir):
             shutil.rmtree(wdir)
 
-    order_key = F.col("key").cast("long") if int_keys else F.col("key")
-    w = Window.partitionBy("segment_id").orderBy(order_key)
-    # Tokenize once, at full input parallelism (input partitions ≫ segments per
-    # wave) — the Python-heavy analyzer stage is core-bound, not segment-bound.
+    # Tokenize once, at full input parallelism (input partitions >> segments
+    # per wave) -- the Python-heavy analyzer stage is core-bound, not
+    # segment-bound. tvh (a JVM-side deterministic hash of the term vector)
+    # tiebreaks duplicate keys identically everywhere docids are derived.
     tokenized = (
         src.withColumn("_t", tok_udf(F.col("text")))
         .select(
@@ -196,82 +204,60 @@ def index_wave(
             F.col("_t.tv").alias("tv"),
             F.col("_t.doclen").alias("doclen"),
         )
-        .persist()
+        .withColumn("tvh", F.hash("tv"))
     )
+    # ONE shuffle of the term vectors (hash by segment), cached. Docid
+    # assignment is then a per-segment WINDOW over the already-partitioned
+    # cache: Catalyst adds only a local sort (ClusteredDistribution satisfied
+    # -- verified no extra Exchange in the plan), so there is no docid join,
+    # no driver-built broadcast hash relation, and no Arrow round-trip of the
+    # term vectors. (Round-1 used a light window + broadcast docid map; the
+    # broadcast's HashedRelation build is driver-SERIAL and grows with wave
+    # size, which capped measured N->4N efficiency once the tokenizer got
+    # fast.) Duplicate keys are harmless here: every row keeps ITS OWN term
+    # vector, and the (key, doclen, tvh) sort makes docids deterministic.
+    part = tokenized.repartition("segment_id").persist()
 
-    # Fast path: docid assignment shuffles ONLY (segment_id, key, doclen) —
-    # the heavy term-vector structs never cross the window exchange. The full
-    # docid map of a wave is bounded by segments_per_wave * docs_per_segment
-    # rows, so it broadcasts back onto the tokenized scan partitions for the
-    # postings path (DocIDMerger-style rank assignment done small-side).
-    #
-    # key_dups rides the SAME sort/exchange as the docid window (peers frame
-    # over the identical window spec): duplicate keys within a segment would
-    # cross-match the broadcast docid join (inflating df/ttf), and this column
-    # detects them for free — no separate probe job.
+    order_key = F.col("key").cast("long") if int_keys else F.col("key")
+    w_seg = Window.partitionBy("segment_id").orderBy(
+        order_key, F.col("doclen"), F.col("tvh"))
     w_peers = (Window.partitionBy("segment_id").orderBy(order_key)
                .rangeBetween(Window.currentRow, Window.currentRow))
+
+    # docs pass projects the term vectors OUT before the window, so its sort
+    # moves only (key, doclen, tvh) rows; key_dups (docs sharing this key in
+    # the segment) rides the same sort as a peers-frame count
     docs = (
-        tokenized.select("segment_id", "key", "doclen")
-        .withColumn("docid", (F.row_number().over(w) - 1).cast("int"))
+        part.select("segment_id", "key", "doclen", "tvh")
+        .withColumn("docid", (F.row_number().over(w_seg) - 1).cast("int"))
         .withColumn("key_dups", F.count("*").over(w_peers).cast("int"))
         .withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
         .select("segment_id", "docid", "key", "doclen", "norm_byte",
                 "key_dups")
     )
     (
-        docs.withColumn("wave", F.lit(wave))
+        # cluster by segment before the partitioned write: one file per
+        # segment instead of (tasks x segments) — the commit protocol's
+        # driver-side rename loop is serial, so file count is a direct
+        # Amdahl term (and a small-file problem on object stores)
+        docs.repartition(F.col("segment_id"))
+        .withColumn("wave", F.lit(wave))
         .write.mode("append")
         .partitionBy("wave", "segment_id")
         .parquet(os.path.join(index_dir, "docs"))
     )
+    # re-read the committed wave subdir: clean barrier (no recompute) and a
+    # compact columnar source for the stats aggregation
+    docs_wave = spark.read.parquet(
+        os.path.join(index_dir, "docs", f"wave={wave}"))
 
-    def _read_wave():
-        # read the wave subdir directly: clean barrier (no window recompute),
-        # compact columnar source for the broadcast, and schema taken from
-        # THIS wave's files only (older waves may predate key_dups)
-        return spark.read.parquet(
-            os.path.join(index_dir, "docs", f"wave={wave}"))
-
-    docs_wave = _read_wave()
-    has_dups = (docs_wave.where(F.col("key_dups") > 1).limit(1).count() > 0)
-
-    with_ids = None
-    if has_dups:
-        # Rare slow-but-correct path: re-assign docids by a window over the
-        # tokenized frame itself, so each row keeps ITS OWN term vector (no
-        # join — the heavy tv structs cross the window exchange once).
-        # F.hash(tv) tiebreaks duplicate keys deterministically; truly
-        # identical rows are interchangeable.
-        wdir = os.path.join(index_dir, "docs", f"wave={wave}")
-        if os.path.exists(wdir):
-            shutil.rmtree(wdir)
-        w_dup = Window.partitionBy("segment_id").orderBy(
-            order_key, F.col("doclen"), F.hash("tv"))
-        w_dup_peers = Window.partitionBy("segment_id", "key")
-        with_ids = (
-            tokenized.withColumn(
-                "docid", (F.row_number().over(w_dup) - 1).cast("int"))
-            .withColumn("key_dups", F.count("*").over(w_dup_peers).cast("int"))
-            .withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
-            .persist()
-        )
-        (
-            with_ids.select("segment_id", "docid", "key", "doclen",
-                            "norm_byte", "key_dups")
-            .withColumn("wave", F.lit(wave))
-            .write.mode("append")
-            .partitionBy("wave", "segment_id")
-            .parquet(os.path.join(index_dir, "docs"))
-        )
-        docs_wave = _read_wave()
-        keyed = with_ids.where(F.col("doclen") > 0)
-    else:
-        docid_map = docs_wave.select("segment_id", "key", "docid", "norm_byte")
-        keyed = (
-            tokenized.where(F.col("doclen") > 0)
-            .join(F.broadcast(docid_map), ["segment_id", "key"])
-        )
+    # postings pass: the SAME deterministic window over the full cached rows
+    # (term vectors ride a local sort, never an exchange or a join)
+    keyed = (
+        part.withColumn("docid", (F.row_number().over(w_seg) - 1).cast("int"))
+        .withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
+        .where(F.col("doclen") > 0)
+    )
     exploded = (
         keyed.select(
             "segment_id", "docid", "norm_byte",
@@ -314,11 +300,13 @@ def index_wave(
             _enc, S.POSTINGS_SCHEMA
         )
 
+    if coalesce_postings:
+        postings = postings.repartition(F.col("segment_id"))
     (
-        # local term sort per task -> tight parquet row-group min/max on term,
-        # so query-time In(term,...) pushdown skips row groups (the term-dict
-        # "which block" role of the FST, SURVEY §1.1); no shuffle added
-        postings.sortWithinPartitions("term")
+        # (segment, term) sort within tasks: tight parquet row-group min/max
+        # on term so query-time In(term,...) pushdown skips row groups (the
+        # term-dict "which block" role of the FST, SURVEY §1.1); no shuffle
+        postings.sortWithinPartitions("segment_id", "term")
         .withColumn("wave", F.lit(wave))
         .write.mode("append")
         .partitionBy("wave", "segment_id")
@@ -334,9 +322,7 @@ def index_wave(
         )
         .collect()
     )
-    tokenized.unpersist()
-    if with_ids is not None:
-        with_ids.unpersist()
+    part.unpersist()
 
     segs = []
     for r in stats:
@@ -374,6 +360,7 @@ def build_index(
     int_keys: bool = False,
     term_shards: int = 32,
     salt_bucket_docs: int | None = None,
+    coalesce_postings: bool = False,
     resume: bool = False,
     _crash_point: tuple | None = None,  # (wave, "after_docs"|"after_commit") — test hook
 ) -> IndexCatalog:
@@ -454,7 +441,8 @@ def build_index(
                 spark, src, index_dir, wave, analyzer=analyzer,
                 store_positions=store_positions, int_keys=int_keys,
                 term_shards=term_shards, salt_bucket_docs=salt_bucket_docs,
-                docs_per_segment=docs_per_segment)
+                docs_per_segment=docs_per_segment,
+                coalesce_postings=coalesce_postings)
             if s["segment_id"] not in done_segs
         ]
         wall_ms = int((time.time() - t0) * 1000)
