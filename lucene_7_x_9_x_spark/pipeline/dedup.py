@@ -206,21 +206,29 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     @F.pandas_udf(T.LongType())
     def sh(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
-        for i, text in enumerate(texts):
-            toks = str(text or "").lower().split()
+        tok_lists = [str(t or "").lower().split() for t in texts]
+        # hash each DISTINCT token once per Arrow batch: corpus token
+        # distributions are Zipfian, so the cache hit rate is enormous and
+        # the md5 cost drops from O(sum unique-per-doc) to O(batch vocab)
+        shifts = np.arange(64, dtype=np.uint64)
+        signs: dict = {}
+        for toks in tok_lists:
+            for tok in toks:
+                if tok not in signs:
+                    h = np.uint64(int.from_bytes(
+                        hashlib.md5(tok.encode()).digest()[:8], "big"))
+                    signs[tok] = (((h >> shifts) & np.uint64(1))
+                                  .astype(np.int64) * 2 - 1)
+        powers = (np.uint64(1) << shifts)
+        for i, toks in enumerate(tok_lists):
             if not toks:
                 continue
-            acc = np.zeros(64, dtype=np.int64)
             uniq, counts = np.unique(np.asarray(toks, dtype=object),
                                      return_counts=True)
-            for tok, c in zip(uniq, counts):
-                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), c, -c)
-            val = np.uint64(0)
-            for j in range(64):
-                if acc[j] > 0:
-                    val |= np.uint64(1) << np.uint64(j)
+            # acc[j] = sum over tokens of +-count — one matmul per doc
+            mat = np.stack([signs[t] for t in uniq])
+            acc = mat.T @ counts.astype(np.int64)
+            val = powers[acc > 0].sum(dtype=np.uint64)
             out[i] = np.int64(val.astype(np.int64))
         return pd.Series(out)
 

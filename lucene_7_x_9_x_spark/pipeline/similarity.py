@@ -2,7 +2,9 @@
 
   * cosine_top_k       — exact brute-force top-k per query vector. The dot
     product stays JVM-side (zip_with/aggregate) so there is no Python in the
-    scan; per-query top-k is a window row_number (TakeOrdered per query key).
+    scan; per-query top-k is two-stage (per-partition partial top-k, then a
+    rank window over <= k * n_partitions survivors) — no reducer ever sees
+    the full scored corpus for a query.
   * ivf_top_k          — the scale path: k-means-style coarse quantizer
     (deterministic seeded centroids refined with a few Lloyd iterations via
     DataFrame aggregations), vectors assigned to their nearest centroid
@@ -22,6 +24,37 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["cosine_top_k", "ivf_top_k"]
+
+
+def _two_stage_top_k(scored: DataFrame, k: int) -> DataFrame:
+    """Exact per-query top-k WITHOUT funneling the full scored set through one
+    reducer per query: stage 1 folds each Spark partition down to <= k rows
+    per query (mapInPandas, no shuffle); stage 2 runs the rank window over the
+    <= k * n_partitions survivors only. Same shape as the text engine's
+    segment_top_k -> merge_top_k. Input columns: (query_id, vec_id, cosine);
+    ties break by vec_id asc, so partial top-k composes exactly."""
+    schema = "query_id long, vec_id long, cosine double"
+    slim = scored.select(F.col("query_id").cast("long"),
+                         F.col("vec_id").cast("long"),
+                         F.col("cosine").cast("double"))
+
+    def partial(it):
+        best = None
+        for pdf in it:
+            cur = pdf if best is None else pd.concat((best, pdf),
+                                                     ignore_index=True)
+            cur = cur.sort_values(["query_id", "cosine", "vec_id"],
+                                  ascending=[True, False, True], kind="stable")
+            best = cur.groupby("query_id", sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    partials = slim.mapInPandas(partial, schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+    return (partials.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank"))
 
 
 def _dot(a: str, b: str):
@@ -50,12 +83,7 @@ def cosine_top_k(vectors: DataFrame, queries: DataFrame, k: int = 10,
         v.crossJoin(F.broadcast(q))
         .withColumn("cosine", _dot("_v", "_q") / (F.col("_nv") * F.col("_nq")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    return _two_stage_top_k(scored, k)
 
 
 def _centroids(vectors: DataFrame, vec_col: str, n_lists: int, dim: int,
@@ -143,11 +171,6 @@ def ivf_top_k(vectors: DataFrame, queries: DataFrame, k: int = 10,
         v.join(F.broadcast(qdf), "_list")
         .withColumn("cosine",
                     _dot(vec_col, "_q") / (_norm(vec_col) * F.col("_nq")))
+        .withColumnRenamed(id_col, "vec_id")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
-                                               F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", F.col(id_col).alias("vec_id"), "cosine", "rank")
-    )
+    return _two_stage_top_k(scored, k)

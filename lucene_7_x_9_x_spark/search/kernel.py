@@ -758,6 +758,26 @@ def _flat_term_dismax(q: Q.Query):
     return None
 
 
+def _paint_chunk_bounds(n_chunks: int, c0: np.ndarray, c1: np.ndarray,
+                        bmax: np.ndarray):
+    """Range max-paint of per-block score bounds onto chunks. Dense postings
+    (the perf-critical many-block case) put each 128-doc block inside one
+    4096-doc chunk, so those scatter in one np.maximum.at; only straddling
+    blocks (sparse terms — few blocks) take the per-block loop."""
+    tb = np.zeros(n_chunks, dtype=np.float64)
+    hb = np.zeros(n_chunks, dtype=bool)
+    single = c0 == c1
+    if single.any():
+        idx = c0[single]
+        np.maximum.at(tb, idx, bmax[single].astype(np.float64))
+        hb[idx] = True
+    for i in np.flatnonzero(~single):
+        a, b2 = int(c0[i]), int(c1[i])
+        tb[a: b2 + 1] = np.maximum(tb[a: b2 + 1], np.float64(bmax[i]))
+        hb[a: b2 + 1] = True
+    return tb, hb
+
+
 def _chunk_bounds(seg: SegmentIndex, stats, gdf, terms, n_chunks: int):
     """Per-term per-chunk score upper bounds from the block-max metadata.
     Returns (tbs: {term: float64[n_chunks]}, has: {term: bool[n_chunks]},
@@ -766,18 +786,15 @@ def _chunk_bounds(seg: SegmentIndex, stats, gdf, terms, n_chunks: int):
     for t, boost in terms:
         w = stats.weight(gdf.get(t, 0), boost)
         weights[t] = w
-        tb = np.zeros(n_chunks, dtype=np.float64)
-        hb = np.zeros(n_chunks, dtype=bool)
         if seg.has(t):
             first, last, mf, mn = seg.block_meta(t)
             bmax = stats.score(mf, mn, w)
-            c0 = first // CHUNK
-            c1 = last // CHUNK
-            for i in range(first.size):
-                a, b2 = int(c0[i]), int(c1[i])
-                tb[a: b2 + 1] = np.maximum(tb[a: b2 + 1], np.float64(bmax[i]))
-                hb[a: b2 + 1] = True
+            tb, hb = _paint_chunk_bounds(n_chunks, first // CHUNK,
+                                         last // CHUNK, bmax)
             metas[t] = (first, last)
+        else:
+            tb = np.zeros(n_chunks, dtype=np.float64)
+            hb = np.zeros(n_chunks, dtype=bool)
         tbs[t], has[t] = tb, hb
     return tbs, has, weights, metas
 
@@ -951,13 +968,9 @@ def _pruned_or(seg: SegmentIndex, stats: bm25.BM25Stats, gdf: Dict[str, int],
         weights[t] = w
         first, last, mf, mn = seg.block_meta(t)
         bmax = stats.score(mf, mn, w)
-        tb = np.zeros(n_chunks, dtype=np.float64)
-        c0 = first // CHUNK
-        c1 = last // CHUNK
-        for i in range(first.size):
-            a, b2 = int(c0[i]), int(c1[i])
-            tb[a : b2 + 1] = np.maximum(tb[a : b2 + 1], np.float64(bmax[i]))
-            has_block[a : b2 + 1] = True
+        tb, hb = _paint_chunk_bounds(n_chunks, first // CHUNK, last // CHUNK,
+                                     bmax)
+        has_block |= hb
         bounds += tb
         metas[t] = (first, last)
 

@@ -27,12 +27,25 @@ def rescore(searcher, first_query: Q.Query, second_query: Q.Query,
             second_weight: float = 1.0) -> pd.DataFrame:
     """QueryRescorer.rescore analog. Returns the re-ranked hits DataFrame
     (rank, segment_id, docid, key, score) with combined scores."""
+    from pyspark.sql import functions as F
+
     top = searcher.search(first_query, k=window_size)
     hits = top.hits
     if not len(hits):
         return hits
     pairs = {(int(r.segment_id), int(r.docid)) for r in hits.itertuples()}
-    second = searcher.scores_df(second_query).toPandas()
+    # Evaluate the second query distributed, then SEMI-JOIN to the window's
+    # (segment_id, docid) pairs BEFORE materializing on the driver: the isin
+    # over <= window_size struct literals pushes into the plan, so at most
+    # window_size rows ever reach toPandas() regardless of the second query's
+    # df (QueryRescorer touches only the window, QueryRescorer.java:63-80).
+    pair_lits = [F.struct(F.lit(s), F.lit(d)) for (s, d) in sorted(pairs)]
+    second = (
+        searcher.scores_df(second_query)
+        .where(F.struct(F.col("segment_id").cast("int"),
+                        F.col("docid").cast("int")).isin(pair_lits))
+        .toPandas()
+    )
     smap = {
         (int(r.segment_id), int(r.docid)): float(r.score)
         for r in second.itertuples()
