@@ -39,6 +39,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..analysis.tokenizer import Analyzer, STANDARD
+from ..fields import FIELD_SEP
 from ..functions import smallfloat
 from ..functions.codecs import encode_posting_list
 from .catalog import IndexCatalog, append_lineage
@@ -172,8 +173,15 @@ def index_wave(
     salt_bucket_docs: int | None = None,
     docs_per_segment: int = 4096,
     coalesce_postings: bool = False,
+    fields: list[str] | None = None,
 ) -> list[dict]:
     """Index one wave: src(key, text, segment_id) -> docs+postings partitions.
+
+    ``fields``: multi-field mode — src carries one text column per field named
+    ``f_<field>``; every term is stored '<field>\\x1fterm'-encoded with that
+    FIELD's norm byte (per-field .nvd analog), and the returned segment stats
+    include per-field (doc_count, sum_ttf) — the FieldInfos/CollectionStatistics
+    role (BM25Similarity.java:74-90 scores with field statistics).
 
     Shared by the batch builder, the incremental writer, and the streaming
     sink. Returns the new segments' stats dicts (uncommitted — the caller owns
@@ -197,15 +205,32 @@ def index_wave(
     # per wave) -- the Python-heavy analyzer stage is core-bound, not
     # segment-bound. tvh (a JVM-side deterministic hash of the term vector)
     # tiebreaks duplicate keys identically everywhere docids are derived.
-    tokenized = (
-        src.withColumn("_t", tok_udf(F.col("text")))
-        .select(
+    if fields:
+        t = src
+        for f in fields:
+            t = t.withColumn(f"_t_{f}", tok_udf(F.col(f"f_{f}")))
+        tokenized = t.select(
             "segment_id", "key",
-            F.col("_t.tv").alias("tv"),
-            F.col("_t.doclen").alias("doclen"),
+            *[F.col(f"_t_{f}.tv").alias(f"tv_{f}") for f in fields],
+            *[F.col(f"_t_{f}.doclen").alias(f"dl_{f}") for f in fields],
         )
-        .withColumn("tvh", F.hash("tv"))
-    )
+        total_len = F.col(f"dl_{fields[0]}")
+        for f in fields[1:]:
+            total_len = total_len + F.col(f"dl_{f}")
+        tokenized = (
+            tokenized.withColumn("doclen", total_len)
+            .withColumn("tvh", F.hash(*[F.col(f"tv_{f}") for f in fields]))
+        )
+    else:
+        tokenized = (
+            src.withColumn("_t", tok_udf(F.col("text")))
+            .select(
+                "segment_id", "key",
+                F.col("_t.tv").alias("tv"),
+                F.col("_t.doclen").alias("doclen"),
+            )
+            .withColumn("tvh", F.hash("tv"))
+        )
     # ONE shuffle of the term vectors (hash by segment), cached. Docid
     # assignment is then a per-segment WINDOW over the already-partitioned
     # cache: Catalyst adds only a local sort (ClusteredDistribution satisfied
@@ -227,14 +252,26 @@ def index_wave(
     # docs pass projects the term vectors OUT before the window, so its sort
     # moves only (key, doclen, tvh) rows; key_dups (docs sharing this key in
     # the segment) rides the same sort as a peers-frame count
+    dl_cols = [f"dl_{f}" for f in (fields or [])]
     docs = (
-        part.select("segment_id", "key", "doclen", "tvh")
+        part.select("segment_id", "key", "doclen", "tvh", *dl_cols)
         .withColumn("docid", (F.row_number().over(w_seg) - 1).cast("int"))
         .withColumn("key_dups", F.count("*").over(w_peers).cast("int"))
         .withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
-        .select("segment_id", "docid", "key", "doclen", "norm_byte",
-                "key_dups")
     )
+    if fields:
+        # per-field lengths ride the docs table (FieldInfos + per-field norms
+        # source for stats); the scalar doclen stays the cross-field total
+        docs = docs.withColumn(
+            "field_lens",
+            F.map_from_arrays(
+                F.array(*[F.lit(f) for f in fields]),
+                F.array(*[F.col(f"dl_{f}") for f in fields])))
+        docs = docs.select("segment_id", "docid", "key", "doclen",
+                           "norm_byte", "key_dups", "field_lens")
+    else:
+        docs = docs.select("segment_id", "docid", "key", "doclen",
+                           "norm_byte", "key_dups")
     (
         # cluster by segment before the partitioned write: one file per
         # segment instead of (tasks x segments) — the commit protocol's
@@ -255,23 +292,47 @@ def index_wave(
     # (term vectors ride a local sort, never an exchange or a join)
     keyed = (
         part.withColumn("docid", (F.row_number().over(w_seg) - 1).cast("int"))
-        .withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
         .where(F.col("doclen") > 0)
     )
-    exploded = (
-        keyed.select(
-            "segment_id", "docid", "norm_byte",
-            F.explode("tv").alias("p"),
+    if fields:
+        # one exploded frame per field, field-prefixed terms carrying THAT
+        # field's norm byte; the union shares the single downstream shuffle
+        per_field = []
+        for f in fields:
+            per_field.append(
+                keyed.where(F.col(f"dl_{f}") > 0)
+                .select(
+                    "segment_id", "docid",
+                    _norm_byte_udf(F.col(f"dl_{f}")).alias("norm_byte"),
+                    F.explode(F.col(f"tv_{f}")).alias("p"),
+                )
+                .select(
+                    "segment_id", "docid", "norm_byte",
+                    F.concat(F.lit(f + FIELD_SEP),
+                             F.col("p.term")).alias("term"),
+                    F.col("p.freq").alias("freq"),
+                    F.col("p.positions").alias("positions"),
+                )
+            )
+        exploded = per_field[0]
+        for e in per_field[1:]:
+            exploded = exploded.unionByName(e)
+    else:
+        exploded = (
+            keyed.withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
+            .select(
+                "segment_id", "docid", "norm_byte",
+                F.explode("tv").alias("p"),
+            )
+            .select(
+                "segment_id", "docid", "norm_byte",
+                F.col("p.term").alias("term"),
+                F.col("p.freq").alias("freq"),
+                F.col("p.positions").alias("positions"),
+            )
         )
-        .select(
-            "segment_id", "docid", "norm_byte",
-            F.col("p.term").alias("term"),
-            F.col("p.freq").alias("freq"),
-            F.col("p.positions").alias("positions"),
-        )
-        .withColumn(
-            "shard", F.pmod(F.xxhash64(F.col("term")), F.lit(term_shards)).cast("int")
-        )
+    exploded = exploded.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col("term")), F.lit(term_shards)).cast("int")
     )
 
     def _enc(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -313,30 +374,37 @@ def index_wave(
         .parquet(os.path.join(index_dir, "postings"))
     )
 
-    stats = (
-        docs_wave.groupBy("segment_id")
-        .agg(
-            F.sum(F.when(F.col("doclen") > 0, 1).otherwise(0)).alias("doc_count"),
-            F.sum("doclen").alias("sum_ttf"),
-            (F.max("docid") + 1).alias("max_doc"),
-        )
-        .collect()
-    )
+    agg_exprs = [
+        F.sum(F.when(F.col("doclen") > 0, 1).otherwise(0)).alias("doc_count"),
+        F.sum("doclen").alias("sum_ttf"),
+        (F.max("docid") + 1).alias("max_doc"),
+    ]
+    for f in (fields or []):
+        fl = F.col("field_lens").getItem(f)
+        agg_exprs.append(
+            F.sum(F.when(fl > 0, 1).otherwise(0)).alias(f"dc_{f}"))
+        agg_exprs.append(F.sum(fl).alias(f"st_{f}"))
+    stats = docs_wave.groupBy("segment_id").agg(*agg_exprs).collect()
     part.unpersist()
 
     segs = []
     for r in stats:
-        segs.append(
-            {
-                "segment_id": int(r["segment_id"]),
-                "wave": wave,
-                "doc_count": int(r["doc_count"]),
-                "sum_ttf": int(r["sum_ttf"]),
-                "max_doc": int(r["max_doc"]),
-                "size_bytes": 0,
-                "merged_from": [],
+        seg_stat = {
+            "segment_id": int(r["segment_id"]),
+            "wave": wave,
+            "doc_count": int(r["doc_count"]),
+            "sum_ttf": int(r["sum_ttf"]),
+            "max_doc": int(r["max_doc"]),
+            "size_bytes": 0,
+            "merged_from": [],
+        }
+        if fields:
+            seg_stat["field_stats"] = {
+                f: {"doc_count": int(r[f"dc_{f}"] or 0),
+                    "sum_ttf": int(r[f"st_{f}"] or 0)}
+                for f in fields
             }
-        )
+        segs.append(seg_stat)
     for s in segs:
         s["size_bytes"] = _dir_size(
             os.path.join(index_dir, "postings", f"wave={wave}",
@@ -350,7 +418,7 @@ def build_index(
     spark: SparkSession,
     df: DataFrame,
     key_col: str,
-    text_col: str,
+    text_col: str | None,
     index_dir: str,
     *,
     docs_per_segment: int = 4096,
@@ -362,6 +430,8 @@ def build_index(
     salt_bucket_docs: int | None = None,
     coalesce_postings: bool = False,
     resume: bool = False,
+    field_cols: dict[str, str] | None = None,
+    default_field: str | None = None,
     _crash_point: tuple | None = None,  # (wave, "after_docs"|"after_commit") — test hook
 ) -> IndexCatalog:
     """Build (or resume building) the inverted index for df[key_col, text_col].
@@ -371,12 +441,42 @@ def build_index(
     reproducible by an external SQL oracle. Otherwise segments are assigned by
     xxhash64(key) (deterministic, partition-independent), mirroring Lucene's
     arbitrary-but-fixed arrival order.
+
+    field_cols={"title": "title_col", "body": "text_col"} builds a MULTI-FIELD
+    index (per-field postings, norms, and BM25 stats — Document.java:42-44 /
+    FieldInfo.java semantics); text_col is ignored then, and unqualified query
+    terms resolve to ``default_field`` (first field if None). Field names must
+    not contain the '\\x1f' separator.
     """
     cat = IndexCatalog(index_dir)
     if not resume and cat.head() >= 0:
         raise ValueError(f"index already exists at {index_dir}; pass resume=True")
+    fields = None
+    if field_cols:
+        fields = list(field_cols)
+        if any(FIELD_SEP in f for f in fields):
+            raise ValueError("field names must not contain \\x1f")
+        default_field = default_field or fields[0]
+        if default_field not in fields:
+            raise ValueError(f"default_field {default_field!r} not in fields")
+        # FieldInfos analog: immutable per-index field registry, written once
+        # (readers need it to qualify unqualified query terms)
+        fi_path = os.path.join(cat.catalog_dir, "fieldinfos.json")
+        if not os.path.exists(fi_path):
+            import json
+            tmp = fi_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"fields": fields, "default_field": default_field},
+                          fh)
+            os.rename(tmp, fi_path)
 
     key_s = F.col(key_col).cast("string")
+    if fields:
+        text_sel = [F.col(field_cols[f]).alias(f"f_{f}") for f in fields]
+        text_names = [f"f_{f}" for f in fields]
+    else:
+        text_sel = [F.col(text_col).alias("text")]
+        text_names = ["text"]
     if int_keys:
         seg_expr = (F.col(key_col).cast("long") / docs_per_segment).cast("int")
         n_segments = (
@@ -403,7 +503,7 @@ def build_index(
         (
             df.select(
                 key_s.alias("key"),
-                F.col(text_col).alias("text"),
+                *text_sel,
                 seg_expr.alias("segment_id"),
             )
             .withColumn("wave", (F.col("segment_id") / segments_per_wave).cast("int"))
@@ -419,9 +519,9 @@ def build_index(
         t0 = time.time()
         if use_staging:
             src = spark.read.parquet(staging).where(F.col("wave") == wave)
-            src = src.select("key", "text", "segment_id")
+            src = src.select("key", *text_names, "segment_id")
         else:
-            src = df.select(key_s.alias("key"), F.col(text_col).alias("text"),
+            src = df.select(key_s.alias("key"), *text_sel,
                             seg_expr.alias("segment_id"))
 
         if _crash_point == (wave, "after_docs"):
@@ -431,7 +531,7 @@ def build_index(
                        store_positions=store_positions, int_keys=int_keys,
                        term_shards=term_shards,
                        salt_bucket_docs=salt_bucket_docs,
-                       docs_per_segment=docs_per_segment)
+                       docs_per_segment=docs_per_segment, fields=fields)
             shutil.rmtree(os.path.join(index_dir, "postings", f"wave={wave}"),
                           ignore_errors=True)
             raise RuntimeError("injected crash: after_docs")
@@ -442,7 +542,7 @@ def build_index(
                 store_positions=store_positions, int_keys=int_keys,
                 term_shards=term_shards, salt_bucket_docs=salt_bucket_docs,
                 docs_per_segment=docs_per_segment,
-                coalesce_postings=coalesce_postings)
+                coalesce_postings=coalesce_postings, fields=fields)
             if s["segment_id"] not in done_segs
         ]
         wall_ms = int((time.time() - t0) * 1000)

@@ -249,18 +249,36 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
                 out.append(g)
             yield pd.concat(out) if out else pdf.iloc[0:0]
 
+    # multi-field indexes carry per-field lengths through the merge so the
+    # merged segment's per-field stats are RECOMPUTED over survivors (merge
+    # purges deletes, so stats must shrink accordingly — Lucene recomputes
+    # FieldInfos/Norms stats in SegmentMerger the same way)
+    import json as _json
+    fi_path = os.path.join(index_dir, "_catalog", "fieldinfos.json")
+    fields = None
+    if os.path.exists(fi_path):
+        with open(fi_path) as fh:
+            fields = _json.load(fh).get("fields")
+    doc_cols = ["segment_id", "docid", "key", "doclen", "norm_byte"]
+    if fields:
+        doc_cols.append("field_lens")
     merged_docs = (
-        docs.select("segment_id", "docid", "key", "doclen", "norm_byte")
-        .mapInPandas(remap_docs, docs.select(
-            "segment_id", "docid", "key", "doclen", "norm_byte").schema)
+        docs.select(*doc_cols)
+        .mapInPandas(remap_docs, docs.select(*doc_cols).schema)
         .withColumn("segment_id", F.lit(new_id))
         .persist()
     )
-    stats = merged_docs.agg(
+    agg_exprs = [
         F.sum(F.when(F.col("doclen") > 0, 1).otherwise(0)).alias("doc_count"),
         F.sum("doclen").alias("sum_ttf"),
         F.count("*").alias("max_doc"),
-    ).collect()[0]
+    ]
+    for f in (fields or []):
+        fl = F.col("field_lens").getItem(f)
+        agg_exprs.append(
+            F.sum(F.when(fl > 0, 1).otherwise(0)).alias(f"dc_{f}"))
+        agg_exprs.append(F.sum(fl).alias(f"st_{f}"))
+    stats = merged_docs.agg(*agg_exprs).collect()[0]
     (
         merged_docs.withColumn("wave", F.lit(new_wave))
         .repartition(1)
@@ -332,6 +350,12 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
             spark),
         "merged_from": sorted(segment_ids),
     }
+    if fields:
+        new_seg["field_stats"] = {
+            f: {"doc_count": int(stats[f"dc_{f}"] or 0),
+                "sum_ttf": int(stats[f"st_{f}"] or 0)}
+            for f in fields
+        }
     remaining = [s for sid, s in live.items() if sid not in set(segment_ids)]
     wall_ms = int((time.time() - t0) * 1000)
     append_lineage(index_dir, [

@@ -28,12 +28,42 @@ from typing import Dict, Tuple
 
 import numpy as np
 
+from ..fields import FIELD_SEP, bare_term, field_of
 from ..functions import bm25
 from ..functions.codecs import decode_blocks, split_positions
 from . import query as Q
 
 TOTAL_HITS_THRESHOLD = 1000  # IndexSearcher.java:105
 CHUNK = 4096
+
+
+class PerFieldStats:
+    """Similarity dispatch by the term's field prefix (multi-field indexes).
+
+    Lucene's BM25 statistics are per field: N = docs *with the field*, avgdl =
+    the field's sumTotalTermFreq / docCount (BM25Similarity.java:74-90 uses
+    CollectionStatistics of one field). Terms arrive 'field\\x1fterm'-encoded
+    (fields.py), so the field — and therefore its stats object — is recovered
+    from the term string alone. Single-field indexes keep passing a bare
+    BM25Stats; ``resolve()`` makes both shapes uniform."""
+
+    def __init__(self, by_field: Dict[str, bm25.BM25Stats],
+                 default: bm25.BM25Stats):
+        self.by_field = by_field
+        self.default = default
+        self.dtype = default.dtype
+
+    def for_term(self, term: str):
+        i = term.find(FIELD_SEP)
+        if i >= 0:
+            return self.by_field.get(term[:i], self.default)
+        return self.default
+
+
+def _stats_for(stats, term: str):
+    """Field-resolved similarity for one (encoded) term."""
+    ft = getattr(stats, "for_term", None)
+    return ft(term) if ft is not None else stats
 
 
 class SegmentIndex:
@@ -53,7 +83,11 @@ class SegmentIndex:
                         if deleted is not None and len(deleted) else None)
         self._decoded: Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         self._positions: Dict[str, list] = {}
-        self._dense_norms = np.zeros(self.max_doc, dtype=np.uint8)
+        # dense norm cache PER FIELD ('' = the single/default field): norms
+        # are field statistics (.nvd is per field in Lucene), so a boolean
+        # query mixing title and body terms must not overwrite one field's
+        # lengths with the other's
+        self._dense_norms: Dict[str, np.ndarray] = {}
         self._blk_cache: Dict[Tuple[str, int], tuple] = {}
 
     def has(self, term: str) -> bool:
@@ -77,7 +111,12 @@ class SegmentIndex:
                                        np.zeros(0, dtype=np.uint8))
             else:
                 d, f, n = decode_blocks(self.term_rows[term]["blocks"])
-                self._dense_norms[d] = n
+                fld = field_of(term)
+                dn = self._dense_norms.get(fld)
+                if dn is None:
+                    dn = self._dense_norms[fld] = np.zeros(
+                        self.max_doc, dtype=np.uint8)
+                dn[d] = n
                 if self.deleted is not None:
                     keep = self._live_mask(d)
                     d, f, n = d[keep], f[keep], n[keep]
@@ -99,8 +138,14 @@ class SegmentIndex:
                 self._positions[term] = plists
         return self._positions[term]
 
-    def norms_for(self, docids: np.ndarray) -> np.ndarray:
-        return self._dense_norms[docids]
+    def norms_for(self, docids: np.ndarray, term: str = "") -> np.ndarray:
+        """Norm bytes for docids in the FIELD of ``term`` (any term of the
+        field; '' = the single/default field). Valid for docids whose
+        postings in that field were decoded."""
+        dn = self._dense_norms.get(field_of(term))
+        if dn is None:
+            return np.zeros(len(docids), dtype=np.uint8)
+        return dn[docids]
 
     def flat_positions(self, term: str):
         """(docids repeated per position, flat positions) — the whole
@@ -184,8 +229,9 @@ class Scorer:
     # ---- scored evaluation: returns (docids asc, scores dtype) ------------
     def eval_scored(self, q: Q.Query):
         dt = self.dtype
-        seg, st = self.seg, self.stats
+        seg = self.seg
         if isinstance(q, Q.TermQuery):
+            st = _stats_for(self.stats, q.term)
             d, f, n = seg.decode(q.term)
             if d.size == 0:
                 return d, np.zeros(0, dtype=dt)
@@ -193,6 +239,7 @@ class Scorer:
             return d, st.score(f, n, w)
         if isinstance(q, Q.SynonymQuery):
             # pseudo-stats: df = max(member dfs), freq = sum (SynonymQuery.java:233-247)
+            st = _stats_for(self.stats, q.terms[0])
             freq_acc = np.zeros(seg.max_doc, dtype=np.int64)
             mask = np.zeros(seg.max_doc, dtype=bool)
             for t in q.terms:
@@ -205,14 +252,17 @@ class Scorer:
             df = max((self.gdf.get(t, 0) for t in q.terms), default=0)
             w = st.weight(df, q.boost)
             return docids, st.score(
-                freq_acc[docids], seg.norms_for(docids), w)
+                freq_acc[docids], seg.norms_for(docids, q.terms[0]), w)
         if isinstance(q, Q.PhraseQuery):
+            st = _stats_for(self.stats, q.terms[0])
             docids, pfreqs = self._phrase_freqs(q)
             if docids.size == 0:
                 return docids, np.zeros(0, dtype=dt)
             w = st.multi_term_weight([self.gdf.get(t, 0) for t in q.terms], q.boost)
-            return docids, st.score(pfreqs, self.seg.norms_for(docids), w)
+            return docids, st.score(
+                pfreqs, self.seg.norms_for(docids, q.terms[0]), w)
         if isinstance(q, Q.MultiPhraseQuery):
+            st = _stats_for(self.stats, q.slots[0][0])
             docids, pfreqs = self._multi_phrase_freqs(q)
             if docids.size == 0:
                 return docids, np.zeros(0, dtype=dt)
@@ -221,7 +271,8 @@ class Scorer:
             all_terms = [t for slot in q.slots for t in slot]
             w = st.multi_term_weight(
                 [self.gdf.get(t, 0) for t in all_terms], q.boost)
-            return docids, st.score(pfreqs, self.seg.norms_for(docids), w)
+            return docids, st.score(
+                pfreqs, self.seg.norms_for(docids, q.slots[0][0]), w)
         if isinstance(q, Q.ConstantScoreQuery):
             d = self.eval_match(q.query)
             return d, np.full(d.size, dt(q.boost), dtype=dt)
@@ -248,12 +299,14 @@ class Scorer:
             # every term's TermStatistics); freq = SpanScorer's slop-adjusted
             # sloppy freq, sum over spans of 1/(1+width)
             # (SpanScorer.java:118)
+            span_ts = sorted(Q.span_terms(q))
+            st = _stats_for(self.stats, span_ts[0])
             d, f = self.eval_spans(q)
             if d.size == 0:
                 return d, np.zeros(0, dtype=dt)
             w = st.multi_term_weight(
-                [self.gdf.get(t, 0) for t in sorted(Q.span_terms(q))], q.boost)
-            return d, st.score(f, seg.norms_for(d), w)
+                [self.gdf.get(t, 0) for t in span_ts], q.boost)
+            return d, st.score(f, seg.norms_for(d, span_ts[0]), w)
         if isinstance(q, Q.BooleanQuery):
             return self._eval_bool(q)
         if isinstance(q, (Q.TermInSetQuery, Q.TermPredicateQuery)):
@@ -784,11 +837,12 @@ def _chunk_bounds(seg: SegmentIndex, stats, gdf, terms, n_chunks: int):
     weights, metas)."""
     tbs, has, weights, metas = {}, {}, {}, {}
     for t, boost in terms:
-        w = stats.weight(gdf.get(t, 0), boost)
-        weights[t] = w
+        st_t = _stats_for(stats, t)
+        w = st_t.weight(gdf.get(t, 0), boost)
+        weights[t] = (st_t, w)
         if seg.has(t):
             first, last, mf, mn = seg.block_meta(t)
-            bmax = stats.score(mf, mn, w)
+            bmax = st_t.score(mf, mn, w)
             tb, hb = _paint_chunk_bounds(n_chunks, first // CHUNK,
                                          last // CHUNK, bmax)
             metas[t] = (first, last)
@@ -801,10 +855,12 @@ def _chunk_bounds(seg: SegmentIndex, stats, gdf, terms, n_chunks: int):
 
 def _accum_chunk(seg, stats, metas, weights, terms, lo, hi, acc, cnt, mask):
     """Decode each term's blocks overlapping [lo, hi) and accumulate scores
-    into the dense chunk arrays (float64 accumulation, Lucene's double-sum)."""
+    into the dense chunk arrays (float64 accumulation, Lucene's double-sum).
+    weights[t] = (field-resolved stats, precomputed weight)."""
     for t, _ in terms:
         if t not in metas:
             continue
+        st_t, w = weights[t]
         first, last = metas[t]
         bs = np.flatnonzero((first < hi) & (last >= lo))
         for bi in bs:
@@ -812,7 +868,7 @@ def _accum_chunk(seg, stats, metas, weights, terms, lo, hi, acc, cnt, mask):
             sel = (d >= lo) & (d < hi)
             if not sel.any():
                 continue
-            s = stats.score(f[sel], n[sel], weights[t])
+            s = st_t.score(f[sel], n[sel], w)
             acc[d[sel] - lo] += s.astype(np.float64)
             if cnt is not None:
                 cnt[d[sel] - lo] += 1
@@ -925,6 +981,7 @@ def _pruned_dismax(seg: SegmentIndex, stats, gdf: Dict[str, int],
         dsm = np.zeros(hi - lo, dtype=np.float64)
         mask = np.zeros(hi - lo, dtype=bool)
         for t, _ in present:
+            st_t, w = weights[t]
             first, last = metas[t]
             bs = np.flatnonzero((first < hi) & (last >= lo))
             for bi in bs:
@@ -932,7 +989,7 @@ def _pruned_dismax(seg: SegmentIndex, stats, gdf: Dict[str, int],
                 sel = (d >= lo) & (d < hi)
                 if not sel.any():
                     continue
-                s = stats.score(f[sel], n[sel], weights[t]).astype(np.float64)
+                s = st_t.score(f[sel], n[sel], w).astype(np.float64)
                 np.maximum.at(dmx, d[sel] - lo, s)
                 dsm[d[sel] - lo] += s
                 mask[d[sel] - lo] = True
@@ -964,10 +1021,11 @@ def _pruned_or(seg: SegmentIndex, stats: bm25.BM25Stats, gdf: Dict[str, int],
     metas = {}
     weights = {}
     for t, boost in present:
-        w = stats.weight(gdf.get(t, 0), boost)
-        weights[t] = w
+        st_t = _stats_for(stats, t)
+        w = st_t.weight(gdf.get(t, 0), boost)
+        weights[t] = (st_t, w)
         first, last, mf, mn = seg.block_meta(t)
-        bmax = stats.score(mf, mn, w)
+        bmax = st_t.score(mf, mn, w)
         tb, hb = _paint_chunk_bounds(n_chunks, first // CHUNK, last // CHUNK,
                                      bmax)
         has_block |= hb
@@ -992,6 +1050,7 @@ def _pruned_or(seg: SegmentIndex, stats: bm25.BM25Stats, gdf: Dict[str, int],
         acc = np.zeros(hi - lo, dtype=np.float64)
         mask = np.zeros(hi - lo, dtype=bool)
         for t, _ in present:
+            st_t, w = weights[t]
             first, last = metas[t]
             bs = np.flatnonzero((first < hi) & (last >= lo))
             for bi in bs:
@@ -999,7 +1058,7 @@ def _pruned_or(seg: SegmentIndex, stats: bm25.BM25Stats, gdf: Dict[str, int],
                 sel = (d >= lo) & (d < hi)
                 if not sel.any():
                     continue
-                s = stats.score(f[sel], n[sel], weights[t])
+                s = st_t.score(f[sel], n[sel], w)
                 acc[d[sel] - lo] += s.astype(np.float64)
                 mask[d[sel] - lo] = True
         local = np.flatnonzero(mask)
@@ -1031,25 +1090,28 @@ def explain(seg: SegmentIndex, stats: bm25.BM25Stats, gdf: Dict[str, int],
         matched = bool(i < d.size and d[i] == docid)
         value = float(s[i]) if matched else 0.0
         if isinstance(sub, Q.TermQuery):
+            fld = field_of(sub.term, "text")
+            shown = bare_term(sub.term)
             if not matched:
                 return {"value": 0.0, "match": False,
-                        "description": f"no matching term {sub.term!r}"}
-            if not isinstance(stats, bm25.BM25Stats):
+                        "description": f"no matching term {shown!r}"}
+            st_t = _stats_for(stats, sub.term)
+            if not isinstance(st_t, bm25.BM25Stats):
                 return {"value": value, "match": True,
-                        "description": f"weight(text:{sub.term} in {docid}) "
-                                       f"[{type(stats).__name__}]"}
+                        "description": f"weight({fld}:{shown} in {docid}) "
+                                       f"[{type(st_t).__name__}]"}
             dd, ff, nn = seg.decode(sub.term)
             j = int(np.searchsorted(dd, docid))
             freq = int(ff[j])
             norm_b = int(nn[j])
             n = gdf.get(sub.term, 0)
-            N = stats.doc_count
-            idf_v = float(bm25.idf(n, N, dtype=stats.dtype))
+            N = st_t.doc_count
+            idf_v = float(bm25.idf(n, N, dtype=st_t.dtype))
             from ..functions.smallfloat import BYTE4_DECODE_TABLE
             dl = int(BYTE4_DECODE_TABLE[norm_b])
             return {
                 "value": value, "match": True,
-                "description": f"weight(text:{sub.term} in {docid}) "
+                "description": f"weight({fld}:{shown} in {docid}) "
                                f"[BM25Similarity], computed as boost * idf * tf",
                 "details": [
                     {"value": sub.boost, "description": "boost"},
@@ -1066,11 +1128,11 @@ def explain(seg: SegmentIndex, stats: bm25.BM25Stats, gdf: Dict[str, int],
                                     "b + b * dl / avgdl))",
                      "details": [
                          {"value": freq, "description": "freq"},
-                         {"value": stats.k1, "description": "k1"},
-                         {"value": stats.b, "description": "b"},
+                         {"value": st_t.k1, "description": "k1"},
+                         {"value": st_t.b, "description": "b"},
                          {"value": dl, "description":
                           "dl, length of field (quantized via SmallFloat)"},
-                         {"value": float(stats.avgdl), "description":
+                         {"value": float(st_t.avgdl), "description":
                           "avgdl, average length of field"}]},
                 ],
             }

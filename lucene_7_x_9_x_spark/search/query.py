@@ -27,6 +27,7 @@ class Query:
 class TermQuery(Query):
     term: str
     boost: float = 1.0
+    field: str | None = None  # None = the index's default field
 
 
 @dataclass(frozen=True)
@@ -49,6 +50,7 @@ class PhraseQuery(Query):
     terms: Tuple[str, ...]
     slop: int = 0
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -58,12 +60,14 @@ class MultiPhraseQuery(Query):
     slots: Tuple[Tuple[str, ...], ...]
     slop: int = 0
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
 class SynonymQuery(Query):
     terms: Tuple[str, ...]
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -100,18 +104,21 @@ class MatchNoDocsQuery(Query):
 class PrefixQuery(Query):
     prefix: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
 class WildcardQuery(Query):
     pattern: str  # * = any run, ? = single char (WildcardQuery.java:43-52)
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
 class RegexpQuery(Query):
     regexp: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -121,6 +128,7 @@ class FuzzyQuery(Query):
     prefix_length: int = 0
     boost: float = 1.0
     max_expansions: int = 50  # FuzzyQuery.java:57 defaultMaxExpansions
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -130,12 +138,14 @@ class TermRangeQuery(Query):
     include_lower: bool = True
     include_upper: bool = True
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
 class TermInSetQuery(Query):
     terms: Tuple[str, ...]
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -183,6 +193,7 @@ class SpanQuery(Query):
 class SpanTermQuery(SpanQuery):
     term: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)

@@ -6,9 +6,10 @@ QueryParserBase.java:44,59-74; QueryBuilder.java:59):
 
   term                          TermQuery (analyzed, lowercased)
   "a b"                         PhraseQuery, "a b"~2 with slop
-  field:term                    field prefix accepted and validated against the
-                                single indexed field name (we index one text
-                                field; any other field is an error)
+  field:term / field:"a b"      field prefix, validated against the parse()
+                                caller's field list (pass the searcher's
+                                fields for a multi-field index; unknown
+                                fields are an error, Lucene-parser style)
   +term / -term                 required / prohibited (MUST / MUST_NOT)
   a AND b / a OR b / NOT a      boolean operators (left-assoc, AND binds via
                                 clause folding like Lucene's parser)
@@ -44,7 +45,8 @@ _TOKEN_RE = re.compile(
       (?P<lparen>\() | (?P<rparen>\)) |
       (?P<and>AND\b) | (?P<or>OR\b) | (?P<not>NOT\b) |
       (?P<plus>\+) | (?P<minus>-) |
-      (?P<phrase>"(?P<phrase_body>[^"]*)"(?:~(?P<slop>\d+))?) |
+      (?P<phrase>(?:(?P<phfield>[A-Za-z_][A-Za-z0-9_]*):)?
+                 "(?P<phrase_body>[^"]*)"(?:~(?P<slop>\d+))?) |
       (?P<regex>/(?P<regex_body>[^/]+)/) |
       (?P<range>(?P<lb>[\[{])\s*(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\s*(?P<rb>[\]}])) |
       (?P<term>[^\s()^+\-"/][^\s()^]*)
@@ -65,13 +67,25 @@ def _analyze_term(text: str, analyzer) -> list[str]:
     return [t for t, _ in analyzer.tokenize(text)]
 
 
-def _leaf_from_term(raw: str, analyzer, boost: float) -> Q.Query:
+def _check_field(field: str, cfg: "_ParseConfig") -> str | None:
+    """Validate a field prefix; returns the field to attach to the leaf
+    (None = the default field, so single-field queries stay field-less)."""
+    if cfg.fields is not None and field not in cfg.fields and field != "*":
+        raise QueryParseError(
+            f"unknown field: {field!r} (index has {sorted(cfg.fields)})")
+    if field in ("*", cfg.default_field):
+        return None
+    return field
+
+
+def _leaf_from_term(raw: str, analyzer, boost: float,
+                    cfg: "_ParseConfig") -> Q.Query:
     if raw == "*:*":
         return Q.MatchAllDocsQuery(boost=boost)
+    field = None
     if ":" in raw:
-        field, raw = raw.split(":", 1)
-        if field not in ("text", "*"):
-            raise QueryParseError(f"unknown field: {field!r} (index has 'text')")
+        fld, raw = raw.split(":", 1)
+        field = _check_field(fld, cfg)
         if raw == "*":
             return Q.MatchAllDocsQuery(boost=boost)
     m = _FUZZY_RE.match(raw)
@@ -81,34 +95,51 @@ def _leaf_from_term(raw: str, analyzer, boost: float) -> Q.Query:
         toks = _analyze_term(body, analyzer)
         if len(toks) != 1:
             raise QueryParseError(f"fuzzy needs a single term: {raw!r}")
-        return Q.FuzzyQuery(toks[0], max_edits=edits, boost=boost)
+        return Q.FuzzyQuery(toks[0], max_edits=edits, boost=boost,
+                            field=field)
     if "*" in raw or "?" in raw:
         low = raw.lower()
         if low.endswith("*") and "*" not in low[:-1] and "?" not in low:
-            return Q.PrefixQuery(low[:-1], boost=boost)
-        return Q.WildcardQuery(low, boost=boost)
+            return Q.PrefixQuery(low[:-1], boost=boost, field=field)
+        return Q.WildcardQuery(low, boost=boost, field=field)
     toks = _analyze_term(raw, analyzer)
     if not toks:
         return Q.MatchNoDocsQuery()
     if len(toks) == 1:
-        return Q.TermQuery(toks[0], boost=boost)
+        return Q.TermQuery(toks[0], boost=boost, field=field)
     # multi-token text without quotes: Lucene's QueryBuilder emits a boolean
     # SHOULD of the analyzed terms (default operator OR)
-    return Q.BooleanQuery(should=tuple(Q.TermQuery(t) for t in toks),
-                          boost=boost)
+    return Q.BooleanQuery(
+        should=tuple(Q.TermQuery(t, field=field) for t in toks),
+        boost=boost)
 
 
-def parse(s: str, analyzer=None) -> Q.Query:
-    """Parse a classic query string into the AST (default operator OR)."""
+@dataclass
+class _ParseConfig:
+    fields: tuple | None   # known field names; None = accept any
+    default_field: str
+
+
+def parse(s: str, analyzer=None, fields: tuple | None = ("text", "*"),
+          default_field: str = "text") -> Q.Query:
+    """Parse a classic query string into the AST (default operator OR).
+
+    ``fields``: acceptable `field:`-prefix names (QueryParser validates
+    against the schema); None accepts any. ``default_field`` terms stay
+    field-less (single-field compatibility); other fields ride the leaf's
+    ``field`` attribute for the searcher to qualify."""
     if analyzer is None:
         from ..analysis.tokenizer import STANDARD
         analyzer = STANDARD
+    cfg = _ParseConfig(tuple(fields) if fields is not None else None,
+                       default_field)
     pos = 0
-    out, _, _ = _parse_clauses(s, pos, analyzer, depth=0)
+    out, _, _ = _parse_clauses(s, pos, analyzer, depth=0, cfg=cfg)
     return out
 
 
-def _parse_clauses(s: str, pos: int, analyzer, depth: int):
+def _parse_clauses(s: str, pos: int, analyzer, depth: int,
+                   cfg: "_ParseConfig"):
     clauses: list[_Clause] = []
     pending_occur = None   # from +/-/NOT
     pending_op = None      # from AND/OR
@@ -125,7 +156,8 @@ def _parse_clauses(s: str, pos: int, analyzer, depth: int):
                 raise QueryParseError("unbalanced ')'")
             return _fold(clauses), pos, boost
         if m.group("lparen"):
-            sub, pos, group_boost = _parse_clauses(s, pos, analyzer, depth + 1)
+            sub, pos, group_boost = _parse_clauses(s, pos, analyzer, depth + 1,
+                                                   cfg)
             if group_boost != 1.0:
                 sub = Q.BoostQuery(sub, group_boost)
             _push(clauses, sub, pending_occur, pending_op)
@@ -149,12 +181,15 @@ def _parse_clauses(s: str, pos: int, analyzer, depth: int):
         if m.group("phrase") is not None:
             toks = _analyze_term(m.group("phrase_body"), analyzer)
             slop = int(m.group("slop") or 0)
+            phf = m.group("phfield")
+            field = _check_field(phf, cfg) if phf else None
             if not toks:
                 leaf: Q.Query = Q.MatchNoDocsQuery()
             elif len(toks) == 1:
-                leaf = Q.TermQuery(toks[0], boost=boost)
+                leaf = Q.TermQuery(toks[0], boost=boost, field=field)
             else:
-                leaf = Q.PhraseQuery(tuple(toks), slop=slop, boost=boost)
+                leaf = Q.PhraseQuery(tuple(toks), slop=slop, boost=boost,
+                                     field=field)
         elif m.group("regex") is not None:
             leaf = Q.RegexpQuery(m.group("regex_body"), boost=boost)
         elif m.group("range") is not None:
@@ -166,7 +201,7 @@ def _parse_clauses(s: str, pos: int, analyzer, depth: int):
                 include_upper=m.group("rb") == "]",
                 boost=boost)
         else:
-            leaf = _leaf_from_term(m.group("term"), analyzer, boost)
+            leaf = _leaf_from_term(m.group("term"), analyzer, boost, cfg)
         _push(clauses, leaf, pending_occur, pending_op)
         pending_occur = pending_op = None
     if depth > 0:

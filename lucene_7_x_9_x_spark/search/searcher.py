@@ -17,6 +17,8 @@ receives <= k rows per segment.
 
 from __future__ import annotations
 
+import json
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -26,12 +28,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..fields import FIELD_RANGE_END, FIELD_SEP
 from ..functions import bm25
 from ..functions.similarities import make_similarity
 from ..index.catalog import IndexCatalog
 from . import kernel as K
 from . import query as Q
 from .rewrite import rewrite as _rewrite_tree
+
+
+def _make_stats(stats_args: dict):
+    """Similarity from serialized stats args; multi-field indexes get a
+    PerFieldStats resolver (one similarity per field over THAT field's
+    N/sumTotalTermFreq — BM25Similarity.java:74-90 field statistics)."""
+    dtype = np.float32 if stats_args["dtype"] == "float32" else np.float64
+    sim = stats_args.get("similarity", "bm25")
+    base = make_similarity(sim, stats_args["doc_count"],
+                           stats_args["sum_ttf"], stats_args["k1"],
+                           stats_args["b"], dtype)
+    fs = stats_args.get("field_stats")
+    if fs:
+        by_field = {
+            f: make_similarity(sim, dc, st, stats_args["k1"],
+                               stats_args["b"], dtype)
+            for f, (dc, st) in fs.items()
+        }
+        return K.PerFieldStats(by_field, base)
+    return base
 
 _KERNEL_OUT = T.StructType(
     [
@@ -73,10 +96,7 @@ def _segment_kernel_fn(query, seg_meta, stats_args, gdf, k, pruning, threshold,
                                 for b in r.blocks]}
             for r in pdf.itertuples()
         }
-        dtype = np.float32 if stats_args["dtype"] == "float32" else np.float64
-        stats = make_similarity(
-            stats_args.get("similarity", "bm25"), stats_args["doc_count"],
-            stats_args["sum_ttf"], stats_args["k1"], stats_args["b"], dtype)
+        stats = _make_stats(stats_args)
         seg = K.SegmentIndex(rows, seg_meta[seg_id],
                              deleted=deletes.get(seg_id))
         if after is None:
@@ -120,8 +140,31 @@ class IndexSearcher:
         self.segments = self._snapshot["segments"] if self._snapshot else []
         if not self.segments:
             raise ValueError(f"no committed snapshot under {index_dir}")
+        # FieldInfos analog: written once by a multi-field build_index; absent
+        # on single-field indexes (bare terms, one global stats scope)
+        fi_path = os.path.join(index_dir, "_catalog", "fieldinfos.json")
+        self.fieldinfos = None
+        if os.path.exists(fi_path):
+            with open(fi_path) as fh:
+                self.fieldinfos = json.load(fh)
+        self.multi_field = bool(self.fieldinfos)
+        self.default_field = (self.fieldinfos or {}).get(
+            "default_field", "text")
+        self.fields = (self.fieldinfos or {}).get(
+            "fields", [self.default_field])
+        self.field_totals: dict = {}
+        if self.multi_field:
+            for s in self.segments:
+                for f, fs in (s.get("field_stats") or {}).items():
+                    dc, st_ = self.field_totals.get(f, (0, 0))
+                    self.field_totals[f] = (dc + fs["doc_count"],
+                                            st_ + fs["sum_ttf"])
         self.doc_count = sum(s["doc_count"] for s in self.segments)
         self.sum_ttf = sum(s["sum_ttf"] for s in self.segments)
+        if self.multi_field and self.default_field in self.field_totals:
+            # the default similarity scope is the default FIELD's statistics
+            self.doc_count, self.sum_ttf = self.field_totals[
+                self.default_field]
         self.seg_meta = {s["segment_id"]: s["max_doc"] for s in self.segments}
         self.seg_ords = {s["segment_id"]: i for i, s in enumerate(
             sorted(self.segments, key=lambda x: x["segment_id"]))}
@@ -160,41 +203,104 @@ class IndexSearcher:
     def docs_df(self) -> DataFrame:
         return self._docs
 
-    def _expand_query(self, q: Q.Query) -> Q.Query:
-        """Rewrite MultiTermQuery nodes (MultiTermQuery.java:66-100):
+    def _field_prefix(self, field: str | None) -> str:
+        """The encoded-term prefix of a leaf's field ('' = bare terms).
 
-        CONSTANT_SCORE rewrites (prefix/wildcard/regexp/range, the 8.x
-        default) become TermPredicateQuery nodes — the predicate is pushed
-        into the postings scan and re-applied executor-side; NO term list is
-        ever materialized on the driver (the automaton-over-FST scale guard).
-        Scored rewrites (fuzzy) expand driver-side but capped at
+        Multi-field index: every term is qualified (None -> default field).
+        Single-field index: the default field stays bare; an EXPLICIT other
+        field still gets a prefix — the encoded term cannot exist in a
+        bare-term dictionary, so the leaf matches nothing (Lucene: querying
+        an absent field matches no docs)."""
+        if self.multi_field:
+            return (field or self.default_field) + FIELD_SEP
+        if field is not None and field != self.default_field:
+            return field + FIELD_SEP
+        return ""
+
+    def _expand_query(self, q: Q.Query) -> Q.Query:
+        """Field-qualify leaf terms and rewrite MultiTermQuery nodes
+        (MultiTermQuery.java:66-100):
+
+        Every leaf's terms become '<field>\\x1fterm'-encoded here (per-field
+        postings/stats resolution downstream is driven by the term string
+        alone). CONSTANT_SCORE rewrites (prefix/wildcard/regexp/range, the
+        8.x default) become TermPredicateQuery nodes — the predicate is
+        pushed into the postings scan and re-applied executor-side; NO term
+        list is ever materialized on the driver (the automaton-over-FST scale
+        guard). Scored rewrites (fuzzy) expand driver-side but capped at
         maxExpansions by descending docFreq (TopTermsRewrite.java), so the
         collect is bounded at 50 rows regardless of dictionary size."""
         def expand(node):
+            if isinstance(node, Q.TermQuery):
+                pfx = self._field_prefix(node.field)
+                if pfx:
+                    return Q.TermQuery(pfx + node.term, node.boost)
+                return node
+            if isinstance(node, Q.PhraseQuery):
+                pfx = self._field_prefix(node.field)
+                if pfx:
+                    return Q.PhraseQuery(
+                        tuple(pfx + t for t in node.terms), node.slop,
+                        node.boost)
+                return node
+            if isinstance(node, Q.MultiPhraseQuery):
+                pfx = self._field_prefix(node.field)
+                if pfx:
+                    return Q.MultiPhraseQuery(
+                        tuple(tuple(pfx + t for t in slot)
+                              for slot in node.slots),
+                        node.slop, node.boost)
+                return node
+            if isinstance(node, Q.SynonymQuery):
+                pfx = self._field_prefix(node.field)
+                if pfx:
+                    return Q.SynonymQuery(
+                        tuple(pfx + t for t in node.terms), node.boost)
+                return node
             if isinstance(node, Q.PrefixQuery):
+                pfx = self._field_prefix(node.field)
                 return Q.ConstantScoreQuery(
-                    Q.TermPredicateQuery("prefix", (node.prefix,)),
+                    Q.TermPredicateQuery("prefix", (pfx + node.prefix,)),
                     boost=node.boost)
             if isinstance(node, Q.WildcardQuery):
                 import fnmatch
+                import re as _re
+                pfx = self._field_prefix(node.field)
+                pat = fnmatch.translate(node.pattern)
+                if pfx:
+                    pat = _re.escape(pfx) + pat
                 return Q.ConstantScoreQuery(
-                    Q.TermPredicateQuery(
-                        "regex", (fnmatch.translate(node.pattern),)),
+                    Q.TermPredicateQuery("regex", (pat,)),
                     boost=node.boost)
             if isinstance(node, Q.RegexpQuery):
-                return Q.ConstantScoreQuery(
-                    Q.TermPredicateQuery("regex", (f"^(?:{node.regexp})$",)),
-                    boost=node.boost)
-            if isinstance(node, Q.TermRangeQuery):
+                import re as _re
+                pfx = self._field_prefix(node.field)
                 return Q.ConstantScoreQuery(
                     Q.TermPredicateQuery(
-                        "range", (node.lower, node.upper, node.include_lower,
-                                  node.include_upper)),
+                        "regex",
+                        (f"^{_re.escape(pfx)}(?:{node.regexp})$",)),
+                    boost=node.boost)
+            if isinstance(node, Q.TermRangeQuery):
+                pfx = self._field_prefix(node.field)
+                lo, hi = node.lower, node.upper
+                inc_lo, inc_hi = node.include_lower, node.include_upper
+                if pfx:
+                    # unbounded ends clamp to the FIELD's term range: all the
+                    # field's terms sort in [pfx, field+'\\x20')
+                    lo, inc_lo = ((pfx + lo, inc_lo) if lo is not None
+                                  else (pfx, True))
+                    hi, inc_hi = ((pfx + hi, inc_hi) if hi is not None
+                                  else (pfx[:-1] + FIELD_RANGE_END, False))
+                return Q.ConstantScoreQuery(
+                    Q.TermPredicateQuery(
+                        "range", (lo, hi, inc_lo, inc_hi)),
                     boost=node.boost)
             if isinstance(node, Q.TermInSetQuery):
                 # terms are user-given: no dictionary lookup needed at all
+                pfx = self._field_prefix(node.field)
                 return Q.ConstantScoreQuery(
-                    Q.TermInSetQuery(tuple(sorted(node.terms))),
+                    Q.TermInSetQuery(
+                        tuple(sorted(pfx + t for t in node.terms))),
                     boost=node.boost)
             if isinstance(node, Q.FuzzyQuery):
                 terms = self._fuzzy_terms(node)
@@ -205,6 +311,25 @@ class IndexSearcher:
                 # SynonymQuery-style blend; documented divergence: per-term
                 # distance boosts are not applied)
                 return Q.SynonymQuery(tuple(sorted(terms)), boost=node.boost)
+            if isinstance(node, Q.SpanTermQuery):
+                pfx = self._field_prefix(node.field)
+                if pfx:
+                    return Q.SpanTermQuery(pfx + node.term, node.boost)
+                return node
+            if isinstance(node, (Q.SpanNearQuery, Q.SpanOrQuery)):
+                import dataclasses
+                return dataclasses.replace(
+                    node, clauses=tuple(expand(c) for c in node.clauses))
+            if isinstance(node, Q.SpanNotQuery):
+                return Q.SpanNotQuery(expand(node.include),
+                                      expand(node.exclude), node.boost)
+            if isinstance(node, (Q.SpanFirstQuery, Q.SpanPositionRangeQuery)):
+                import dataclasses
+                return dataclasses.replace(node, match=expand(node.match))
+            if isinstance(node, (Q.SpanContainingQuery, Q.SpanWithinQuery)):
+                import dataclasses
+                return dataclasses.replace(node, big=expand(node.big),
+                                           little=expand(node.little))
             if isinstance(node, Q.BooleanQuery):
                 return Q.BooleanQuery(
                     tuple(expand(s) for s in node.must),
@@ -225,15 +350,19 @@ class IndexSearcher:
 
     def _fuzzy_terms(self, node: Q.FuzzyQuery) -> list:
         """Top-maxExpansions matching terms by descending docFreq (term asc
-        tie-break) — the bounded scored-rewrite expansion."""
+        tie-break) — the bounded scored-rewrite expansion. Returns ENCODED
+        terms; the edit distance is computed on the bare term (the field
+        prefix restricts the scan to the field's dictionary range)."""
         c = F.col("term")
         td = self._postings
+        fpfx = self._field_prefix(node.field)
+        bare = (F.expr(f"substring(term, {len(fpfx) + 1})") if fpfx else c)
         pre = node.term[: node.prefix_length]
-        if pre:
-            td = td.where(c.startswith(pre))
+        if fpfx + pre:
+            td = td.where(c.startswith(fpfx + pre))
         td = td.where(
-            (F.abs(F.length(c) - len(node.term)) <= node.max_edits)
-            & (F.levenshtein(c, F.lit(node.term)) <= node.max_edits))
+            (F.abs(F.length(bare) - len(node.term)) <= node.max_edits)
+            & (F.levenshtein(bare, F.lit(node.term)) <= node.max_edits))
         rows = (td.groupBy("term").agg(F.sum("df").alias("df"))
                 .orderBy(F.desc("df"), F.asc("term"))
                 .limit(node.max_expansions).collect())
@@ -286,11 +415,15 @@ class IndexSearcher:
         return {t: self._df_cache[t] for t in terms}
 
     def _stats_args(self) -> dict:
-        return {
+        d = {
             "doc_count": self.doc_count, "sum_ttf": self.sum_ttf,
             "k1": self.k1, "b": self.b, "similarity": self.similarity,
             "dtype": "float32" if self.dtype == np.float32 else "float64",
         }
+        if self.multi_field:
+            d["field_stats"] = {f: [dc, st] for f, (dc, st)
+                                in self.field_totals.items()}
+        return d
 
     # --- entry points ---------------------------------------------------------
     def search(self, q: Q.Query, k: int = 10, pruning: bool = True,
@@ -391,8 +524,7 @@ class IndexSearcher:
                         "blocks": [b.asDict() for b in r["blocks"]]}
             for r in rows
         }
-        stats = make_similarity(self.similarity, self.doc_count, self.sum_ttf,
-                                self.k1, self.b, self.dtype)
+        stats = _make_stats(self._stats_args())
         seg = K.SegmentIndex(term_rows, self.seg_meta[segment_id],
                              deleted=self.deletes.get(segment_id))
         return K.explain(seg, stats, gdf, q, docid)
@@ -434,10 +566,7 @@ class IndexSearcher:
                                     for b in r.blocks]}
                 for r in pdf.itertuples()
             }
-            dtype = np.float32 if stats_args["dtype"] == "float32" else np.float64
-            stats = make_similarity(
-                stats_args.get("similarity", "bm25"), stats_args["doc_count"],
-                stats_args["sum_ttf"], stats_args["k1"], stats_args["b"], dtype)
+            stats = _make_stats(stats_args)
             seg = K.SegmentIndex(rows, seg_meta[seg_id],
                                  deleted=deletes.get(seg_id))
             scorer = K.Scorer(seg, stats, gdf)
@@ -475,10 +604,7 @@ class IndexSearcher:
                                     for b in r.blocks]}
                 for r in pdf.itertuples()
             }
-            dtype = np.float32 if stats_args["dtype"] == "float32" else np.float64
-            stats = make_similarity(
-                stats_args.get("similarity", "bm25"), stats_args["doc_count"],
-                stats_args["sum_ttf"], stats_args["k1"], stats_args["b"], dtype)
+            stats = _make_stats(stats_args)
             seg = K.SegmentIndex(rows, seg_meta[seg_id],
                                  deleted=deletes.get(seg_id))
             scorer = K.Scorer(seg, stats, gdf)
