@@ -71,6 +71,31 @@ def _searcher(spark: SparkSession, sf_dir: str,
     return s
 
 
+def _mf_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Multi-field index: title = the first 5 whitespace tokens of text (a
+    deterministic derivation the SQL oracle reproduces as `tok WHERE pos < 5`),
+    body = the full text. Per-field postings/norms/BM25 stats."""
+    key = (os.path.abspath(sf_dir), "mf")
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    idx = _index_dir(sf_dir) + "_mf"
+    if IndexCatalog(idx).head() < 0:
+        docs = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .withColumn("title", F.array_join(
+                F.slice(F.split(F.col("text"), " "), 1, 5), " "))
+        )
+        build_index(
+            spark, docs, key_col="doc_id", text_col=None, index_dir=idx,
+            docs_per_segment=_DOCS_PER_SEGMENT, int_keys=True, resume=True,
+            field_cols={"title": "title", "body": "text"},
+            default_field="body",
+        )
+    s = IndexSearcher(spark, idx, dtype=np.float64)
+    _SEARCHERS[key] = s
+    return s
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -84,9 +109,11 @@ def _micro_col(col: str = "score"):
 
 
 def _topk_df(spark: SparkSession, sf_dir: str, q: Q.Query, k: int = 10,
-             offset_after: bool = False, similarity: str = "bm25") -> DataFrame:
+             offset_after: bool = False, similarity: str = "bm25",
+             searcher: IndexSearcher | None = None) -> DataFrame:
     """Engine top-k (WAND-pruned where eligible) -> (doc_id, score_micro)."""
-    s = _searcher(spark, sf_dir, similarity)
+    s = searcher if searcher is not None else _searcher(
+        spark, sf_dir, similarity)
     if offset_after:
         page1 = s.search(q, k=k)
         h = page1.hits
@@ -430,6 +457,30 @@ def q_geo_distance_matches(spark, sf_dir):
                       _micro_col("distance_m").alias("distance_micro"))
 
 
+def q_field_term_topk(spark, sf_dir):
+    """Per-field search: title:spark scored with the TITLE field's BM25 stats
+    (df/N/avgdl of the title stream only — multi-field indexing)."""
+    return _topk_df(spark, sf_dir, Q.TermQuery(T1, field="title"),
+                    searcher=_mf_searcher(spark, sf_dir))
+
+
+def q_cross_field_dismax_topk(spark, sf_dir):
+    """Cross-field dismax (the 'qf=title^2 body' shape): per-field scores
+    combined as max + tie*(sum-max)."""
+    return _topk_df(spark, sf_dir, Q.DisjunctionMaxQuery(
+        (Q.TermQuery(T1, boost=2.0, field="title"), Q.TermQuery(T1)),
+        tie_breaker=0.3), searcher=_mf_searcher(spark, sf_dir))
+
+
+def q_queryparser_fielded_topk(spark, sf_dir):
+    """Parser field syntax end-to-end: 'title:table OR merge' over the
+    multi-field index (unqualified term -> default field 'body')."""
+    from lucene_7_x_9_x_spark.search.queryparser import parse
+    q = parse(f"title:{T2} OR {T3}", fields=("title", "body", "*"),
+              default_field="body")
+    return _topk_df(spark, sf_dir, q, searcher=_mf_searcher(spark, sf_dir))
+
+
 def q_queryparser_topk(spark, sf_dir):
     """Classic query-string syntax -> AST -> engine (QueryParserBase subset)."""
     from lucene_7_x_9_x_spark.search.queryparser import parse
@@ -598,6 +649,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_box_count": q_geo_box_count,
         "geo_distance_matches": q_geo_distance_matches,
         "queryparser_topk": q_queryparser_topk,
+        "field_term_topk": q_field_term_topk,
+        "cross_field_dismax_topk": q_cross_field_dismax_topk,
+        "queryparser_fielded_topk": q_queryparser_fielded_topk,
         "phrase_sloppy_topk": q_phrase_sloppy_topk,
         "highlight_topk": q_highlight_topk,
         "multimodal_metadata": q_multimodal_metadata,
@@ -908,6 +962,59 @@ ups AS (SELECT usf.doc_id AS doc_id,
                ({unw} - {unw}/(1e0 + usf.sf*{_NI})) AS s
         FROM usf JOIN qd ON usf.doc_id = qd.doc_id)""".strip()], f"""
 SELECT doc_id, {_micro('s')} AS score_micro FROM ups
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    # --- multi-field: title = first 5 tokens (tok pos < 5), body = full ----
+    # Per-field BM25: title df/N/avgdl computed over the title stream only
+    # (the engine's multi-field index stores per-field norms and stats).
+    title_ctes = ["""
+tokt AS (SELECT doc_id, term, pos FROM tok WHERE pos < 5)""".strip(), """
+dlt AS (SELECT doc_id, COUNT(*) AS doclen FROM tokt GROUP BY doc_id)""".strip(), f"""
+qdt AS (SELECT doc_id, doclen,
+              (SELECT MAX(v) FROM (VALUES {_quant_values()}) AS tv(v)
+               WHERE v <= doclen) AS qlen
+        FROM dlt)""".strip(), """
+stt AS (SELECT COUNT(*) AS n,
+               SUM(doclen) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dlt)""".strip(), """
+tft AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokt GROUP BY doc_id, term)""".strip()]
+
+    def _dft(t: str) -> str:
+        return f"(SELECT COUNT(*) FROM tft WHERE term = '{t}')"
+
+    def _idft(t: str) -> str:
+        d = _dft(t)
+        return f"ln(1e0 + ((SELECT n FROM stt) - {d} + 0.5e0)/({d} + 0.5e0))"
+
+    _NIT = (f"(1e0/({_K1S}*((1e0-{_BS}) + "
+            f"{_BS}*qdt.qlen/(SELECT avgdl FROM stt))))")
+
+    def _tscore_cte_title(name: str, t: str, boost: float = 1.0) -> str:
+        w = f"({_fc(boost)}*{_idft(t)})"
+        return (f"{name} AS (SELECT tft.doc_id AS doc_id, "
+                f"({w} - {w}/(1e0 + tft.tf*{_NIT})) AS s "
+                f"FROM tft JOIN qdt ON tft.doc_id = qdt.doc_id "
+                f"WHERE tft.term = '{t}')")
+
+    out["field_term_topk"] = _topk_sql(
+        title_ctes + [_tscore_cte_title("ts1", T1)], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM ts1
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    out["cross_field_dismax_topk"] = _topk_sql(
+        title_ctes + [_tscore_cte_title("ts1", T1, 2.0), s1, """
+dmf AS (SELECT COALESCE(ts1.doc_id, s1.doc_id) AS doc_id,
+               GREATEST(COALESCE(ts1.s, s1.s), COALESCE(s1.s, ts1.s)) AS mx,
+               COALESCE(ts1.s, 0e0) + COALESCE(s1.s, 0e0) AS sm
+        FROM ts1 FULL OUTER JOIN s1 ON s1.doc_id = ts1.doc_id)""".strip()], f"""
+SELECT doc_id, {_micro('(mx + (sm - mx)*0.3e0)')} AS score_micro FROM dmf
+ORDER BY (mx + (sm - mx)*0.3e0) DESC, doc_id LIMIT 10""")
+
+    out["queryparser_fielded_topk"] = _topk_sql(
+        title_ctes + [_tscore_cte_title("ts2", T2), s3, """
+uf AS (SELECT COALESCE(ts2.doc_id, s3.doc_id) AS doc_id,
+              COALESCE(ts2.s, 0e0) + COALESCE(s3.s, 0e0) AS s
+       FROM ts2 FULL OUTER JOIN s3 ON s3.doc_id = ts2.doc_id)""".strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM uf
 ORDER BY s DESC, doc_id LIMIT 10""")
 
     out["rescore_topk"] = _topk_sql([s1, s2, s3, or_union.strip(), """
