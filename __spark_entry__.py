@@ -260,6 +260,13 @@ def q_fuzzy_matches(spark, sf_dir):
                           Q.ConstantScoreQuery(Q.FuzzyQuery(T1, max_edits=1)))
 
 
+def q_fuzzy_scored_topk(spark, sf_dir):
+    """Scored fuzzy: per-term distance boosts (1 - ed/minlen) blended with
+    max-df stats (TopTermsBlendedFreqScoringRewrite semantics) — a
+    distance-1 term outranks a distance-2 term at equal tf."""
+    return _topk_df(spark, sf_dir, Q.FuzzyQuery(T1, max_edits=2))
+
+
 def q_count_term(spark, sf_dir):
     return _count_df(spark, sf_dir, Q.TermQuery(T1))
 
@@ -624,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_range_matches": q_term_range_matches,
         "term_in_set_matches": q_term_in_set_matches,
         "fuzzy_matches": q_fuzzy_matches,
+        "fuzzy_scored_topk": q_fuzzy_scored_topk,
         "count_term": q_count_term,
         "count_match_all": q_count_match_all,
         "search_after_page2": q_search_after_page2,
@@ -846,6 +854,30 @@ ORDER BY s DESC, doc_id LIMIT 10""")
         f"tf.term IN ('{T1}', 'flink', 'storm')")
     out["fuzzy_matches"] = _const_match_sql(
         f"levenshtein(tf.term, '{T1}') <= 1")
+
+    # scored fuzzy: blended-df disjunction with per-term distance boosts
+    # (engine caps at maxExpansions=50 by boost; the sf candidate set for
+    # lev<=2 of 'spark' is far below that, so the oracle takes ALL matches)
+    _simx = ("CASE WHEN term = '{t}' THEN 1e0 ELSE 1e0 - "
+             "CAST(levenshtein(term, '{t}') AS DOUBLE)"
+             "/LEAST(LENGTH(term), {n}) END").format(t=T1, n=len(T1))
+    out["fuzzy_scored_topk"] = _topk_sql([f"""
+candf AS (SELECT term, df, {_simx} AS sim FROM dfq
+          WHERE ABS(LENGTH(term) - {len(T1)}) <= 2
+            AND levenshtein(term, '{T1}') <= 2)""".strip(), """
+bdf AS (SELECT MAX(df) AS mdf FROM candf)""".strip(), f"""
+fsc AS (SELECT tf.doc_id AS doc_id,
+               SUM((c.sim*ln(1e0 + ((SELECT n FROM st) - (SELECT mdf FROM bdf)
+                                    + 0.5e0)/((SELECT mdf FROM bdf) + 0.5e0)))
+                   - (c.sim*ln(1e0 + ((SELECT n FROM st)
+                                      - (SELECT mdf FROM bdf) + 0.5e0)
+                               /((SELECT mdf FROM bdf) + 0.5e0)))
+                     /(1e0 + tf.tf*{_NI})) AS s
+        FROM tf JOIN candf c ON c.term = tf.term
+        JOIN qd ON qd.doc_id = tf.doc_id
+        GROUP BY tf.doc_id)""".strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM fsc
+ORDER BY s DESC, doc_id LIMIT 10""")
 
     cw = f"(ln(((SELECT n FROM st) + 1e0)/({_df_sub(T1)} + 1e0)) + 1e0)"
     out["classic_tfidf_topk"] = _topk_sql([f"""

@@ -194,6 +194,8 @@ def _push_boost(q: Q.Query, factor: float) -> Q.Query:
         return Q.MultiPhraseQuery(q.slots, q.slop, q.boost * factor)
     if isinstance(q, Q.SynonymQuery):
         return Q.SynonymQuery(q.terms, q.boost * factor)
+    if isinstance(q, Q.BlendedTermQuery):
+        return Q.BlendedTermQuery(q.terms_boosts, q.boost * factor)
     if isinstance(q, Q.ConstantScoreQuery):
         return Q.ConstantScoreQuery(q.query, q.boost * factor)
     if isinstance(q, Q.MatchAllDocsQuery):
@@ -253,6 +255,24 @@ class Scorer:
             w = st.weight(df, q.boost)
             return docids, st.score(
                 freq_acc[docids], seg.norms_for(docids, q.terms[0]), w)
+        if isinstance(q, Q.BlendedTermQuery):
+            # BlendedTermQuery.BOOLEAN_REWRITE: per-term TermQuery scores with
+            # the blend's MAX df (adjustFrequencies), own boost; disjunction
+            # sum accumulates f64 then casts (BooleanQuery SHOULD semantics)
+            st = _stats_for(self.stats, q.terms_boosts[0][0])
+            df_blend = max((self.gdf.get(t, 0) for t, _ in q.terms_boosts),
+                           default=0)
+            acc = np.zeros(seg.max_doc, dtype=np.float64)
+            mask = np.zeros(seg.max_doc, dtype=bool)
+            for t, b in q.terms_boosts:
+                d, f, n = seg.decode(t)
+                if d.size == 0:
+                    continue
+                w = st.weight(df_blend, b * q.boost)
+                acc[d] += st.score(f, n, w).astype(np.float64)
+                mask[d] = True
+            docids = np.flatnonzero(mask)
+            return docids, acc[docids].astype(dt)
         if isinstance(q, Q.PhraseQuery):
             st = _stats_for(self.stats, q.terms[0])
             docids, pfreqs = self._phrase_freqs(q)
@@ -371,6 +391,11 @@ class Scorer:
         if isinstance(q, (Q.SynonymQuery,)):
             mask = np.zeros(seg.max_doc, dtype=bool)
             for t in q.terms:
+                mask[seg.decode(t)[0]] = True
+            return np.flatnonzero(mask)
+        if isinstance(q, Q.BlendedTermQuery):
+            mask = np.zeros(seg.max_doc, dtype=bool)
+            for t, _ in q.terms_boosts:
                 mask[seg.decode(t)[0]] = True
             return np.flatnonzero(mask)
         if isinstance(q, Q.TermInSetQuery):

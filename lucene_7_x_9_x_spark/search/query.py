@@ -71,6 +71,18 @@ class SynonymQuery(Query):
 
 
 @dataclass(frozen=True)
+class BlendedTermQuery(Query):
+    """BlendedTermQuery.BOOLEAN_REWRITE analog (BlendedTermQuery.java:42-60,
+    adjustFrequencies): a SHOULD-disjunction of per-term TermQuery clauses
+    where every clause scores with the BLENDED docFreq (max df across the
+    set) and its own boost. This is FuzzyQuery's scored-rewrite target
+    (TopTermsBlendedFreqScoringRewrite, MultiTermQuery.java:198-234) — the
+    per-term boosts carry the edit-distance similarity."""
+    terms_boosts: Tuple[Tuple[str, float], ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class DisjunctionMaxQuery(Query):
     queries: Tuple[Query, ...]
     tie_breaker: float = 0.0
@@ -284,6 +296,8 @@ def collect_terms(q: Query) -> set:
         return {q.term}
     if isinstance(q, (PhraseQuery, SynonymQuery)):
         return set(q.terms)
+    if isinstance(q, BlendedTermQuery):
+        return {t for t, _ in q.terms_boosts}
     if isinstance(q, MultiPhraseQuery):
         return {t for slot in q.slots for t in slot}
     if isinstance(q, TermInSetQuery):

@@ -37,6 +37,21 @@ from . import query as Q
 from .rewrite import rewrite as _rewrite_tree
 
 
+def _edit_distance(a: str, b: str) -> int:
+    """Exact Levenshtein distance (small driver-side inputs only: fuzzy
+    candidates are short terms, the set is maxExpansions-bounded)."""
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 def _make_stats(stats_args: dict):
     """Similarity from serialized stats args; multi-field indexes get a
     PerFieldStats resolver (one similarity per field over THAT field's
@@ -306,11 +321,22 @@ class IndexSearcher:
                 terms = self._fuzzy_terms(node)
                 if not terms:
                     return Q.MatchNoDocsQuery()
-                # matched terms blend as synonyms of the target
-                # (TopTermsBlendedFreqScoringRewrite simplified to the
-                # SynonymQuery-style blend; documented divergence: per-term
-                # distance boosts are not applied)
-                return Q.SynonymQuery(tuple(sorted(terms)), boost=node.boost)
+                # TopTermsBlendedFreqScoringRewrite: per-term boost =
+                # 1 - ed/min(|cand|,|target|) (FuzzyTermsEnum.java:262-270,
+                # exact match -> 1.0), top-maxExpansions kept by (boost desc,
+                # term asc) — the ScoreTermQueue order — then blended with
+                # max-df stats (BlendedTermQuery.adjustFrequencies)
+                from ..fields import bare_term
+                scored = []
+                for enc in terms:
+                    bare = bare_term(enc)
+                    ed = _edit_distance(bare, node.term)
+                    sim = (1.0 if ed == 0
+                           else 1.0 - ed / min(len(bare), len(node.term)))
+                    scored.append((enc, sim))
+                scored.sort(key=lambda x: (-x[1], x[0]))
+                top = sorted(scored[:node.max_expansions])
+                return Q.BlendedTermQuery(tuple(top), boost=node.boost)
             if isinstance(node, Q.SpanTermQuery):
                 pfx = self._field_prefix(node.field)
                 if pfx:
@@ -349,10 +375,14 @@ class IndexSearcher:
         return _rewrite_tree(expand(q))
 
     def _fuzzy_terms(self, node: Q.FuzzyQuery) -> list:
-        """Top-maxExpansions matching terms by descending docFreq (term asc
-        tie-break) — the bounded scored-rewrite expansion. Returns ENCODED
-        terms; the edit distance is computed on the bare term (the field
-        prefix restricts the scan to the field's dictionary range)."""
+        """Matching terms of the fuzzy edit ball — the scored-rewrite
+        candidate set. Returns ENCODED terms; the edit distance is computed
+        on the bare term (the field prefix restricts the scan to the field's
+        dictionary range). The collect is bounded at 20x maxExpansions by
+        descending docFreq as a driver-memory guard (Lucene's enum walks the
+        full automaton; the guard only matters for pathological
+        dictionaries); the final maxExpansions cut by boost happens in
+        _expand_query."""
         c = F.col("term")
         td = self._postings
         fpfx = self._field_prefix(node.field)
@@ -365,7 +395,7 @@ class IndexSearcher:
             & (F.levenshtein(bare, F.lit(node.term)) <= node.max_edits))
         rows = (td.groupBy("term").agg(F.sum("df").alias("df"))
                 .orderBy(F.desc("df"), F.asc("term"))
-                .limit(node.max_expansions).collect())
+                .limit(node.max_expansions * 20).collect())
         return [r["term"] for r in rows]
 
     def _predicate_col(self, p: Q.TermPredicateQuery):

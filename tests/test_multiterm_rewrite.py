@@ -59,11 +59,33 @@ def test_fuzzy_expansion_capped(srch):
     # every w### is within 2 edits of many others; cap must hold
     q = Q.FuzzyQuery("w001", max_edits=2, max_expansions=5)
     e = srch._expand_query(q)
-    assert isinstance(e, Q.SynonymQuery)
-    assert len(e.terms) == 5
-    # expansion picks highest-df terms first: 'common'/'spark' don't match,
-    # all w### have df=1, so tie-break is term asc
-    assert list(e.terms) == sorted(e.terms)
+    assert isinstance(e, Q.BlendedTermQuery)
+    assert len(e.terms_boosts) == 5
+    boosts = dict(e.terms_boosts)
+    # FuzzyTermsEnum boosts: exact = 1.0, else 1 - ed/min(len) — here all
+    # terms are length 4, so ed=1 -> 0.75, ed=2 -> 0.5
+    assert boosts["w001"] == 1.0
+    assert all(b in (1.0, 0.75, 0.5) for b in boosts.values())
+    # ScoreTermQueue selection (boost desc, term asc): the exact term and
+    # every distance-1 neighbor outrank any distance-2 term in the cut
+    kept_min = min(boosts.values())
+    dropped = [t for t in ("w002", "w010", "w100")
+               if t not in boosts]  # distance-1 neighbors of w001
+    assert not dropped or kept_min >= 0.75
+
+
+def test_fuzzy_distance_boost_ranks(srch):
+    # equal tf/df everywhere: a distance-1 term's doc must outrank a
+    # distance-2 term's doc under the blended scoring
+    q = Q.FuzzyQuery("w001", max_edits=2, max_expansions=1000)
+    e = srch._expand_query(q)
+    assert isinstance(e, Q.BlendedTermQuery)
+    boosts = dict(e.terms_boosts)
+    assert boosts["w011"] == 0.75 and boosts["w023"] == 0.5  # ed 1 vs 2
+    td = srch.search(q, k=100)
+    score = {int(r.key): float(r.score) for r in td.hits.itertuples()}
+    # doc 11 holds w011 (ed 1), doc 23 holds w023 (ed 2); identical tf/norm
+    assert score[11] > score[23]
 
 
 def test_count_matches_matchset(srch):
