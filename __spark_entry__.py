@@ -96,6 +96,26 @@ def _mf_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return s
 
 
+def _en_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index analyzed with the EnglishAnalyzer analog (possessive + 33-word
+    stop set + Porter stemming)."""
+    from lucene_7_x_9_x_spark.analysis.tokenizer import ENGLISH
+    key = (os.path.abspath(sf_dir), "en")
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    idx = _index_dir(sf_dir) + "_en"
+    if IndexCatalog(idx).head() < 0:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        build_index(
+            spark, docs, key_col="doc_id", text_col="text", index_dir=idx,
+            docs_per_segment=_DOCS_PER_SEGMENT, int_keys=True, resume=True,
+            analyzer=ENGLISH,
+        )
+    s = IndexSearcher(spark, idx, dtype=np.float64)
+    _SEARCHERS[key] = s
+    return s
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -258,6 +278,16 @@ def q_term_in_set_matches(spark, sf_dir):
 def q_fuzzy_matches(spark, sf_dir):
     return _scores_all_df(spark, sf_dir,
                           Q.ConstantScoreQuery(Q.FuzzyQuery(T1, max_edits=1)))
+
+
+def q_english_analyzer_topk(spark, sf_dir):
+    """EnglishAnalyzer chain end-to-end: 'merge AND table' analyzes to the
+    stems merg/tabl; BM25 stats computed over the stemmed+stop-filtered
+    token stream."""
+    from lucene_7_x_9_x_spark.analysis.tokenizer import ENGLISH
+    from lucene_7_x_9_x_spark.search.queryparser import parse
+    q = parse(f"{T3} AND {T2}", analyzer=ENGLISH)
+    return _topk_df(spark, sf_dir, q, searcher=_en_searcher(spark, sf_dir))
 
 
 def q_fuzzy_scored_topk(spark, sf_dir):
@@ -632,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_in_set_matches": q_term_in_set_matches,
         "fuzzy_matches": q_fuzzy_matches,
         "fuzzy_scored_topk": q_fuzzy_scored_topk,
+        "english_analyzer_topk": q_english_analyzer_topk,
         "count_term": q_count_term,
         "count_match_all": q_count_match_all,
         "search_after_page2": q_search_after_page2,
@@ -854,6 +885,57 @@ ORDER BY s DESC, doc_id LIMIT 10""")
         f"tf.term IN ('{T1}', 'flink', 'storm')")
     out["fuzzy_matches"] = _const_match_sql(
         f"levenshtein(tf.term, '{T1}') <= 1")
+
+    # --- english_analyzer_topk: stems inlined as a literal map -------------
+    # The synthetic vocabulary is a fixed 31-word list; its Porter stems are
+    # hard-coded here (reviewable literals, pinned independently by the
+    # golden vectors in tests/test_english_analyzer.py). Stopwords 'a'/'the'
+    # are simply absent from the map, so the join IS the stop filter.
+    _STEM_MAP = [
+        ("agg", "agg"), ("batch", "batch"), ("big", "big"),
+        ("column", "column"), ("customer", "custom"), ("data", "data"),
+        ("dup", "dup"), ("fast", "fast"), ("filter", "filter"),
+        ("group", "group"), ("hash", "hash"), ("join", "join"),
+        ("key", "kei"), ("line", "line"), ("merge", "merg"),
+        ("order", "order"), ("part", "part"), ("query", "queri"),
+        ("row", "row"), ("scan", "scan"), ("slow", "slow"),
+        ("small", "small"), ("sort", "sort"), ("spark", "spark"),
+        ("stream", "stream"), ("table", "tabl"), ("value", "valu"),
+        ("vector", "vector"), ("window", "window"),
+    ]
+    stem_vals = ",".join(f"('{r}','{s}')" for r, s in _STEM_MAP)
+    _NIE = (f"(1e0/({_K1S}*((1e0-{_BS}) + "
+            f"{_BS}*qde.qlen/(SELECT avgdl FROM ste))))")
+
+    def _idfe(t: str) -> str:
+        d = f"(SELECT COUNT(DISTINCT doc_id) FROM toke WHERE term = '{t}')"
+        return f"ln(1e0 + ((SELECT n FROM ste) - {d} + 0.5e0)/({d} + 0.5e0))"
+
+    def _tscore_cte_en(name: str, t: str) -> str:
+        w = f"(1.0e0*{_idfe(t)})"
+        return (f"{name} AS (SELECT tfe.doc_id AS doc_id, "
+                f"({w} - {w}/(1e0 + tfe.tf*{_NIE})) AS s "
+                f"FROM tfe JOIN qde ON tfe.doc_id = qde.doc_id "
+                f"WHERE tfe.term = '{t}')")
+
+    en_ctes = [f"""
+smap AS (SELECT * FROM (VALUES {stem_vals}) AS t(raw, stm))""".strip(), """
+toke AS (SELECT tok.doc_id, smap.stm AS term FROM tok
+         JOIN smap ON smap.raw = tok.term)""".strip(), """
+dle AS (SELECT doc_id, COUNT(*) AS doclen FROM toke GROUP BY doc_id)""".strip(), f"""
+qde AS (SELECT doc_id, doclen,
+              (SELECT MAX(v) FROM (VALUES {_quant_values()}) AS tv(v)
+               WHERE v <= doclen) AS qlen
+        FROM dle)""".strip(), """
+ste AS (SELECT COUNT(*) AS n,
+               SUM(doclen) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dle)""".strip(), """
+tfe AS (SELECT doc_id, term, COUNT(*) AS tf FROM toke GROUP BY doc_id, term)""".strip()]
+
+    out["english_analyzer_topk"] = _topk_sql(
+        en_ctes + [_tscore_cte_en("es1", "merg"), _tscore_cte_en("es2", "tabl")], f"""
+SELECT es1.doc_id AS doc_id, {_micro('(es1.s + es2.s)')} AS score_micro
+FROM es1 JOIN es2 ON es1.doc_id = es2.doc_id
+ORDER BY (es1.s + es2.s) DESC, es1.doc_id LIMIT 10""")
 
     # scored fuzzy: blended-df disjunction with per-term distance boosts
     # (engine caps at maxExpansions=50 by boost; the sf candidate set for

@@ -65,12 +65,30 @@ def _raw_tokens(text: str) -> Iterable[str]:
 
 
 class Analyzer:
-    """tokenize(text) -> [(term, position)] with stop-filter position holes."""
+    """tokenize(text) -> [(term, position)] with stop-filter position holes.
 
-    def __init__(self, stopwords: Optional[frozenset] = None, lowercase: bool = True):
+    stem/strip_possessive compose the EnglishAnalyzer chain
+    (EnglishAnalyzer.java:110-123: possessive -> lowercase -> stop ->
+    PorterStem; we lowercase first, which commutes with stripping 's)."""
+
+    def __init__(self, stopwords: Optional[frozenset] = None,
+                 lowercase: bool = True, stem: bool = False,
+                 strip_possessive: bool = False):
         # StandardAnalyzer() default: NO stopwords (StandardAnalyzer.java:57-58)
         self.stopwords = frozenset(stopwords) if stopwords else frozenset()
         self.lowercase = lowercase
+        self.stem = stem
+        self.strip_possessive = strip_possessive
+
+    def _strip_poss(self, tok: str) -> str:
+        # EnglishPossessiveFilter.java:53-58: drop a trailing 's / ’s
+        if len(tok) >= 2 and tok[-1] in "sS" and tok[-2] in "'’＇":
+            return tok[:-2]
+        return tok
+
+    def _stem(self, tok: str) -> str:
+        from .porter import porter_stem
+        return porter_stem(tok)
 
     def tokenize(self, text: Optional[str]) -> List[Tuple[str, int]]:
         if not text:
@@ -80,9 +98,13 @@ class Analyzer:
         for tok in _raw_tokens(text):
             if self.lowercase:
                 tok = tok.lower()
+            if self.strip_possessive:
+                tok = self._strip_poss(tok)
             if tok in self.stopwords:
                 pos += 1  # position hole (StopFilter keeps increments)
                 continue
+            if self.stem:
+                tok = self._stem(tok)
             out.append((tok, pos))
             pos += 1
         return out
@@ -95,6 +117,20 @@ class Analyzer:
         the index build's hot loop (~every token of the corpus passes here)."""
         if not text:
             return [], 0
+        if self.stem or self.strip_possessive:
+            # filter-chain path: per-token transforms, Zipfian-memoized
+            # stemming (porter.py) keeps this near the plain-loop cost
+            acc = {}
+            pos = 0
+            for tok, p in self.tokenize(text):
+                lst = acc.get(tok)
+                if lst is None:
+                    acc[tok] = [p]
+                else:
+                    lst.append(p)
+                pos = p + 1
+            total = sum(len(ps) for ps in acc.values())
+            return [(t, len(ps), ps) for t, ps in acc.items()], total
         acc: dict = {}
         pos = 0
         stop = self.stopwords
@@ -173,6 +209,11 @@ class Analyzer:
 
 
 STANDARD = Analyzer()  # StandardAnalyzer() defaults: lowercase, no stopwords
+
+# EnglishAnalyzer analog (EnglishAnalyzer.java:48-54,110-123): the canonical
+# 33-word stop set + possessive strip + Porter stemming
+ENGLISH = Analyzer(stopwords=ENGLISH_STOP_WORDS, lowercase=True, stem=True,
+                   strip_possessive=True)
 
 
 def tokenize_text(text: str, analyzer: Analyzer = STANDARD) -> List[str]:
