@@ -463,6 +463,32 @@ class Scorer:
 
     # ---- phrase matching (ExactPhraseMatcher / SloppyPhraseMatcher) --------
     _POS_SHIFT = 32  # (docid << 32) + position composite keys
+    span_prefilter = True  # vectorized candidate cut before per-doc matchers
+
+    def _pair_window_cut(self, cand: np.ndarray, flats: list,
+                         lo_off: int, hi_off: int) -> np.ndarray:
+        """Shrink ``cand`` to docs where every ADJACENT pair of position
+        streams admits an alignment b in [a+lo_off, a+hi_off] — a vectorized
+        NECESSARY condition (each pairwise gap of any real match is bounded
+        by the total slop), run as one searchsorted sweep over composite
+        (doc<<32)+pos keys before the faithful per-doc matchers. Never
+        removes a matching doc; the survivors still go through the exact
+        matcher. (Negative lo_off can in principle reach into the previous
+        doc's key range only for positions within slop of 2^32 — far beyond
+        any real doc length.)"""
+        sh = self._POS_SHIFT
+        alive = cand
+        for (dA, pA), (dB, pB) in zip(flats, flats[1:]):
+            if alive.size == 0:
+                return alive
+            kA = (dA << sh) + pA          # ascending: docs asc, pos asc
+            kB = (dB << sh) + pB
+            lo = np.searchsorted(kB, kA + lo_off, side="left")
+            ok = lo < kB.size
+            hit = np.zeros(kA.size, dtype=bool)
+            hit[ok] = kB[lo[ok]] <= (kA[ok] + hi_off)
+            alive = alive[np.isin(alive, dA[hit])]
+        return alive
 
     def _exact_phrase_counts(self, slot_flats):
         """Vectorized ExactPhraseMatcher over a whole segment.
@@ -529,6 +555,12 @@ class Scorer:
         for t in set(terms):
             cnt[self.seg.decode(t)[0]] += 1
         cand = np.flatnonzero(cnt == len(set(terms)))
+        if cand.size and self.span_prefilter:
+            # adjacent slots of a real sloppy match satisfy
+            # |(p_{i+1}-(i+1)) - (p_i-i)| <= slop, i.e. b in [a+1-slop,
+            # a+1+slop] — cut candidates vectorized before the matcher
+            flats = [self.seg.flat_positions(t) for t in terms]
+            cand = self._pair_window_cut(cand, flats, 1 - q.slop, 1 + q.slop)
         if cand.size == 0:
             return cand, np.zeros(0, dtype=np.float64)
         slot_maps = [[(self.seg.decode(t)[0], self.seg.positions(t))]
@@ -561,6 +593,16 @@ class Scorer:
                 m[seg.decode(t)[0]] = True
             mask &= m
         cand = np.flatnonzero(mask)
+        if cand.size and self.span_prefilter:
+            flats = []
+            for slot in q.slots:
+                parts = [seg.flat_positions(t) for t in slot]
+                dd = np.concatenate([p[0] for p in parts])
+                pp = np.concatenate([p[1] for p in parts])
+                keys = np.unique((dd << self._POS_SHIFT) + pp)
+                flats.append((keys >> self._POS_SHIFT,
+                              keys & ((1 << self._POS_SHIFT) - 1)))
+            cand = self._pair_window_cut(cand, flats, 1 - q.slop, 1 + q.slop)
         if cand.size == 0:
             return cand, np.zeros(0, dtype=np.float64)
         slot_maps = [[(seg.decode(t)[0], seg.positions(t)) for t in slot]
@@ -735,6 +777,19 @@ class Scorer:
         of 1/(1 + width), accumulated in the scoring dtype exactly like
         SpanScorer.setFreqCurrentDoc (float32 in Lucene-parity mode)."""
         cand = self._span_candidates(q)
+        if (cand.size and self.span_prefilter
+                and isinstance(q, Q.SpanNearQuery) and len(q.clauses) > 1
+                and all(isinstance(c, Q.SpanTermQuery) for c in q.clauses)):
+            # flat term-span near: any emitted span bounds every adjacent
+            # clause pair's gap by the total slop (ordered: b in
+            # [a+1, a+1+slop]; unordered: |b-a| <= slop+1) — vectorized cut
+            # before the faithful per-doc span algebra
+            flats = [self.seg.flat_positions(c.term) for c in q.clauses]
+            if q.in_order:
+                cand = self._pair_window_cut(cand, flats, 1, 1 + q.slop)
+            else:
+                cand = self._pair_window_cut(cand, flats, -1 - q.slop,
+                                             1 + q.slop)
         acc_dt = (np.float32 if self.dtype == np.float32 else np.float64)
         docs, freqs = [], []
         for doc in cand:
