@@ -91,6 +91,12 @@ class IndexCatalog:
         snap = self.snapshot()
         return list(snap.get("delete_gens", [])) if snap else []
 
+    def soft_delete_gens(self) -> list[int]:
+        """Soft-delete generations visible to the current snapshot (the
+        committed soft-deletes DocValues analog)."""
+        snap = self.snapshot()
+        return list(snap.get("soft_delete_gens", [])) if snap else []
+
     def commit(self, segments: list[dict], operation: str = "append",
                extra: dict | None = None) -> int:
         """Atomically publish a new snapshot with the given live segment set.
@@ -116,6 +122,8 @@ class IndexCatalog:
             "operation": operation,
             "ts_ms": int(time.time() * 1000),
             "delete_gens": (parent_snap or {}).get("delete_gens", []),
+            "soft_delete_gens": (parent_snap or {}).get(
+                "soft_delete_gens", []),
             "committed_batches": dict(
                 (parent_snap or {}).get("committed_batches", {})),
             "segments": sorted(segments, key=lambda s: s["segment_id"]),
@@ -150,6 +158,7 @@ class IndexCatalog:
         return self.commit(
             snap["segments"], operation="rollback",
             extra={"delete_gens": snap.get("delete_gens", []),
+                   "soft_delete_gens": snap.get("soft_delete_gens", []),
                    "rollback_of": snapshot_id})
 
     def segment_complete(self, segment_id: int) -> bool:

@@ -356,12 +356,36 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
                 "sum_ttf": int(stats[f"st_{f}"] or 0)}
             for f in fields
         }
+    # soft-deletes retention (SoftDeletesRetentionMergePolicy with a
+    # keep-all retention query): soft-deleted docs SURVIVE the merge — they
+    # were never in `deleted`, so their postings/docs rows are in the new
+    # segment — and their markers are re-based onto the new docids so the
+    # default reader keeps hiding them while history readers keep seeing them
+    soft = load_deletes(spark, index_dir, set(segment_ids),
+                        kind="soft_deletes")
+    soft_new: list[int] = []
+    for sid in sorted(segment_ids):
+        arr = soft.get(sid)
+        if arr is None or arr.size == 0:
+            continue
+        _, new_ids = remap(sid, arr)
+        soft_new.extend(int(x) for x in new_ids)
+    extra = None
+    if soft_new:
+        gen = cat.head() + 1
+        sdf = spark.createDataFrame(
+            [(new_id, d) for d in sorted(soft_new)],
+            "segment_id int, docid int")
+        (sdf.repartition(1).write.mode("append").partitionBy("segment_id")
+         .parquet(os.path.join(index_dir, "soft_deletes", f"gen={gen}")))
+        new_seg["soft_del_count"] = len(soft_new)
+        extra = {"soft_delete_gens": cat.soft_delete_gens() + [gen]}
     remaining = [s for sid, s in live.items() if sid not in set(segment_ids)]
     wall_ms = int((time.time() - t0) * 1000)
     append_lineage(index_dir, [
         ("merge", new_id, cat.head() + 1, new_seg["doc_count"], wall_ms,
          "done")])
-    cat.commit(remaining + [new_seg], operation="merge")
+    cat.commit(remaining + [new_seg], operation="merge", extra=extra)
     return new_id
 
 

@@ -42,16 +42,20 @@ __all__ = ["IndexWriter", "load_deletes", "deletes_df"]
 
 def deletes_df(spark: SparkSession, index_dir: str,
                live_segment_ids: set[int],
-               gens: list[int] | None = None) -> DataFrame | None:
+               gens: list[int] | None = None,
+               kind: str = "deletes") -> DataFrame | None:
     """(segment_id, docid) union over the snapshot's visible delete
     generations, live segs only. Files written by an in-flight (or crashed,
     or rolled-back) operation stay invisible because their gen is not listed
-    in the committed snapshot."""
-    ddir = os.path.join(index_dir, "deletes")
+    in the committed snapshot. kind='soft_deletes' reads the soft-delete
+    marker sets (the softDeletesField DocValues analog)."""
+    ddir = os.path.join(index_dir, kind)
     if not os.path.isdir(ddir):
         return None
     if gens is None:
-        gens = IndexCatalog(index_dir).delete_gens()
+        cat = IndexCatalog(index_dir)
+        gens = (cat.soft_delete_gens() if kind == "soft_deletes"
+                else cat.delete_gens())
     if not gens:
         return None
     df = spark.read.parquet(ddir)
@@ -62,13 +66,15 @@ def deletes_df(spark: SparkSession, index_dir: str,
 
 def load_deletes(spark: SparkSession, index_dir: str,
                  live_segment_ids: set[int],
-                 gens: list[int] | None = None) -> dict[int, np.ndarray]:
-    """Collect per-segment sorted deleted-docid arrays (the .liv bitsets).
+                 gens: list[int] | None = None,
+                 kind: str = "deletes") -> dict[int, np.ndarray]:
+    """Collect per-segment sorted deleted-docid arrays (the .liv bitsets;
+    kind='soft_deletes' for the soft-deleted marker sets).
 
     Driver-side collect is safe: delete volume is bounded to <= 33% of live
     docs by the merge policy, and at production scale this map is broadcast to
     executors exactly like Lucene ships .liv with each segment."""
-    df = deletes_df(spark, index_dir, live_segment_ids, gens=gens)
+    df = deletes_df(spark, index_dir, live_segment_ids, gens=gens, kind=kind)
     if df is None:
         return {}
     pdf = df.toPandas()
@@ -155,20 +161,25 @@ class IndexWriter:
         s = IndexSearcher(self.spark, self.index_dir)
         return self._apply_deletes(s.matches_df(query))
 
-    def _write_delete_files(self, targets: DataFrame) -> tuple[dict[int, int], int]:
+    def _write_delete_files(self, targets: DataFrame,
+                            kind: str = "deletes") -> tuple[dict[int, int], int]:
         """Write the next delete generation (gen = HEAD+1, invisible until a
-        commit lists it in delete_gens). Returns (per-segment new-delete
-        counts, gen). A crashed attempt may leave duplicate rows in the gen
-        dir; readers dedup via distinct and counts are recomputed against
-        committed state, so the retry converges."""
+        commit lists it in delete_gens / soft_delete_gens). Returns
+        (per-segment new-delete counts, gen). A crashed attempt may leave
+        duplicate rows in the gen dir; readers dedup via distinct and counts
+        are recomputed against committed state, so the retry converges."""
         live = self.cat.live_segments()
         live_ids = {s["segment_id"] for s in live}
-        existing = deletes_df(self.spark, self.index_dir, live_ids)
+        # dedup against BOTH marker kinds: a hard-deleted doc is never
+        # soft-marked again and vice versa
         new = targets.select(
             F.col("segment_id").cast("int"), F.col("docid").cast("int"))
-        if existing is not None:
-            new = new.exceptAll(existing.select(
-                F.col("segment_id").cast("int"), F.col("docid").cast("int")))
+        for k in ("deletes", "soft_deletes"):
+            existing = deletes_df(self.spark, self.index_dir, live_ids, kind=k)
+            if existing is not None:
+                new = new.exceptAll(existing.select(
+                    F.col("segment_id").cast("int"),
+                    F.col("docid").cast("int")))
         new = new.persist()
         per_seg = {int(r["segment_id"]): int(r["cnt"])
                    for r in new.groupBy("segment_id")
@@ -176,32 +187,96 @@ class IndexWriter:
         gen = self.cat.head() + 1
         if per_seg:
             (new.write.mode("append").partitionBy("segment_id")
-             .parquet(os.path.join(self.index_dir, "deletes", f"gen={gen}")))
+             .parquet(os.path.join(self.index_dir, kind, f"gen={gen}")))
             append_lineage(self.index_dir, [
-                ("delete", sid, gen, cnt, 0, "done")
+                ("delete" if kind == "deletes" else "soft_delete",
+                 sid, gen, cnt, 0, "done")
                 for sid, cnt in sorted(per_seg.items())])
         new.unpersist()
         return per_seg, gen
 
     @staticmethod
-    def _bump_del_counts(live: list[dict], per_seg: dict[int, int]) -> list[dict]:
+    def _bump_del_counts(live: list[dict], per_seg: dict[int, int],
+                         key: str = "del_count") -> list[dict]:
         updated = []
         for s in live:
             s = dict(s)
             if s["segment_id"] in per_seg:
-                s["del_count"] = s.get("del_count", 0) + per_seg[s["segment_id"]]
+                s[key] = s.get(key, 0) + per_seg[s["segment_id"]]
             updated.append(s)
         return updated
 
-    def _apply_deletes(self, targets: DataFrame) -> int:
+    def _apply_deletes(self, targets: DataFrame, soft: bool = False) -> int:
         live = self.cat.live_segments()
-        per_seg, gen = self._write_delete_files(targets)
+        kind = "soft_deletes" if soft else "deletes"
+        per_seg, gen = self._write_delete_files(targets, kind=kind)
         if not per_seg:
             return 0
+        if soft:
+            extra = {"soft_delete_gens": self.cat.soft_delete_gens() + [gen]}
+            key = "soft_del_count"
+        else:
+            extra = {"delete_gens": self.cat.delete_gens() + [gen]}
+            key = "del_count"
         self.cat.commit(
-            self._bump_del_counts(live, per_seg), operation="delete",
-            extra={"delete_gens": self.cat.delete_gens() + [gen]})
+            self._bump_del_counts(live, per_seg, key),
+            operation="soft_delete" if soft else "delete", extra=extra)
         return sum(per_seg.values())
+
+    # --- soft deletes (softDeletesField analog) -----------------------------
+    def soft_delete_documents_by_keys(self, keys) -> int:
+        """Soft-delete by key: docs leave the DEFAULT reader's view but stay
+        readable via IndexSearcher(include_soft_deleted=True) and survive
+        merges (SoftDeletesRetentionMergePolicy with a keep-all retention
+        query — SoftDeletesDirectoryReaderWrapper.java semantics)."""
+        docs = self._live_docs()
+        targets = docs.where(
+            F.col("key").isin([str(k) for k in keys])
+        ).select("segment_id", "docid")
+        return self._apply_deletes(targets, soft=True)
+
+    def soft_update_documents(self, df: DataFrame, key_col: str,
+                              text_col: str) -> list[int]:
+        """softUpdateDocument analog (IndexWriter.java:1633): soft-delete the
+        old versions and add the new ones in ONE atomic snapshot commit; the
+        old versions remain readable through the soft-deletes-inclusive
+        reader (the demo's SoftDeletesTest1 history behavior)."""
+        t0 = time.time()
+        live = self.cat.live_segments()
+        keys = [r[0] for r in df.select(F.col(key_col).cast("string"))
+                .distinct().collect()]
+        targets = self._live_docs().where(
+            F.col("key").isin(keys)).select("segment_id", "docid")
+        per_seg, gen = self._write_delete_files(targets, kind="soft_deletes")
+
+        next_seg = max((s["segment_id"] for s in live), default=-1) + 1
+        next_wave = max((s["wave"] for s in live), default=-1) + 1
+        total = df.count()
+        segs: list[dict] = []
+        if total:
+            n_new = max(1, math.ceil(total / self.docs_per_segment))
+            key_s = F.col(key_col).cast("string")
+            src = df.select(
+                key_s.alias("key"), F.col(text_col).alias("text"),
+                (F.lit(next_seg)
+                 + F.pmod(F.xxhash64(key_s), F.lit(n_new))).cast("int")
+                .alias("segment_id"),
+            )
+            segs = index_wave(
+                self.spark, src, self.index_dir, next_wave,
+                analyzer=self.analyzer, store_positions=self.store_positions,
+                int_keys=self.int_keys, term_shards=self.term_shards,
+                docs_per_segment=self.docs_per_segment)
+            wall_ms = int((time.time() - t0) * 1000)
+            append_lineage(self.index_dir, [
+                ("soft_update_wave", s["segment_id"], self.cat.head() + 1,
+                 s["doc_count"], wall_ms, "done") for s in segs])
+        extra = ({"soft_delete_gens": self.cat.soft_delete_gens() + [gen]}
+                 if per_seg else None)
+        self.cat.commit(
+            self._bump_del_counts(live, per_seg, "soft_del_count") + segs,
+            operation="soft_update", extra=extra)
+        return [s["segment_id"] for s in segs]
 
     # --- updates ------------------------------------------------------------
     def update_documents(self, df: DataFrame, key_col: str,

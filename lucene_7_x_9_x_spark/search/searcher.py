@@ -147,7 +147,8 @@ def _segment_kernel_fn(query, seg_meta, stats_args, gdf, k, pruning, threshold,
 class IndexSearcher:
     def __init__(self, spark: SparkSession, index_dir: str,
                  dtype=np.float32, k1: float = bm25.K1, b: float = bm25.B,
-                 similarity: str = "bm25"):
+                 similarity: str = "bm25",
+                 include_soft_deleted: bool = False):
         self.spark = spark
         self.cat = IndexCatalog(index_dir)
         self._snapshot = self.cat.snapshot()  # point-in-time view (NRT refresh
@@ -193,6 +194,21 @@ class IndexSearcher:
         self.deletes = load_deletes(
             spark, index_dir, set(self._seg_ids),
             gens=self._snapshot.get("delete_gens", []))
+        # soft deletes: hidden by the default reader
+        # (SoftDeletesDirectoryReaderWrapper), visible with
+        # include_soft_deleted=True (history/retention reads)
+        self.include_soft_deleted = include_soft_deleted
+        self.soft_deletes = load_deletes(
+            spark, index_dir, set(self._seg_ids),
+            gens=self._snapshot.get("soft_delete_gens", []),
+            kind="soft_deletes")
+        if not include_soft_deleted and self.soft_deletes:
+            merged = dict(self.deletes)
+            for sid, arr in self.soft_deletes.items():
+                cur = merged.get(sid)
+                merged[sid] = (np.unique(np.concatenate([cur, arr]))
+                               if cur is not None else arr)
+            self.deletes = merged
         # one broadcast per searcher; every kernel UDF reads deletes from it
         self._deletes_bc = (
             spark.sparkContext.broadcast(self.deletes)
@@ -493,13 +509,31 @@ class IndexSearcher:
             hits = self._attach_keys(hits)
         return TopDocs(hits, total, exact)
 
+    def _hidden_count(self, s: dict) -> int:
+        """Docs of segment s this reader must not see (hard + hidden soft)."""
+        n = s.get("del_count", 0)
+        if not self.include_soft_deleted:
+            n += s.get("soft_del_count", 0)
+        return n
+
     def _live_docs_df(self) -> DataFrame:
-        """docs rows minus deleted (liv-filtered view)."""
+        """docs rows minus deleted (liv-filtered view; hides soft-deleted
+        unless the reader includes them)."""
         d = self._docs
         if self.deletes:
             from ..index.writer import deletes_df
-            dd = deletes_df(self.spark, self._index_dir, set(self._seg_ids),
-                            gens=self._snapshot.get("delete_gens", []))
+            frames = [deletes_df(
+                self.spark, self._index_dir, set(self._seg_ids),
+                gens=self._snapshot.get("delete_gens", []))]
+            if not self.include_soft_deleted:
+                frames.append(deletes_df(
+                    self.spark, self._index_dir, set(self._seg_ids),
+                    gens=self._snapshot.get("soft_delete_gens", []),
+                    kind="soft_deletes"))
+            frames = [f for f in frames if f is not None]
+            dd = frames[0] if frames else None
+            for f in frames[1:]:
+                dd = dd.unionByName(f)
             if dd is not None:
                 d = d.join(
                     dd.withColumnRenamed("segment_id", "ds")
@@ -518,7 +552,7 @@ class IndexSearcher:
         first["score"] = float(np.float32(boost)) if self.dtype == np.float32 \
             else float(boost)
         first.insert(0, "rank", np.arange(1, len(first) + 1))
-        total = sum(s["max_doc"] - s.get("del_count", 0)
+        total = sum(s["max_doc"] - self._hidden_count(s)
                     for s in self.segments)
         if fetch_keys and len(first):
             first = self._attach_keys(first)
@@ -567,7 +601,7 @@ class IndexSearcher:
         if isinstance(q, Q.MatchNoDocsQuery):
             return 0
         if isinstance(q, Q.MatchAllDocsQuery):
-            return sum(s["max_doc"] - s.get("del_count", 0)
+            return sum(s["max_doc"] - self._hidden_count(s)
                        for s in self.segments)
         return int(self.matches_df(q, _pre_expanded=True).count())
 
