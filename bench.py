@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np  # noqa: E402
 
+from lucene_7_x_9_x_spark.corpus import generate_corpus  # noqa: E402
 from lucene_7_x_9_x_spark.index.builder import build_index  # noqa: E402
 from lucene_7_x_9_x_spark.search import query as Q  # noqa: E402
 from lucene_7_x_9_x_spark.search.searcher import IndexSearcher  # noqa: E402
@@ -80,6 +81,29 @@ def main() -> None:
             runs.append(time.time() - tq)
         latencies[name] = round(sorted(runs)[len(runs) // 2], 4)  # median
 
+    # Second build scale: the sf0.1 corpus (~5k docs) is fixed-cost dominated
+    # (Spark startup + commit ~= the whole build), so round-over-round build
+    # work is invisible at that size. Measure the same full write path once
+    # more on a deterministic generated corpus large enough that per-doc cost
+    # dominates (default 60k docs, ~8-20 s — within the bench budget).
+    n_docs_mid = int(os.environ.get("SPARK_GRAFT_BENCH_MID_DOCS", "60000"))
+    mid = None
+    if n_docs_mid > 0:
+        corpus = generate_corpus(spark, n_docs_mid, num_partitions=256)
+        src = f"/tmp/lucene_spark_bench_mid_{os.getpid()}"
+        corpus.select("url", "text").write.mode("overwrite").parquet(src)
+        mid_docs = spark.read.parquet(src)
+        idx2 = f"/tmp/lucene_spark_bench_idx2_{os.getpid()}"
+        t1 = time.time()
+        build_index(spark, mid_docs, key_col="url", text_col="text",
+                    index_dir=idx2, docs_per_segment=4096,
+                    segments_per_wave=256, term_shards=max(8, cpus))
+        mid_s = time.time() - t1
+        mid = {"n_docs": n_docs_mid, "build_sec": round(mid_s, 4),
+               "build_docs_per_sec": round(n_docs_mid / mid_s, 2)}
+        shutil.rmtree(idx2, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+
     total = round(build_s + sum(latencies.values()), 4)
     out = {
         "metric": "index-build + BM25 top-k query latency (segmented inverted "
@@ -93,6 +117,8 @@ def main() -> None:
         "build_docs_per_sec": round(n_docs / build_s, 2),
         "cpus": cpus,
     }
+    if mid is not None:
+        out["build_mid_scale"] = mid
     # attach the recorded N->4N scaling evidence (scripts/scaling_run.py)
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "scaling_result.json")
