@@ -399,6 +399,45 @@ def q_span_unordered_topk(spark, sf_dir):
         (Q.SpanTermQuery(T1), Q.SpanTermQuery(T3)), slop=4, in_order=False))
 
 
+# ---- intervals family (o.a.l.queries.intervals; search/intervals.py) ------
+
+def q_interval_ordered_topk(spark, sf_dir):
+    """IntervalQuery(ordered(spark, table)): minimal-interval freq = sum of
+    1/(pb - pa) over closest pairs; score = saturation pivot=1
+    (IntervalScorer.java:62-72, IntervalScoreFunction saturation)."""
+    return _topk_df(spark, sf_dir, Q.IntervalQuery(
+        Q.IOrdered((Q.ITerm(T1), Q.ITerm(T2)))))
+
+
+def q_interval_phrase_topk(spark, sf_dir):
+    """IntervalQuery(phrase(fast, sort)): block adjacency; freq = occurrence
+    count (each minimal interval has width == minExtent)."""
+    return _topk_df(spark, sf_dir, Q.IntervalQuery(
+        Q.IPhrase((Q.ITerm(PHRASE[0]), Q.ITerm(PHRASE[1])))))
+
+
+def q_interval_maxgaps_count(spark, sf_dir):
+    """Intervals.maxgaps(3, ordered(spark, table)) existence count."""
+    return _count_df(spark, sf_dir, Q.IntervalQuery(
+        Q.IMaxGaps(3, Q.IOrdered((Q.ITerm(T1), Q.ITerm(T2))))))
+
+
+def q_interval_unordered_count(spark, sf_dir):
+    """Intervals.maxwidth(5, unordered(spark, merge)) existence count."""
+    return _count_df(spark, sf_dir, Q.IntervalQuery(
+        Q.IMaxWidth(5, Q.IUnordered((Q.ITerm(T1), Q.ITerm(T3))))))
+
+
+def q_interval_containedby_count(spark, sf_dir):
+    """Intervals.containedBy(term(merge), ordered(spark, table)): docs where
+    a 'merge' position falls inside a MINIMAL spark..table interval (the
+    minimality matters: containment in an arbitrary pair is NOT enough —
+    ContainedByIntervalsSource.java:41-66 iterates minimal big intervals)."""
+    return _count_df(spark, sf_dir, Q.IntervalQuery(
+        Q.IContainedBy(Q.ITerm(T3),
+                       Q.IOrdered((Q.ITerm(T1), Q.ITerm(T2))))))
+
+
 def q_multi_phrase_topk(spark, sf_dir):
     """MultiPhraseQuery: ('fast'|'slow') followed by 'sort'."""
     return _topk_df(spark, sf_dir,
@@ -670,11 +709,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": q_more_like_this,
         "classic_tfidf_topk": q_classic_tfidf_topk,
         "span_near_topk": q_span_near_topk,
-        "span_first_count": q_span_first_count,
-        "span_containing_topk": q_span_containing_topk,
-        "span_within_count": q_span_within_count,
-        "span_position_range_count": q_span_position_range_count,
-        "span_unordered_topk": q_span_unordered_topk,
+        "interval_ordered_topk": q_interval_ordered_topk,
+        "interval_phrase_topk": q_interval_phrase_topk,
+        "interval_maxgaps_count": q_interval_maxgaps_count,
+        "interval_unordered_count": q_interval_unordered_count,
+        "interval_containedby_count": q_interval_containedby_count,
         "multi_phrase_topk": q_multi_phrase_topk,
         "rescore_topk": q_rescore_topk,
         "join_query": q_join_query,
@@ -698,6 +737,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         # ---- entries 51+: stable since round 1/2, unchanged this round ----
+        "span_first_count": q_span_first_count,
+        "span_containing_topk": q_span_containing_topk,
+        "span_within_count": q_span_within_count,
+        "span_position_range_count": q_span_position_range_count,
+        "span_unordered_topk": q_span_unordered_topk,
         "boosted_or_topk": q_boosted_or_topk,
         "constant_score": q_constant_score,
         "wildcard_matches": q_wildcard_matches,
@@ -1083,6 +1127,58 @@ ups AS (SELECT usf.doc_id AS doc_id,
         FROM usf JOIN qd ON usf.doc_id = qd.doc_id)""".strip()], f"""
 SELECT doc_id, {_micro('s')} AS score_micro FROM ups
 ORDER BY s DESC, doc_id LIMIT 10""")
+
+    # --- intervals family ---------------------------------------------------
+    # Minimal ordered pairs of two distinct single terms: pb = first T2 after
+    # pa AND pa = last T1 before pb (exactly the minimal-interval set the
+    # OrderedIntervalIterator emits). freq = sum 1/(pb - pa) (length -
+    # minExtent + 1 with length = pb-pa+1, minExtent = 2); score = saturation
+    # boost * (1 - 1/(1 + freq)) with pivot = 1.
+    _imin = f"""
+ipr AS (SELECT a.doc_id, a.pos AS pa,
+               (SELECT MIN(b.pos) FROM tok b
+                WHERE b.doc_id = a.doc_id AND b.term = '{T2}'
+                  AND b.pos > a.pos) AS pb
+        FROM tok a WHERE a.term = '{T1}')""".strip(), """
+imin AS (SELECT doc_id, MAX(pa) AS pa, pb
+         FROM ipr WHERE pb IS NOT NULL GROUP BY doc_id, pb)""".strip()
+    out["interval_ordered_topk"] = _topk_sql([*_imin, """
+ifr AS (SELECT doc_id, SUM(1e0/(pb - pa)) AS f FROM imin GROUP BY doc_id)""".strip(), """
+isc AS (SELECT doc_id, (1e0 - 1e0/(1e0 + f)) AS s FROM ifr)""".strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM isc
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    out["interval_phrase_topk"] = _topk_sql([f"""
+ipb AS (SELECT a.doc_id, CAST(COUNT(*) AS DOUBLE) AS f
+        FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+          AND b.term = '{PHRASE[1]}' AND b.pos = a.pos + 1
+        WHERE a.term = '{PHRASE[0]}' GROUP BY a.doc_id)""".strip(), """
+ips AS (SELECT doc_id, (1e0 - 1e0/(1e0 + f)) AS s FROM ipb)""".strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM ips
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    # existence counts: ANY qualifying pair implies a qualifying MINIMAL
+    # interval (a minimal interval inside a qualifying one has <= its gaps /
+    # width), so the EXISTS form needs no minimality CTE
+    out["interval_maxgaps_count"] = _topk_sql([], f"""
+SELECT CAST(COUNT(DISTINCT a.doc_id) AS BIGINT) AS cnt
+FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.term = '{T2}'
+  AND b.pos > a.pos AND b.pos - a.pos - 1 <= 3
+WHERE a.term = '{T1}'""")
+
+    out["interval_unordered_count"] = _topk_sql([], f"""
+SELECT CAST(COUNT(DISTINCT a.doc_id) AS BIGINT) AS cnt
+FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.term = '{T3}'
+  AND ABS(a.pos - b.pos) + 1 <= 5
+WHERE a.term = '{T1}'""")
+
+    # containedBy DOES need the minimal set: a 'merge' inside an arbitrary
+    # spark..table pair may not be inside any minimal interval
+    out["interval_containedby_count"] = _topk_sql([*_imin], f"""
+SELECT CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS cnt
+FROM tok c JOIN imin m ON m.doc_id = c.doc_id
+  AND c.pos BETWEEN m.pa AND m.pb
+WHERE c.term = '{T3}'""")
 
     # --- multi-field: title = first 5 tokens (tok pos < 5), body = full ----
     # Per-field BM25: title df/N/avgdl computed over the title stream only

@@ -31,6 +31,7 @@ import numpy as np
 from ..fields import FIELD_SEP, bare_term, field_of
 from ..functions import bm25
 from ..functions.codecs import decode_blocks, split_positions
+from . import intervals as IV
 from . import query as Q
 
 TOTAL_HITS_THRESHOLD = 1000  # IndexSearcher.java:105
@@ -212,7 +213,7 @@ def _push_boost(q: Q.Query, factor: float) -> Q.Query:
         return Q.DisjunctionMaxQuery(
             tuple(_push_boost(s, factor) for s in q.queries), q.tie_breaker
         )
-    if isinstance(q, Q.SpanQuery) and factor != 1.0:
+    if isinstance(q, (Q.SpanQuery, Q.IntervalQuery)) and factor != 1.0:
         import dataclasses
         return dataclasses.replace(q, boost=q.boost * factor)
     return q
@@ -327,6 +328,25 @@ class Scorer:
             w = st.multi_term_weight(
                 [self.gdf.get(t, 0) for t in span_ts], q.boost)
             return d, st.score(f, seg.norms_for(d, span_ts[0]), w)
+        if isinstance(q, Q.IntervalQuery):
+            # IntervalScorer.score: simScorer over the interval freq — no
+            # norms, no BM25; maxScore = boost (IntervalScorer.java:95-98)
+            d, f = self.eval_intervals(q)
+            if d.size == 0:
+                return d, np.zeros(0, dtype=dt)
+            if q.exp is None:
+                # SaturationFunction: weight * (1 - pivot/(pivot + freq)),
+                # float math in parity mode (IntervalScoreFunction.java:70-77)
+                fv = f.astype(dt)
+                pivot = dt(q.pivot)
+                sc = (dt(q.boost) * (dt(1.0) - pivot / (pivot + fv)))
+                return d, sc.astype(dt)
+            # SigmoidFunction: double pow, then the whole product cast to
+            # float (IntervalScoreFunction.java:118-126)
+            pivot_pa = float(q.pivot) ** float(q.exp)
+            fv = f.astype(dt).astype(np.float64)
+            sc64 = q.boost * (1.0 - pivot_pa / (np.power(fv, q.exp) + pivot_pa))
+            return d, sc64.astype(dt)
         if isinstance(q, Q.BooleanQuery):
             return self._eval_bool(q)
         if isinstance(q, (Q.TermInSetQuery, Q.TermPredicateQuery)):
@@ -430,6 +450,8 @@ class Scorer:
             return self._eval_bool_match(q)
         if isinstance(q, Q.SpanQuery):
             return self.eval_spans(q)[0]
+        if isinstance(q, Q.IntervalQuery):
+            return self.eval_intervals(q)[0]
         raise TypeError(f"unsupported query node: {type(q).__name__}")
 
     def _eval_bool_match(self, q: Q.BooleanQuery) -> np.ndarray:
@@ -799,6 +821,106 @@ class Scorer:
                 for (_s, _e, w) in spans:
                     f = acc_dt(f + (1.0 / (1.0 + w)))
                 docs.append(int(doc))
+                freqs.append(float(f))
+        return (np.asarray(docs, dtype=np.int64),
+                np.asarray(freqs, dtype=np.float64))
+
+    # ---- intervals family (search/intervals.py) ---------------------------
+
+    def _interval_candidates(self, src) -> np.ndarray:
+        """Docs that can possibly produce intervals (structural prefilter;
+        the role of ConjunctionDISI / DisjunctionDISIApproximation)."""
+        seg = self.seg
+        if isinstance(src, Q.ITerm):
+            return seg.decode(src.term)[0]
+        if isinstance(src, (Q.IOrdered, Q.IUnordered, Q.IPhrase)):
+            mask = np.ones(seg.max_doc, dtype=bool)
+            for s in src.sources:
+                m = np.zeros(seg.max_doc, dtype=bool)
+                m[self._interval_candidates(s)] = True
+                mask &= m
+            return np.flatnonzero(mask)
+        if isinstance(src, Q.IOr):
+            mask = np.zeros(seg.max_doc, dtype=bool)
+            for s in src.sources:
+                mask[self._interval_candidates(s)] = True
+            return np.flatnonzero(mask)
+        if isinstance(src, (Q.IMaxGaps, Q.IMaxWidth)):
+            return self._interval_candidates(src.source)
+        if isinstance(src, (Q.IContaining, Q.IContainedBy)):
+            m1 = np.zeros(seg.max_doc, dtype=bool)
+            m1[self._interval_candidates(src.big)] = True
+            m2 = np.zeros(seg.max_doc, dtype=bool)
+            m2[self._interval_candidates(src.small)] = True
+            return np.flatnonzero(m1 & m2)
+        raise TypeError(type(src))
+
+    def _interval_window_cut(self, src, cand: np.ndarray) -> np.ndarray:
+        """Vectorized NECESSARY-condition cut for gap-bounded all-term shapes
+        (same trick as the span/sloppy families): any emitted interval bounds
+        every adjacent position-stream pair's distance, so a composite-key
+        searchsorted sweep removes non-candidates before the per-doc algebra."""
+        if cand.size == 0 or not self.span_prefilter:
+            return cand
+
+        def all_terms(s):
+            return (isinstance(s, (Q.IOrdered, Q.IUnordered, Q.IPhrase))
+                    and len(s.sources) > 1
+                    and all(isinstance(c, Q.ITerm) for c in s.sources))
+
+        inner, bound = src, None
+        if isinstance(src, Q.IMaxGaps):
+            inner, bound = src.source, ("gaps", src.gaps)
+        elif isinstance(src, Q.IMaxWidth):
+            inner, bound = src.source, ("width", src.width)
+        if not all_terms(inner):
+            return cand
+        n = len(inner.sources)
+        flats = [self.seg.flat_positions(c.term) for c in inner.sources]
+        if isinstance(inner, Q.IPhrase):
+            return self._pair_window_cut(cand, flats, 1, 1)
+        if isinstance(inner, Q.IOrdered):
+            if bound is None:
+                return cand  # unbounded gaps: conjunction cut is all we have
+            hi = 1 + bound[1] if bound[0] == "gaps" else bound[1] - 1
+            if hi < 1:
+                return np.zeros(0, dtype=np.int64)
+            return self._pair_window_cut(cand, flats, 1, hi)
+        # unordered: any two positions inside a qualifying interval differ by
+        # at most width-1; width <= n + gaps (single-term subs)
+        if bound is None:
+            return cand
+        w = n + bound[1] if bound[0] == "gaps" else bound[1]
+        if w < n:
+            return np.zeros(0, dtype=np.int64)
+        return self._pair_window_cut(cand, flats, -(w - 1), w - 1)
+
+    def _doc_positions(self, term: str, doc: int):
+        d, _, _ = self.seg.decode(term)
+        i = int(np.searchsorted(d, doc))
+        if i >= d.size or d[i] != doc:
+            return ()
+        return self.seg.positions(term)[i]
+
+    def eval_intervals(self, q: "Q.IntervalQuery"):
+        """(docids asc, interval freqs) over the segment. freq = sum over
+        minimal intervals of 1/max(length - minExtent + 1, 1), accumulated in
+        the scoring dtype (IntervalScorer.ensureFreq, float32 `freq` field)."""
+        src = q.source
+        cand = self._interval_candidates(src)
+        cand = self._interval_window_cut(src, cand)
+        acc_dt = (np.float32 if self.dtype == np.float32 else np.float64)
+        mext = IV.min_extent(src)
+        docs, freqs = [], []
+        for doc in cand:
+            di = int(doc)
+            ivs = IV.doc_intervals(
+                src, lambda t: self._doc_positions(t, di))
+            if ivs:
+                f = acc_dt(0.0)
+                for (s, e) in ivs:
+                    f = acc_dt(f + 1.0 / max((e - s + 1) - mext + 1, 1))
+                docs.append(di)
                 freqs.append(float(f))
         return (np.asarray(docs, dtype=np.int64),
                 np.asarray(freqs, dtype=np.float64))

@@ -269,6 +269,122 @@ class SpanWithinQuery(SpanQuery):
     boost: float = 1.0
 
 
+# ---- Intervals family (o.a.l.queries.intervals, 8.x; SURVEY §2.3) ---------
+# Source tree mirrors the Intervals factory surface (Intervals.java):
+# term / phrase / ordered / unordered / or / maxgaps / maxwidth /
+# containing / containedBy. Evaluation lives in search/intervals.py.
+
+class IntervalsSource:
+    pass
+
+
+@dataclass(frozen=True)
+class ITerm(IntervalsSource):
+    """Intervals.term(): one interval [p, p] per position."""
+    term: str
+
+
+@dataclass(frozen=True)
+class IPhrase(IntervalsSource):
+    """Intervals.phrase(): strict adjacency block (BlockIntervalsSource)."""
+    sources: Tuple[IntervalsSource, ...]
+
+
+@dataclass(frozen=True)
+class IOrdered(IntervalsSource):
+    """Intervals.ordered(): minimal in-order non-overlapping conjunction."""
+    sources: Tuple[IntervalsSource, ...]
+
+
+@dataclass(frozen=True)
+class IUnordered(IntervalsSource):
+    """Intervals.unordered(): minimal any-order conjunction (overlaps OK)."""
+    sources: Tuple[IntervalsSource, ...]
+
+
+@dataclass(frozen=True)
+class IOr(IntervalsSource):
+    """Intervals.or(): disjunction with containment suppression."""
+    sources: Tuple[IntervalsSource, ...]
+
+
+@dataclass(frozen=True)
+class IMaxGaps(IntervalsSource):
+    """Intervals.maxgaps(): keep intervals whose gaps() <= gaps."""
+    gaps: int
+    source: IntervalsSource
+
+
+@dataclass(frozen=True)
+class IMaxWidth(IntervalsSource):
+    """Intervals.maxwidth(): keep intervals with end - start + 1 <= width."""
+    width: int
+    source: IntervalsSource
+
+
+@dataclass(frozen=True)
+class IContaining(IntervalsSource):
+    """Intervals.containing(): big intervals containing a small interval."""
+    big: IntervalsSource
+    small: IntervalsSource
+
+
+@dataclass(frozen=True)
+class IContainedBy(IntervalsSource):
+    """Intervals.containedBy(): small intervals inside a big interval."""
+    small: IntervalsSource
+    big: IntervalsSource
+
+
+@dataclass(frozen=True)
+class IntervalQuery(Query):
+    """IntervalQuery.java: matches docs where `source` produces >= 1 minimal
+    interval; score = boost * saturation(freq) with freq the sloppy interval
+    frequency (IntervalScorer.java:62-72). `exp=None` -> saturation function
+    with `pivot` (default 1, IntervalQuery.java:76); exp set -> sigmoid."""
+    source: IntervalsSource
+    pivot: float = 1.0
+    exp: float | None = None
+    boost: float = 1.0
+    field: str | None = None
+
+
+def interval_terms(src: IntervalsSource) -> set:
+    if isinstance(src, ITerm):
+        return {src.term}
+    if isinstance(src, (IPhrase, IOrdered, IUnordered, IOr)):
+        out: set = set()
+        for s in src.sources:
+            out |= interval_terms(s)
+        return out
+    if isinstance(src, (IMaxGaps, IMaxWidth)):
+        return interval_terms(src.source)
+    if isinstance(src, (IContaining, IContainedBy)):
+        return interval_terms(src.big) | interval_terms(src.small)
+    raise TypeError(type(src))
+
+
+def map_interval_terms(src: IntervalsSource, fn) -> IntervalsSource:
+    """Rebuild the source tree with every ITerm's term mapped through `fn`
+    (field qualification in the searcher's rewrite)."""
+    if isinstance(src, ITerm):
+        return ITerm(fn(src.term))
+    if isinstance(src, (IPhrase, IOrdered, IUnordered, IOr)):
+        subs = tuple(map_interval_terms(s, fn) for s in src.sources)
+        return type(src)(subs)
+    if isinstance(src, IMaxGaps):
+        return IMaxGaps(src.gaps, map_interval_terms(src.source, fn))
+    if isinstance(src, IMaxWidth):
+        return IMaxWidth(src.width, map_interval_terms(src.source, fn))
+    if isinstance(src, IContaining):
+        return IContaining(map_interval_terms(src.big, fn),
+                           map_interval_terms(src.small, fn))
+    if isinstance(src, IContainedBy):
+        return IContainedBy(map_interval_terms(src.small, fn),
+                            map_interval_terms(src.big, fn))
+    raise TypeError(type(src))
+
+
 def span_terms(q: "SpanQuery") -> set:
     if isinstance(q, SpanTermQuery):
         return {q.term}
@@ -316,6 +432,8 @@ def collect_terms(q: Query) -> set:
         return collect_terms(q.query)
     if isinstance(q, SpanQuery):
         return span_terms(q)
+    if isinstance(q, IntervalQuery):
+        return interval_terms(q.source)
     return set()
 
 

@@ -372,6 +372,13 @@ class IndexSearcher:
                 import dataclasses
                 return dataclasses.replace(node, big=expand(node.big),
                                            little=expand(node.little))
+            if isinstance(node, Q.IntervalQuery):
+                pfx = self._field_prefix(node.field)
+                if pfx:
+                    import dataclasses
+                    return dataclasses.replace(node, source=Q.map_interval_terms(
+                        node.source, lambda t: pfx + t))
+                return node
             if isinstance(node, Q.BooleanQuery):
                 return Q.BooleanQuery(
                     tuple(expand(s) for s in node.must),
