@@ -180,6 +180,32 @@ class SegmentIndex:
         return self._blk_cache[key]
 
 
+def _span_stats_term(q: Q.Query) -> str:
+    """Encoded term whose field prefix drives Similarity/norms resolution
+    for a span tree — SpanQuery.getField() semantics: the MASKED field for
+    FieldMaskingSpanQuery (collection stats + norms of the masked field,
+    term statistics of the real field, FieldMaskingSpanQuery.java:66-72);
+    otherwise the first clause's field."""
+    if isinstance(q, Q.FieldMaskingSpanQuery):
+        return q.field + FIELD_SEP
+    if isinstance(q, Q.SpanTermQuery):
+        return q.term
+    if isinstance(q, (Q.SpanNearQuery, Q.SpanOrQuery)):
+        for c in q.clauses:
+            try:
+                return _span_stats_term(c)
+            except IndexError:
+                continue  # clause with no terms (empty wrapper expansion)
+        raise IndexError("span tree has no term clauses")
+    if isinstance(q, Q.SpanNotQuery):
+        return _span_stats_term(q.include)
+    if isinstance(q, (Q.SpanFirstQuery, Q.SpanPositionRangeQuery)):
+        return _span_stats_term(q.match)
+    if isinstance(q, (Q.SpanContainingQuery, Q.SpanWithinQuery)):
+        return _span_stats_term(q.big)
+    raise TypeError(type(q))
+
+
 def _push_boost(q: Q.Query, factor: float) -> Q.Query:
     """Propagate boosts to leaves, as Lucene does at Weight-creation time
     (Weight trees receive boost*parentBoost; BoostQuery.java)."""
@@ -321,13 +347,20 @@ class Scorer:
             # sloppy freq, sum over spans of 1/(1+width)
             # (SpanScorer.java:118)
             span_ts = sorted(Q.span_terms(q))
-            st = _stats_for(self.stats, span_ts[0])
+            if not span_ts:
+                # e.g. a SpanMultiTermQueryWrapper that expanded to nothing
+                return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=dt)
+            # getField() semantics: stats/norms resolve by the tree's field
+            # (the masked field under FieldMaskingSpanQuery), term df by each
+            # term's real field
+            stats_term = _span_stats_term(q)
+            st = _stats_for(self.stats, stats_term)
             d, f = self.eval_spans(q)
             if d.size == 0:
                 return d, np.zeros(0, dtype=dt)
             w = st.multi_term_weight(
                 [self.gdf.get(t, 0) for t in span_ts], q.boost)
-            return d, st.score(f, seg.norms_for(d, span_ts[0]), w)
+            return d, st.score(f, seg.norms_for(d, stats_term), w)
         if isinstance(q, Q.IntervalQuery):
             # IntervalScorer.score: simScorer over the interval freq — no
             # norms, no BM25; maxScore = boost (IntervalScorer.java:95-98)
@@ -666,6 +699,8 @@ class Scorer:
             m2 = np.zeros(seg.max_doc, dtype=bool)
             m2[self._span_candidates(q.little)] = True
             return np.flatnonzero(mask & m2)
+        if isinstance(q, Q.FieldMaskingSpanQuery):
+            return self._span_candidates(q.query)
         raise TypeError(type(q))
 
     @staticmethod
@@ -792,6 +827,10 @@ class Scorer:
             if q.in_order:
                 return self._near_ordered(per_clause, q.slop)
             return self._near_unordered(per_clause, q.slop)
+        if isinstance(q, Q.FieldMaskingSpanQuery):
+            # positions come from the REAL field's postings; only scoring
+            # (stats/norms field) sees the mask (_span_stats_term)
+            return self._doc_spans(q.query, doc)
         raise TypeError(type(q))
 
     def eval_spans(self, q: Q.SpanQuery):

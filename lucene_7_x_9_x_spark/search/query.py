@@ -269,6 +269,31 @@ class SpanWithinQuery(SpanQuery):
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class FieldMaskingSpanQuery(SpanQuery):
+    """Evaluate `query` against its real field's positions but report (and
+    score with) `field`: collection stats + norms of the masked field, term
+    statistics of the real field (FieldMaskingSpanQuery.java:30-72 javadoc).
+    Lets SpanNear/SpanOr compose across fields with aligned positions."""
+    query: SpanQuery
+    field: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanMultiTermQueryWrapper(SpanQuery):
+    """Wrap a MultiTermQuery (prefix/wildcard/regexp/fuzzy/range) for use in
+    span contexts; the searcher rewrites it to a SpanOrQuery over matching
+    SpanTermQueries (SpanMultiTermQueryWrapper.java:41-44,155-169).
+    Documented divergence: the reference's default rewrite accepts ALL
+    matching terms (an unbounded expansion); we use the TopTerms variant
+    (TopTermsSpanBooleanQueryRewrite) with `max_expansions` as the priority-
+    queue size — the bounded-collect scale guard the fuzzy path already uses."""
+    query: Query
+    max_expansions: int = 64
+    boost: float = 1.0
+
+
 # ---- Intervals family (o.a.l.queries.intervals, 8.x; SURVEY §2.3) ---------
 # Source tree mirrors the Intervals factory surface (Intervals.java):
 # term / phrase / ordered / unordered / or / maxgaps / maxwidth /
@@ -399,6 +424,8 @@ def span_terms(q: "SpanQuery") -> set:
         return span_terms(q.match)
     if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
         return span_terms(q.big) | span_terms(q.little)
+    if isinstance(q, FieldMaskingSpanQuery):
+        return span_terms(q.query)
     raise TypeError(type(q))
 
 

@@ -99,6 +99,14 @@ def _leaf_from_term(raw: str, analyzer, boost: float,
                             field=field)
     if "*" in raw or "?" in raw:
         low = raw.lower()
+        if low[0] in "*?" and not cfg.allow_leading_wildcard:
+            # QueryParserBase.getWildcardQuery: leading wildcards are
+            # rejected unless setAllowLeadingWildcard(true) — the automaton
+            # (here: the dictionary rlike) degenerates to a full-dictionary
+            # walk, the classic self-DoS guard
+            raise QueryParseError(
+                "'*' or '?' not allowed as first character in WildcardQuery "
+                "(pass allow_leading_wildcard=True to override)")
         if low.endswith("*") and "*" not in low[:-1] and "?" not in low:
             return Q.PrefixQuery(low[:-1], boost=boost, field=field)
         return Q.WildcardQuery(low, boost=boost, field=field)
@@ -118,10 +126,12 @@ def _leaf_from_term(raw: str, analyzer, boost: float,
 class _ParseConfig:
     fields: tuple | None   # known field names; None = accept any
     default_field: str
+    allow_leading_wildcard: bool = False
 
 
 def parse(s: str, analyzer=None, fields: tuple | None = ("text", "*"),
-          default_field: str = "text") -> Q.Query:
+          default_field: str = "text",
+          allow_leading_wildcard: bool = False) -> Q.Query:
     """Parse a classic query string into the AST (default operator OR).
 
     ``fields``: acceptable `field:`-prefix names (QueryParser validates
@@ -132,7 +142,7 @@ def parse(s: str, analyzer=None, fields: tuple | None = ("text", "*"),
         from ..analysis.tokenizer import STANDARD
         analyzer = STANDARD
     cfg = _ParseConfig(tuple(fields) if fields is not None else None,
-                       default_field)
+                       default_field, allow_leading_wildcard)
     pos = 0
     out, _, _ = _parse_clauses(s, pos, analyzer, depth=0, cfg=cfg)
     return out

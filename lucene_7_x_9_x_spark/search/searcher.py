@@ -358,6 +358,32 @@ class IndexSearcher:
                 if pfx:
                     return Q.SpanTermQuery(pfx + node.term, node.boost)
                 return node
+            if isinstance(node, Q.FieldMaskingSpanQuery):
+                inner = expand(node.query)
+                if self.multi_field:
+                    return Q.FieldMaskingSpanQuery(inner, node.field,
+                                                   node.boost)
+                return inner  # single-field index: the mask is a no-op
+            if isinstance(node, Q.SpanMultiTermQueryWrapper):
+                # TopTermsSpanBooleanQueryRewrite: expand the wrapped
+                # MultiTermQuery (via its own rewrite) to a SpanOrQuery of
+                # SpanTermQueries, capped at max_expansions by descending
+                # docFreq (bounded driver collect — the fuzzy-path guard)
+                ex = expand(node.query)
+                if (isinstance(ex, Q.ConstantScoreQuery)
+                        and isinstance(ex.query, Q.TermPredicateQuery)):
+                    terms = self._matching_terms(ex.query,
+                                                 node.max_expansions)
+                elif (isinstance(ex, Q.ConstantScoreQuery)
+                        and isinstance(ex.query, Q.TermInSetQuery)):
+                    terms = list(ex.query.terms)
+                elif isinstance(ex, Q.BlendedTermQuery):
+                    terms = [t for t, _ in ex.terms_boosts]
+                else:
+                    terms = []
+                return Q.SpanOrQuery(
+                    tuple(Q.SpanTermQuery(t) for t in sorted(terms)),
+                    node.boost)
             if isinstance(node, (Q.SpanNearQuery, Q.SpanOrQuery)):
                 import dataclasses
                 return dataclasses.replace(
@@ -419,6 +445,17 @@ class IndexSearcher:
         rows = (td.groupBy("term").agg(F.sum("df").alias("df"))
                 .orderBy(F.desc("df"), F.asc("term"))
                 .limit(node.max_expansions * 20).collect())
+        return [r["term"] for r in rows]
+
+    def _matching_terms(self, p: Q.TermPredicateQuery, cap: int) -> list:
+        """Dictionary terms matching a pushed predicate, top-`cap` by global
+        docFreq desc then term asc (TopTermsRewrite priority-queue order).
+        The predicate filters inside the postings scan (row-group pruned for
+        prefix/range); only <= cap aggregated rows reach the driver."""
+        rows = (self._postings.where(self._predicate_col(p))
+                .groupBy("term").agg(F.sum("df").alias("df"))
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(cap).collect())
         return [r["term"] for r in rows]
 
     def _predicate_col(self, p: Q.TermPredicateQuery):
@@ -512,8 +549,12 @@ class IndexSearcher:
         )
         hits = pd.DataFrame(merged, columns=["segment_id", "docid", "score"])
         hits.insert(0, "rank", np.arange(1, len(hits) + 1))
-        if fetch_keys and len(hits):
-            hits = self._attach_keys(hits)
+        if fetch_keys:
+            if len(hits):
+                hits = self._attach_keys(hits)
+            else:
+                hits = hits.reindex(
+                    columns=["rank", "segment_id", "docid", "key", "score"])
         return TopDocs(hits, total, exact)
 
     def _hidden_count(self, s: dict) -> int:

@@ -101,3 +101,19 @@ def test_multi_token_bare_text():
     # analyzer splits 'fast-sort' into two tokens -> OR of terms
     q = parse("fast.sort")  # '.' joins alnum in UAX#29 MidNumLet -> one token
     assert q == t("fast.sort")
+
+
+def test_leading_wildcard_rejected_by_default():
+    # QueryParserBase.allowLeadingWildcard defaults to false
+    import pytest as _pytest
+    with _pytest.raises(QueryParseError):
+        parse("*ark")
+    with _pytest.raises(QueryParseError):
+        parse("?ark")
+    # *:* stays legal (MatchAllDocs, not a wildcard term)
+    assert parse("*:*") == Q.MatchAllDocsQuery()
+
+
+def test_leading_wildcard_opt_in():
+    q = parse("*ark", allow_leading_wildcard=True)
+    assert q == Q.WildcardQuery("*ark")
