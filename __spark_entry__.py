@@ -34,7 +34,7 @@ from lucene_7_x_9_x_spark.index.builder import build_index
 from lucene_7_x_9_x_spark.index.catalog import IndexCatalog
 from lucene_7_x_9_x_spark.operators.collectors import (
     distinct_values, facet_counts, more_like_this_terms, top_docs_per_group)
-from lucene_7_x_9_x_spark.pipeline import dedup, similarity, textstats
+from lucene_7_x_9_x_spark.pipeline import dedup, hnsw, similarity, textstats
 from lucene_7_x_9_x_spark.search import query as Q
 from lucene_7_x_9_x_spark.search.searcher import IndexSearcher
 
@@ -659,6 +659,23 @@ def q_ivf_topk(spark, sf_dir):
                       F.col("rank").cast("long"))
 
 
+def q_knn_hnsw_topk(spark, sf_dir):
+    """Lucene 9.x KnnVectorQuery analog: per-segment HNSW graphs searched and
+    merged by (score desc, vec_id asc). ef_search >= segment size engages the
+    exact-scan fallback (AbstractKnnVectorQuery.exactSearch), which makes the
+    whole per-segment-build + merge plan brute-force-oracle-checkable; the
+    graph path itself is pinned by tests/test_hnsw.py recall/determinism."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)) \
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"))
+    out = hnsw.hnsw_top_k(emb, queries, k=5, m=8, ef_construction=64,
+                          ef_search=4096, n_segments=4)
+    return out.select("query_id", "vec_id",
+                      _micro_col("cosine").alias("cosine_micro"),
+                      F.col("rank").cast("long"))
+
+
 def q_embedding_near_dups(spark, sf_dir):
     emb = _embeddings(spark, sf_dir)
     seeded = emb.unionByName(
@@ -705,7 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_page2": q_search_after_page2,
         "grouping_top2_per_lang": q_grouping_top2_per_lang,
         "facet_counts_by_source": q_facet_counts_by_source,
-        "distinct_langs": q_distinct_langs,
+        "knn_hnsw_topk": q_knn_hnsw_topk,
         "more_like_this": q_more_like_this,
         "classic_tfidf_topk": q_classic_tfidf_topk,
         "span_near_topk": q_span_near_topk,
@@ -737,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         # ---- entries 51+: stable since round 1/2, unchanged this round ----
+        "distinct_langs": q_distinct_langs,
         "span_first_count": q_span_first_count,
         "span_containing_topk": q_span_containing_topk,
         "span_within_count": q_span_within_count,
@@ -1737,6 +1755,29 @@ r AS (SELECT query_id, vec_id, cosine,
                                 ORDER BY cosine DESC, vec_id) AS rn
       FROM cs)
 SELECT query_id, vec_id, {_micro('cosine')} AS cosine_micro
+FROM r WHERE rn <= 5"""
+
+    # hnsw with ef_search >= every segment's size is the exact-scan fallback
+    # in each segment, so the merged result equals global brute-force top-k
+    out["knn_hnsw_topk"] = f"""
+WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+nrm AS (SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nv
+        FROM e GROUP BY vec_id),
+dots AS (SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+                SUM(CAST(v.x AS DOUBLE)*CAST(q.x AS DOUBLE)) AS dot
+         FROM e v JOIN e q ON q.i = v.i AND q.vec_id >= 5 AND q.vec_id < 10
+         GROUP BY q.vec_id, v.vec_id),
+cs AS (SELECT d.query_id, d.vec_id, d.dot/(a.nv*b.nv) AS cosine
+       FROM dots d JOIN nrm a ON a.vec_id = d.vec_id
+       JOIN nrm b ON b.vec_id = d.query_id),
+r AS (SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM cs)
+SELECT query_id, vec_id, {_micro('cosine')} AS cosine_micro,
+       CAST(rn AS BIGINT) AS rank
 FROM r WHERE rn <= 5"""
 
     return out
