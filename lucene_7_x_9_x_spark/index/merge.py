@@ -406,3 +406,34 @@ def maybe_merge(spark: SparkSession, index_dir: str,
             execute_merge(spark, index_dir, seg_ids)
             executed.append(seg_ids)
     return executed
+
+
+def force_merge(spark: SparkSession, index_dir: str, max_segments: int = 1,
+                max_merge_at_once_explicit: int = 30,
+                term_shards: int = 32) -> list[list[int]]:
+    """IndexWriter.forceMerge analog (TieredMergePolicy.findForcedMerges):
+    merge until at most ``max_segments`` live segments remain, cascading in
+    waves of ``maxMergeAtOnceExplicit`` (TieredMergePolicy.java default 30),
+    smallest segments first so the largest data is rewritten fewest times.
+    Like Lucene, a segment carrying deletes is rewritten even when the
+    segment-count target is already met (forceMerge expunges deletes)."""
+    executed: list[list[int]] = []
+    while True:
+        cat = IndexCatalog(index_dir)
+        live = sorted(cat.live_segments(),
+                      key=lambda s: (_live_size(s), s["segment_id"]))
+        n = len(live)
+        if n > max_segments:
+            take = min(max_merge_at_once_explicit, n - max_segments + 1)
+            if take < 2:
+                break
+            ids = [s["segment_id"] for s in live[:take]]
+        else:
+            with_dels = [s["segment_id"] for s in live
+                         if s.get("del_count", 0) > 0]
+            if not with_dels:
+                break
+            ids = with_dels[:max_merge_at_once_explicit]
+        execute_merge(spark, index_dir, ids, term_shards=term_shards)
+        executed.append(ids)
+    return executed

@@ -321,3 +321,11 @@ class IndexWriter:
         self.cat.commit(self._bump_del_counts(live, per_seg) + segs,
                         operation="update", extra=extra)
         return [s["segment_id"] for s in segs]
+
+    # --- forced merges ------------------------------------------------------
+    def force_merge(self, max_segments: int = 1) -> list[list[int]]:
+        """IndexWriter.forceMerge(maxNumSegments): merge down to at most
+        max_segments live segments, expunging deletes."""
+        from .merge import force_merge
+        return force_merge(self.spark, self.index_dir, max_segments,
+                           term_shards=self.term_shards)
