@@ -34,7 +34,8 @@ from lucene_7_x_9_x_spark.index.builder import build_index
 from lucene_7_x_9_x_spark.index.catalog import IndexCatalog
 from lucene_7_x_9_x_spark.operators.collectors import (
     distinct_values, facet_counts, more_like_this_terms, top_docs_per_group)
-from lucene_7_x_9_x_spark.pipeline import dedup, hnsw, similarity, textstats
+from lucene_7_x_9_x_spark.pipeline import (
+    dedup, hnsw, similarity, textstats, webtext)
 from lucene_7_x_9_x_spark.search import query as Q
 from lucene_7_x_9_x_spark.search.searcher import IndexSearcher
 
@@ -685,6 +686,91 @@ def q_embedding_near_dups(spark, sf_dir):
     return out.select("id_a", "id_b", _micro_col("cosine").alias("cosine_micro"))
 
 
+# webtext curation entries (pipeline/webtext.py). The corpus text is
+# single-line, so the line-structured entries first break it into 8-token
+# "lines" with a regex whose semantics are identical in Java regex (Spark)
+# and RE2 (DuckDB): every non-overlapping run of 8 tokens + trailing space
+# gets the space swapped for a newline.
+_LINE_RE = r"([^ ]+( [^ ]+){7}) "
+_BOILER = "click here to subscribe now"
+
+
+def _lined_documents(spark, sf_dir):
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return docs.withColumn(
+        "text", F.regexp_replace("text", _LINE_RE, "$1\n"))
+
+
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style corpus-wide line dedup; doc_id<5 twins seed guaranteed
+    cross-document duplicate lines (every line of those docs is removed)."""
+    docs = _lined_documents(spark, sf_dir)
+    seeded = docs.unionByName(
+        docs.where(F.col("doc_id") < 5)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+    out = webtext.line_dedup(seeded, min_docs=2)
+    return out.select("doc_id", "n_lines", "n_dup_lines",
+                      F.md5("clean_text").alias("clean_md5"))
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition signals; doc_id<10 get a twice-repeated
+    boilerplate line appended so the duplicate-line signals are non-trivial."""
+    docs = _lined_documents(spark, sf_dir)
+    docs = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") < 10,
+               F.concat_ws("\n", F.col("text"), F.lit(_BOILER),
+                           F.lit(_BOILER))).otherwise(F.col("text")))
+    return webtext.repetition_signals(docs)
+
+
+def q_pii_redact(spark, sf_dir):
+    """Email/IP/phone scrubbing; doc_id<20 get deterministic synthetic PII
+    appended (the oracle concatenates the identical string)."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    i = F.col("doc_id")
+    pii = F.concat(
+        F.col("text"), F.lit(" contact agent"), i.cast("string"),
+        F.lit("@mail.example.com from 10.2."), (i % 200).cast("string"),
+        F.lit(".7 call 415-555-"), (F.lit(1000) + i % 8000).cast("string"))
+    docs = docs.withColumn("text", F.when(i < 20, pii)
+                           .otherwise(F.col("text")))
+    out = webtext.pii_redact(docs)
+    return out.select("doc_id", "n_emails", "n_ips", "n_phones",
+                      F.md5("clean_text").alias("clean_md5"))
+
+
+def q_url_host_stats(spark, sf_dir):
+    """URL canonicalization + per-host stats over deterministically messy
+    synthetic URLs (mixed-case scheme/host, www., default + non-default
+    ports, trailing slashes, utm params)."""
+    d = _documents(spark, sf_dir).select("doc_id", "source")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.when(i % 3 == 0, F.lit("HTTPS")).when(i % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(i % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".Example."),
+        F.when(i % 5 == 0, F.lit("ORG")).otherwise(F.lit("com")),
+        F.when(i % 7 == 0, F.lit(":443")).when(i % 11 == 0, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/docs/"), i.cast("string"),
+        F.when(i % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(i % 6 == 0,
+               F.concat(F.lit("?utm_source=feed&utm_term=x&ref="),
+                        (i % 10).cast("string")))
+        .when(i % 6 == 3, F.lit("?utm_campaign=x")).otherwise(F.lit("")),
+    )
+    per = webtext.canonical_url(d.select("doc_id", url.alias("url")))
+    return per.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("canonical_url").cast("long")
+        .alias("n_distinct_urls"),
+        F.min("canonical_url").alias("min_url"))
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -699,9 +785,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is deliberate: the driver oracle-checks the first 50 entries,
     # so entries touched this round (spans/sloppy candidate cut, multi-field,
-    # fuzzy blend, English analyzer) and the pipeline family sit in the first
-    # 50; the trailing 13 are long-stable operators untouched since round 1/2
-    # (driver-green in CORRECTNESS_r01/r02) rotated out of the window.
+    # fuzzy blend, English analyzer, webtext curation) and the pipeline family
+    # sit in the first 50; the trailing entries are long-stable operators
+    # untouched since round 1/2 (driver-green in CORRECTNESS_r01/r02) rotated
+    # out of the window.
     return {
         "term_topk": q_term_topk,
         "term_scores_all": q_term_scores_all,
@@ -720,11 +807,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "english_analyzer_topk": q_english_analyzer_topk,
         "count_term": q_count_term,
         "search_after_page2": q_search_after_page2,
-        "grouping_top2_per_lang": q_grouping_top2_per_lang,
-        "facet_counts_by_source": q_facet_counts_by_source,
         "knn_hnsw_topk": q_knn_hnsw_topk,
-        "more_like_this": q_more_like_this,
         "classic_tfidf_topk": q_classic_tfidf_topk,
+        "line_dedup": q_line_dedup,
+        "repetition_signals": q_repetition_signals,
+        "pii_redact": q_pii_redact,
+        "url_host_stats": q_url_host_stats,
         "span_near_topk": q_span_near_topk,
         "interval_ordered_topk": q_interval_ordered_topk,
         "interval_phrase_topk": q_interval_phrase_topk,
@@ -733,7 +821,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_containedby_count": q_interval_containedby_count,
         "multi_phrase_topk": q_multi_phrase_topk,
         "rescore_topk": q_rescore_topk,
-        "join_query": q_join_query,
         "facet_hierarchy": q_facet_hierarchy,
         "queryparser_topk": q_queryparser_topk,
         "field_term_topk": q_field_term_topk,
@@ -754,6 +841,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         # ---- entries 51+: stable since round 1/2, unchanged this round ----
+        "grouping_top2_per_lang": q_grouping_top2_per_lang,
+        "facet_counts_by_source": q_facet_counts_by_source,
+        "more_like_this": q_more_like_this,
+        "join_query": q_join_query,
         "distinct_langs": q_distinct_langs,
         "span_first_count": q_span_first_count,
         "span_containing_topk": q_span_containing_topk,
@@ -1438,6 +1529,147 @@ pre AS (SELECT doc_id,
         FROM w WHERE pos <= 8 GROUP BY doc_id)
 SELECT c.doc_id, md5(c.c) AS fingerprint, md5(pre.p) AS prefix_fingerprint
 FROM canon c JOIN pre ON pre.doc_id = c.doc_id"""
+
+    # webtext curation oracles. chr(10)-joined "lines" come from the same
+    # 8-token regex split the Spark entries use (RE2 == Java semantics here).
+    _lined = (r"SELECT doc_id, regexp_replace(text, "
+              r"'([^ ]+( [^ ]+){7}) ', '\1' || chr(10), 'g') AS t "
+              "FROM documents")
+    out["line_dedup"] = f"""
+WITH base AS ({_lined}),
+sd AS (SELECT doc_id, t FROM base
+       UNION ALL SELECT doc_id + 1000000, t FROM base WHERE doc_id < 5),
+arr AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM sd),
+lines AS (SELECT doc_id, unnest(l) AS line,
+                 generate_subscripts(l, 1) AS pos FROM arr),
+c AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line),
+j AS (SELECT lines.doc_id AS doc_id, lines.pos AS pos, lines.line AS line,
+             (c.nd >= 2) AS dup
+      FROM lines JOIN c USING (line))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+       md5(COALESCE(string_agg(CASE WHEN NOT dup THEN line END,
+                               chr(10) ORDER BY pos), '')) AS clean_md5
+FROM j GROUP BY doc_id"""
+
+    _boiler = "click here to subscribe now"
+    out["repetition_signals"] = f"""
+WITH base AS ({_lined}),
+sd AS (SELECT doc_id,
+              CASE WHEN doc_id < 10
+                   THEN t || chr(10) || '{_boiler}' || chr(10) || '{_boiler}'
+                   ELSE t END AS t
+       FROM base),
+f AS (SELECT doc_id, t,
+             string_split(t, chr(10)) AS lines,
+             list_filter(string_split_regex(lower(trim(t)), '\\s+'),
+                         x -> x != '') AS toks
+      FROM sd),
+g AS (SELECT doc_id, t, lines, toks,
+             [toks[i] || ' ' || toks[i+1]
+              for i in generate_series(1, len(toks) - 1)][1:2048] AS grams
+      FROM f),
+tg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+gc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM tg GROUP BY doc_id, gram),
+top AS (SELECT doc_id, cnt, gram,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, gram DESC) AS rn
+        FROM gc),
+m AS (SELECT g.doc_id AS doc_id,
+             CAST(len(g.lines) AS DOUBLE) AS n_lines,
+             CAST(len(list_distinct(g.lines)) AS DOUBLE) AS n_dist,
+             CAST(length(array_to_string(g.lines, '')) AS DOUBLE) AS line_chars,
+             CAST(length(array_to_string(list_distinct(g.lines), ''))
+                  AS DOUBLE) AS dist_chars,
+             CAST(len(g.toks) AS DOUBLE) AS n_toks,
+             CAST(length(array_to_string(g.toks, ' ')) AS DOUBLE) AS tok_chars,
+             t.cnt AS top_cnt, t.gram AS top_gram,
+             CAST(length(g.t) - length(replace(g.t, '#', ''))
+                  AS DOUBLE) AS n_hash,
+             (length(g.t) - length(replace(g.t, '...', ''))) / 3e0
+               AS n_ellipsis,
+             CAST(len(list_filter(g.toks,
+                                  x -> regexp_matches(x, '[a-z]')))
+                  AS DOUBLE) AS n_alpha
+      FROM g LEFT JOIN top t ON t.doc_id = g.doc_id AND t.rn = 1)
+SELECT doc_id,
+  ROUND(CASE WHEN n_lines > 0 THEN (n_lines - n_dist) / n_lines
+             ELSE 0e0 END, 4) AS dup_line_frac,
+  ROUND(CASE WHEN line_chars > 0 THEN (line_chars - dist_chars) / line_chars
+             ELSE 0e0 END, 4) AS dup_line_char_frac,
+  ROUND(CASE WHEN n_toks > 1 AND tok_chars > 0
+             THEN top_cnt * length(top_gram) / tok_chars
+             ELSE 0e0 END, 4) AS top_2gram_char_frac,
+  ROUND(CASE WHEN n_toks > 0 THEN (n_hash + n_ellipsis) / n_toks
+             ELSE 0e0 END, 4) AS symbol_word_ratio,
+  ROUND(CASE WHEN n_toks > 0 THEN n_alpha / n_toks
+             ELSE 0e0 END, 4) AS alpha_word_frac
+FROM m"""
+
+    from lucene_7_x_9_x_spark.pipeline.webtext import (
+        EMAIL_RE, IPV4_RE, PHONE_RE)
+    out["pii_redact"] = f"""
+WITH sd AS (SELECT doc_id,
+  CASE WHEN doc_id < 20
+       THEN text || ' contact agent' || CAST(doc_id AS VARCHAR)
+            || '@mail.example.com from 10.2.'
+            || CAST(doc_id % 200 AS VARCHAR) || '.7 call 415-555-'
+            || CAST(1000 + doc_id % 8000 AS VARCHAR)
+       ELSE text END AS t
+  FROM documents),
+r AS (SELECT doc_id, t,
+             regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1 FROM sd),
+r2 AS (SELECT doc_id, t, t1,
+              regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2 FROM r),
+r3 AS (SELECT doc_id, t, t1, t2,
+              regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') AS t3 FROM r2)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t1, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(t2, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+  md5(t3) AS clean_md5
+FROM r3"""
+
+    out["url_host_stats"] = r"""
+WITH u AS (SELECT doc_id,
+   (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS'
+         WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END)
+   || '://' || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+   || source || '.Example.'
+   || (CASE WHEN doc_id % 5 = 0 THEN 'ORG' ELSE 'com' END)
+   || (CASE WHEN doc_id % 7 = 0 THEN ':443'
+            WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+   || '/docs/' || CAST(doc_id AS VARCHAR)
+   || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+   || (CASE WHEN doc_id % 6 = 0
+            THEN '?utm_source=feed&utm_term=x&ref='
+                 || CAST(doc_id % 10 AS VARCHAR)
+            WHEN doc_id % 6 = 3 THEN '?utm_campaign=x' ELSE '' END) AS url
+ FROM documents),
+c0 AS (SELECT doc_id,
+   lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+   lower(regexp_extract(url,
+        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth0,
+   regexp_extract(url,
+        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest0
+ FROM u),
+c1 AS (SELECT doc_id, scheme,
+   regexp_replace(regexp_replace(auth0, '^www\.', ''),
+                  ':(80|443)$', '') AS host,
+   regexp_replace(
+     regexp_replace(
+       regexp_replace(rest0, '([?&])utm_[A-Za-z0-9_]*=[^&#]*&?', '\1', 'g'),
+       '([?&])utm_[A-Za-z0-9_]*=[^&#]*&?', '\1', 'g'),
+     '[?&]+$', '') AS rest1
+ FROM c0),
+c2 AS (SELECT doc_id, host,
+   scheme || '://' || host
+   || regexp_replace(rest1, '^([^?]*)/$', '\1') AS curl
+ FROM c1)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_distinct_urls,
+       MIN(curl) AS min_url
+FROM c2 GROUP BY host"""
 
     out["suggest_completions"] = _topk_sql([], """
 SELECT term, CAST(COUNT(*) AS BIGINT) AS weight
