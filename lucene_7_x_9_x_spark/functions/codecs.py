@@ -8,9 +8,19 @@ Modeled on (behavior, not code) Lucene 8.4's postings format:
 The byte layout is our own (the north rule requires delta + variable-byte FOR-style
 compression with exact decoded values, not Lucene's file format). Layout per stream:
 
-  header byte 0    -> all values == 1, no payload (dense-run escape)
-  header byte 1-64 -> FOR: every value bit-packed at `header` bits, LSB-first
-  header byte 255  -> variable-byte (7-bit groups, little-endian, MSB = continue)
+  header byte 0       -> all values == 1, no payload (dense-run escape)
+  header byte 1-64    -> FOR: every value bit-packed at `header` bits, LSB-first
+  header byte 129-192 -> PFOR at (header-128) bits: [n_exceptions:1][packed low
+                         bits][vbyte: exception-index deltas then high bits]
+                         (PForUtil.java behavior: <=7 exceptions per block)
+  header byte 255     -> variable-byte (7-bit groups, little-endian, MSB = continue)
+
+Every stream is self-describing via its header, so DECODE is codec-agnostic;
+a "codec" (see the Codec SPI at the bottom) only chooses the encoder. Indexes
+built with different codecs can therefore be merged freely — the per-segment
+codec recorded in the catalog governs how NEW segments are written, exactly
+the SegmentInfo-records-the-codec contract of Lucene's Codec SPI
+(codecs/Codec.java:1 forName/availableCodecs).
 
 docids are stored as (first_doc, payload of successive deltas); freqs are stored
 verbatim; positions are per-doc delta streams concatenated and vByte-coded, split
@@ -26,12 +36,15 @@ import numpy as np
 __all__ = [
     "BLOCK_SIZE", "vbyte_encode", "vbyte_decode", "pack_bits", "unpack_bits",
     "encode_stream", "decode_stream", "encode_posting_list", "decode_blocks",
-    "split_positions",
+    "split_positions", "Codec", "register_codec", "get_codec", "CODECS",
+    "encode_stream_pfor", "DEFAULT_CODEC",
 ]
 
 BLOCK_SIZE = 128  # ForUtil.java:33
 _VBYTE = 255
 _MAX_VBYTE_LEN = 10
+_PFOR_BASE = 128  # header 129..192 = PFOR at (header-128) bits
+_PFOR_MAX_EXCEPTIONS = 7  # PForUtil.java: at most 7 patched values per block
 
 
 def vbyte_encode(values) -> bytes:
@@ -124,6 +137,43 @@ def encode_stream(values) -> bytes:
     return bytes([bits]) + pack_bits(v, bits)
 
 
+def _pfor_try_encode(v: np.ndarray) -> bytes | None:
+    """Patched FOR (PForUtil.java behavior): pack every value at the bit
+    width of the (MAX_EXCEPTIONS+1)-th largest value; the few larger
+    "exception" values store their overflowing high bits out-of-band.
+    Returns None when patching wins nothing over plain FOR."""
+    n = v.size
+    max_bits = int(v.max()).bit_length()
+    k = min(_PFOR_MAX_EXCEPTIONS, n - 1)
+    # bit width covering all but the top-k values
+    bits = max(1, int(np.partition(v, n - 1 - k)[n - 1 - k]).bit_length())
+    if bits >= max_bits:
+        return None
+    mask = np.uint64((1 << bits) - 1)
+    exc_idx = np.flatnonzero(v > mask)
+    if exc_idx.size == 0 or exc_idx.size > _PFOR_MAX_EXCEPTIONS:
+        return None
+    low = v & mask
+    high = v[exc_idx] >> np.uint64(bits)
+    idx_deltas = np.empty(exc_idx.size, dtype=np.uint64)
+    idx_deltas[0] = exc_idx[0]
+    idx_deltas[1:] = np.diff(exc_idx)
+    return (bytes([_PFOR_BASE + bits, exc_idx.size])
+            + pack_bits(low, bits)
+            + vbyte_encode(np.concatenate([idx_deltas, high])))
+
+
+def encode_stream_pfor(values) -> bytes:
+    """Like encode_stream, but considers a patched-FOR layout and keeps the
+    smaller of {FOR, PFOR} for packable streams (same escapes otherwise)."""
+    v = np.asarray(values, dtype=np.uint64)
+    base = encode_stream(v)
+    if v.size < 32 or base[0] in (0, _VBYTE):
+        return base
+    patched = _pfor_try_encode(v)
+    return patched if patched is not None and len(patched) < len(base) else base
+
+
 def decode_stream(buf: bytes, n: int) -> np.ndarray:
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
@@ -132,6 +182,15 @@ def decode_stream(buf: bytes, n: int) -> np.ndarray:
         return np.ones(n, dtype=np.uint64)
     if header == _VBYTE:
         return vbyte_decode(buf[1:], n)
+    if header > _PFOR_BASE:
+        bits = header - _PFOR_BASE
+        n_exc = buf[1]
+        packed_len = (n * bits + 7) // 8
+        out = unpack_bits(buf[2:2 + packed_len], n, bits)
+        tail = vbyte_decode(buf[2 + packed_len:], 2 * n_exc)
+        idx = np.cumsum(tail[:n_exc].astype(np.int64))
+        out[idx] |= tail[n_exc:] << np.uint64(bits)
+        return out
     return unpack_bits(buf[1:], n, header)
 
 
@@ -189,17 +248,24 @@ def _encode_small(docids, freqs, norm_bytes, positions):
 
 
 def encode_posting_list(docids, freqs, norm_bytes, positions=None,
-                        block_size: int = BLOCK_SIZE):
+                        block_size: int = BLOCK_SIZE,
+                        codec: "str | Codec" = "for-vbyte"):
     """Encode one (segment, term) posting list into 128-doc blocks.
 
     docids: strictly-increasing int array; freqs: int array >= 1; norm_bytes:
     uint8 array (quantized doc length of each posting's doc); positions: optional
     list of per-doc ascending position arrays.
 
+    ``codec`` selects the stream encoder for the doc-delta and freq streams of
+    blocks with >16 postings (see the Codec SPI below; small lists always take
+    the vInt tail, matching Lucene84PostingsWriter.java:368-404 regardless of
+    codec). Decode needs no codec: streams are header-self-describing.
+
     Returns a list of block dicts with keys:
       first_doc, last_doc, count, max_freq, min_norm, doc_bytes, freq_bytes,
       norm_bytes, pos_bytes
     """
+    enc = get_codec(codec).encode_stream
     if len(docids) <= 16:
         dl = [int(x) for x in docids]
         assert dl and all(b > a for a, b in zip(dl, dl[1:])), \
@@ -247,8 +313,8 @@ def encode_posting_list(docids, freqs, norm_bytes, positions=None,
             "count": int(end - start),
             "max_freq": int(f.max()),
             "min_norm": int(nb.min()),
-            "doc_bytes": encode_stream(deltas) if deltas.size else _ONE_HEADER,
-            "freq_bytes": encode_stream(f),
+            "doc_bytes": enc(deltas) if deltas.size else _ONE_HEADER,
+            "freq_bytes": enc(f),
             "norm_bytes": nb.tobytes(),
         }
         if flat_dp is not None:
@@ -306,3 +372,49 @@ def decode_blocks(blocks, want_positions: bool = False):
 def split_positions(flat_positions: np.ndarray, freqs: np.ndarray):
     """Split the flat positions array into per-posting arrays by freq."""
     return np.split(flat_positions, np.cumsum(np.asarray(freqs))[:-1])
+
+
+# ---------------------------------------------------------------------------
+# Codec SPI (codecs/Codec.java forName/availableCodecs analog)
+# ---------------------------------------------------------------------------
+
+class Codec:
+    """A named stream-encoder choice. Decode is codec-agnostic (headers are
+    self-describing), so a Codec only supplies ``encode_stream`` for the
+    doc-delta and freq streams of large blocks. Register additional codecs
+    with ``register_codec`` (the SPI extension point); the index catalog
+    records the codec name at build time and the writer/merger re-resolve it
+    by name — Codec.forName semantics."""
+
+    def __init__(self, name: str, encode_stream_fn):
+        self.name = name
+        self.encode_stream = encode_stream_fn
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Codec({self.name!r})"
+
+
+CODECS: dict[str, Codec] = {}
+
+
+def register_codec(codec: Codec) -> Codec:
+    CODECS[codec.name] = codec
+    return codec
+
+
+def get_codec(name: "str | Codec") -> Codec:
+    if isinstance(name, Codec):
+        return name
+    try:
+        return CODECS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown codec {name!r}; available: {sorted(CODECS)}") from None
+
+
+DEFAULT_CODEC = register_codec(Codec("for-vbyte", encode_stream))
+register_codec(Codec("pfor", encode_stream_pfor))
+# always-vByte: no bit-packing — a deliberately simple SPI reference codec
+register_codec(Codec("vbyte", lambda v: (
+    _ONE_HEADER if (np.asarray(v, dtype=np.uint64) == 1).all()
+    else bytes([_VBYTE]) + vbyte_encode(v))))

@@ -41,7 +41,8 @@ from pyspark.sql.window import Window
 from ..analysis.tokenizer import Analyzer, STANDARD
 from ..fields import FIELD_SEP
 from ..functions import smallfloat
-from ..functions.codecs import encode_posting_list
+from ..functions.codecs import (
+    Codec, DEFAULT_CODEC, encode_posting_list, get_codec)
 from .catalog import IndexCatalog, append_lineage
 from . import schema as S
 
@@ -76,7 +77,8 @@ def _norm_byte_udf(doclen: pd.Series) -> pd.Series:
     )
 
 
-def _encode_partition(pdf: pd.DataFrame, store_positions: bool) -> pd.DataFrame:
+def _encode_partition(pdf: pd.DataFrame, store_positions: bool,
+                      codec: Codec = DEFAULT_CODEC) -> pd.DataFrame:
     """Encode every (term) posting list in one (segment, shard[, salt]) group.
 
     One pandas call covers many terms, grouped by a single lexsort over
@@ -103,7 +105,7 @@ def _encode_partition(pdf: pd.DataFrame, store_positions: bool) -> pd.DataFrame:
         positions = None
         if pos_col is not None:
             positions = [np.asarray(pos_col[i], dtype=np.int64) for i in idx]
-        blocks = encode_posting_list(d, f, nb, positions)
+        blocks = encode_posting_list(d, f, nb, positions, codec=codec)
         rows.append(
             {
                 "segment_id": seg,
@@ -137,6 +139,18 @@ def _merge_salted(pdf: pd.DataFrame) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(rows, columns=["segment_id", "term", "df", "ttf", "blocks"])
+
+
+def load_index_codec(index_dir: str) -> Codec:
+    """Resolve the codec recorded at build time (Codec.forName semantics:
+    custom codecs must be registered before opening the index). Pre-SPI
+    indexes carry no recording and resolve to the default."""
+    path = os.path.join(index_dir, "_catalog", "codec.json")
+    if not os.path.exists(path):
+        return DEFAULT_CODEC
+    import json
+    with open(path) as fh:
+        return get_codec(json.load(fh)["name"])
 
 
 def _dir_size(path: str, spark: SparkSession | None = None) -> int:
@@ -174,6 +188,7 @@ def index_wave(
     docs_per_segment: int = 4096,
     coalesce_postings: bool = False,
     fields: list[str] | None = None,
+    codec: "Codec | str" = DEFAULT_CODEC,
 ) -> list[dict]:
     """Index one wave: src(key, text, segment_id) -> docs+postings partitions.
 
@@ -335,14 +350,16 @@ def index_wave(
         "shard", F.pmod(F.xxhash64(F.col("term")), F.lit(term_shards)).cast("int")
     )
 
+    codec = get_codec(codec)
+
     def _enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _encode_partition(pdf, store_positions)
+        return _encode_partition(pdf, store_positions, codec)
 
     if salt_bucket_docs and salt_bucket_docs < docs_per_segment:
         salted_schema = S.POSTINGS_SCHEMA.add("salt", T.IntegerType())
 
         def _enc_salted(pdf: pd.DataFrame) -> pd.DataFrame:
-            out = _encode_partition(pdf, store_positions)
+            out = _encode_partition(pdf, store_positions, codec)
             out["salt"] = int(pdf["salt"].iloc[0])
             return out
 
@@ -432,6 +449,7 @@ def build_index(
     resume: bool = False,
     field_cols: dict[str, str] | None = None,
     default_field: str | None = None,
+    codec: "Codec | str" = DEFAULT_CODEC,
     _crash_point: tuple | None = None,  # (wave, "after_docs"|"after_commit") — test hook
 ) -> IndexCatalog:
     """Build (or resume building) the inverted index for df[key_col, text_col].
@@ -469,6 +487,21 @@ def build_index(
                 json.dump({"fields": fields, "default_field": default_field},
                           fh)
             os.rename(tmp, fi_path)
+
+    # Codec SPI: the catalog records the codec name once at build time
+    # (SegmentInfo-records-the-codec contract); resumes and later writers/
+    # mergers resolve it by name, Codec.forName-style. An existing recording
+    # wins over the argument so a resume can't mix encoders mid-index.
+    codec = get_codec(codec)
+    codec_path = os.path.join(cat.catalog_dir, "codec.json")
+    if os.path.exists(codec_path):
+        codec = load_index_codec(index_dir)
+    else:
+        import json
+        tmp = codec_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"name": codec.name}, fh)
+        os.rename(tmp, codec_path)
 
     key_s = F.col(key_col).cast("string")
     if fields:
@@ -531,7 +564,8 @@ def build_index(
                        store_positions=store_positions, int_keys=int_keys,
                        term_shards=term_shards,
                        salt_bucket_docs=salt_bucket_docs,
-                       docs_per_segment=docs_per_segment, fields=fields)
+                       docs_per_segment=docs_per_segment, fields=fields,
+                       codec=codec)
             shutil.rmtree(os.path.join(index_dir, "postings", f"wave={wave}"),
                           ignore_errors=True)
             raise RuntimeError("injected crash: after_docs")
@@ -542,7 +576,8 @@ def build_index(
                 store_positions=store_positions, int_keys=int_keys,
                 term_shards=term_shards, salt_bucket_docs=salt_bucket_docs,
                 docs_per_segment=docs_per_segment,
-                coalesce_postings=coalesce_postings, fields=fields)
+                coalesce_postings=coalesce_postings, fields=fields,
+                codec=codec)
             if s["segment_id"] not in done_segs
         ]
         wall_ms = int((time.time() - t0) * 1000)

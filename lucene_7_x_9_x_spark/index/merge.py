@@ -207,6 +207,8 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
     surviving-doc offset of the preceding segments (segment order)."""
     t0 = time.time()
     cat = IndexCatalog(index_dir)
+    from .builder import load_index_codec
+    codec = load_index_codec(index_dir)  # Codec.forName for the merged output
     live = {s["segment_id"]: s for s in cat.live_segments()}
     parts = [live[sid] for sid in sorted(segment_ids)]
     assert all(sid in live for sid in segment_ids)
@@ -317,7 +319,8 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
             freqs = np.concatenate(fs)
             norms = np.concatenate(ns)
             positions = ps if has_pos else None
-            blocks = encode_posting_list(docids, freqs, norms, positions)
+            blocks = encode_posting_list(docids, freqs, norms, positions,
+                                         codec=codec)
             rows.append({
                 "segment_id": new_id, "term": term,
                 "df": int(docids.size), "ttf": int(freqs.sum()),

@@ -99,6 +99,9 @@ class IndexWriter:
         self.term_shards = term_shards
         self.store_positions = store_positions
         self.int_keys = int_keys
+        # Codec.forName: new waves honor the codec recorded at build time
+        from .builder import load_index_codec
+        self.codec = load_index_codec(index_dir)
 
     # --- adds ---------------------------------------------------------------
     def add_documents(self, df: DataFrame, key_col: str,
@@ -129,7 +132,7 @@ class IndexWriter:
             self.spark, src, self.index_dir, next_wave,
             analyzer=self.analyzer, store_positions=self.store_positions,
             int_keys=self.int_keys, term_shards=self.term_shards,
-            docs_per_segment=self.docs_per_segment)
+            docs_per_segment=self.docs_per_segment, codec=self.codec)
         wall_ms = int((time.time() - t0) * 1000)
         append_lineage(self.index_dir, [
             ("add_wave", s["segment_id"], self.cat.head() + 1, s["doc_count"],
@@ -266,7 +269,8 @@ class IndexWriter:
                 self.spark, src, self.index_dir, next_wave,
                 analyzer=self.analyzer, store_positions=self.store_positions,
                 int_keys=self.int_keys, term_shards=self.term_shards,
-                docs_per_segment=self.docs_per_segment)
+                docs_per_segment=self.docs_per_segment,
+                codec=self.codec)
             wall_ms = int((time.time() - t0) * 1000)
             append_lineage(self.index_dir, [
                 ("soft_update_wave", s["segment_id"], self.cat.head() + 1,
@@ -311,7 +315,8 @@ class IndexWriter:
                 self.spark, src, self.index_dir, next_wave,
                 analyzer=self.analyzer, store_positions=self.store_positions,
                 int_keys=self.int_keys, term_shards=self.term_shards,
-                docs_per_segment=self.docs_per_segment)
+                docs_per_segment=self.docs_per_segment,
+                codec=self.codec)
             wall_ms = int((time.time() - t0) * 1000)
             append_lineage(self.index_dir, [
                 ("update_wave", s["segment_id"], self.cat.head() + 1,
