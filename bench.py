@@ -125,14 +125,33 @@ def main() -> None:
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             sc = json.load(f)
-        out["scaling"] = {
-            "cores": [sc["low"]["cores"], sc["high"]["cores"]],
-            "docs_per_sec": [round(sc["low"]["docs_per_sec"], 1),
-                             round(sc["high"]["docs_per_sec"], 1)],
-            "efficiency_median": sc.get("efficiency_median",
-                                        sc.get("efficiency")),
-            "criterion": ">= 0.8 from N to 4N",
-        }
+        if "by_size" in sc:
+            # latest run at the LARGEST corpus size is the evidence block;
+            # best/median across same-size runs ride along as labelled fields
+            size = max(sc["by_size"], key=lambda k: int(k))
+            blk = sc["by_size"][size]
+            run = blk["latest"]
+            out["scaling"] = {
+                "n_docs": int(size),
+                "cores": [run["low"]["cores"], run["high"]["cores"]],
+                "docs_per_sec": [round(run["low"]["docs_per_sec"], 1),
+                                 round(run["high"]["docs_per_sec"], 1)],
+                "efficiency_median_latest_run": run["efficiency_median"],
+                "efficiency_median_across_runs":
+                    blk.get("median_of_runs_at_this_size"),
+                "efficiency_best_run": blk.get("best_efficiency_median"),
+                "latest_run_ts": run.get("ts"),
+                "criterion": ">= 0.8 from N to 4N",
+            }
+        else:  # legacy single-block format
+            out["scaling"] = {
+                "cores": [sc["low"]["cores"], sc["high"]["cores"]],
+                "docs_per_sec": [round(sc["low"]["docs_per_sec"], 1),
+                                 round(sc["high"]["docs_per_sec"], 1)],
+                "efficiency_median": sc.get("efficiency_median",
+                                            sc.get("efficiency")),
+                "criterion": ">= 0.8 from N to 4N",
+            }
     shutil.rmtree(idx, ignore_errors=True)
     print(json.dumps(out))
 

@@ -89,11 +89,29 @@ def check_index(spark: SparkSession, index_dir: str) -> list:
         if meta and meta["max_doc"] != r["n"]:
             violations.append(f"seg={r['segment_id']}: max_doc mismatch")
 
-    # norm quantization: norm_byte == intToByte4(doclen)  (BM25Similarity.java:128-139)
-    bad_norms = docs.toPandas()
-    expect = smallfloat.int_to_byte4(bad_norms["doclen"].values.astype(np.int64))
-    if not (expect.astype(np.int32) == bad_norms["norm_byte"].values).all():
-        violations.append("norm_byte != intToByte4(doclen) for some docs")
+    # norm quantization: norm_byte == intToByte4(doclen)
+    # (BM25Similarity.java:128-139), evaluated DISTRIBUTED via a 256-row
+    # broadcast join on the decode table: intToByte4 is monotone round-down,
+    # so byte b is correct iff byte4ToInt(b) <= doclen < byte4ToInt(b+1).
+    # (CheckIndex.java:642-656 cross-checks without materializing either; the
+    # round-3 full docs.toPandas() was the one driver-side collect left in
+    # this tool.) Whole-stage codegen, zero Python on the hot path.
+    tbl = smallfloat.BYTE4_DECODE_TABLE
+    decode_rows = [(b, int(tbl[b]), int(tbl[b + 1]) if b < 255 else None)
+                   for b in range(256)]
+    decode_df = spark.createDataFrame(decode_rows, "nb int, lo bigint, hi bigint")
+    bad_norms = (
+        docs.select(F.col("doclen").cast("bigint").alias("doclen"),
+                    F.col("norm_byte").cast("int").alias("nbyte"))
+        .join(F.broadcast(decode_df), F.col("nbyte") == F.col("nb"), "left")
+        .where(F.col("lo").isNull()
+               | (F.col("doclen") < F.col("lo"))
+               | (F.col("hi").isNotNull() & (F.col("doclen") >= F.col("hi"))))
+        .count()
+    )
+    if bad_norms:
+        violations.append(
+            f"norm_byte != intToByte4(doclen) for {bad_norms} docs")
 
     # stats: doc_count/sum_ttf in the snapshot match the docs table
     agg = (

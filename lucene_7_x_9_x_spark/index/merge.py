@@ -215,20 +215,42 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
     new_id = max(live) + 1
     new_wave = max(s["wave"] for s in live.values()) + 1
 
-    from .writer import load_deletes
-    deleted = load_deletes(spark, index_dir, set(segment_ids))
+    # Deleted docids are read task-locally per segment (.liv analog,
+    # livedocs.read_segment_deletes): the remap closure ships only
+    # (index_dir, gens, offsets) — never the docid arrays. The driver needs
+    # only per-segment COUNTS for the re-base offsets, resolved as a
+    # distributed distinct-count (<= |merge| rows collected).
+    from .livedocs import read_segment_deletes
+    from .writer import deletes_df
+    del_gens = tuple(cat.delete_gens())
+    del_segs = frozenset(s["segment_id"] for s in parts
+                         if s.get("del_count", 0) > 0)
+    del_counts: dict[int, int] = {}
+    if del_segs:
+        ddf = deletes_df(spark, index_dir, set(segment_ids), gens=del_gens)
+        if ddf is not None:
+            del_counts = {int(r["segment_id"]): int(r["cnt"]) for r in
+                          ddf.groupBy("segment_id")
+                          .agg(F.count("*").alias("cnt")).collect()}
 
     # surviving-doc re-base offsets, in segment order (DocIDMerger.java:34,93)
     offsets = {}
     off = 0
     for s in parts:
         offsets[s["segment_id"]] = off
-        off += s["max_doc"] - deleted.get(s["segment_id"],
-                                          np.zeros(0, np.int64)).size
+        off += s["max_doc"] - del_counts.get(s["segment_id"], 0)
+
+    def _deleted(seg_id: int, _cache: dict = {}):
+        """Per-task lazy .liv read of one segment (cached per closure copy)."""
+        if seg_id not in _cache:
+            _cache[seg_id] = (
+                read_segment_deletes(index_dir, seg_id, del_gens)
+                if seg_id in del_segs else None)
+        return _cache[seg_id]
 
     def remap(seg_id: int, docids: np.ndarray):
         """(surviving mask, new docids) for one input segment's docid array."""
-        dels = deleted.get(seg_id)
+        dels = _deleted(seg_id)
         if dels is None or dels.size == 0:
             return np.ones(docids.size, dtype=bool), docids + offsets[seg_id]
         keep = ~np.isin(docids, dels)
@@ -361,28 +383,37 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
         }
     # soft-deletes retention (SoftDeletesRetentionMergePolicy with a
     # keep-all retention query): soft-deleted docs SURVIVE the merge — they
-    # were never in `deleted`, so their postings/docs rows are in the new
+    # were never hard-deleted, so their postings/docs rows are in the new
     # segment — and their markers are re-based onto the new docids so the
-    # default reader keeps hiding them while history readers keep seeing them
-    soft = load_deletes(spark, index_dir, set(segment_ids),
-                        kind="soft_deletes")
-    soft_new: list[int] = []
-    for sid in sorted(segment_ids):
-        arr = soft.get(sid)
-        if arr is None or arr.size == 0:
-            continue
-        _, new_ids = remap(sid, arr)
-        soft_new.extend(int(x) for x in new_ids)
+    # default reader keeps hiding them while history readers keep seeing
+    # them. The re-base runs distributed (mapInPandas over the marker rows,
+    # remap's task-local .liv reads); the driver sees only the count.
+    soft_df = deletes_df(spark, index_dir, set(segment_ids),
+                         kind="soft_deletes")
     extra = None
-    if soft_new:
-        gen = cat.head() + 1
-        sdf = spark.createDataFrame(
-            [(new_id, d) for d in sorted(soft_new)],
-            "segment_id int, docid int")
-        (sdf.repartition(1).write.mode("append").partitionBy("segment_id")
-         .parquet(os.path.join(index_dir, "soft_deletes", f"gen={gen}")))
-        new_seg["soft_del_count"] = len(soft_new)
-        extra = {"soft_delete_gens": cat.soft_delete_gens() + [gen]}
+    soft_total = 0
+    if soft_df is not None:
+        def remap_soft(batches):
+            for pdf in batches:
+                for sid, g in pdf.groupby("segment_id"):
+                    _, new_ids = remap(
+                        int(sid), np.sort(g["docid"].values.astype(np.int64)))
+                    yield pd.DataFrame({
+                        "segment_id": np.full(new_ids.size, new_id,
+                                              dtype=np.int32),
+                        "docid": new_ids.astype(np.int32)})
+
+        remapped = soft_df.mapInPandas(
+            remap_soft, "segment_id int, docid int").persist()
+        soft_total = remapped.count()
+        if soft_total:
+            gen = cat.head() + 1
+            (remapped.repartition(1).write.mode("append")
+             .partitionBy("segment_id")
+             .parquet(os.path.join(index_dir, "soft_deletes", f"gen={gen}")))
+            new_seg["soft_del_count"] = int(soft_total)
+            extra = {"soft_delete_gens": cat.soft_delete_gens() + [gen]}
+        remapped.unpersist()
     remaining = [s for sid, s in live.items() if sid not in set(segment_ids)]
     wall_ms = int((time.time() - t0) * 1000)
     append_lineage(index_dir, [

@@ -71,9 +71,10 @@ def load_deletes(spark: SparkSession, index_dir: str,
     """Collect per-segment sorted deleted-docid arrays (the .liv bitsets;
     kind='soft_deletes' for the soft-deleted marker sets).
 
-    Driver-side collect is safe: delete volume is bounded to <= 33% of live
-    docs by the merge policy, and at production scale this map is broadcast to
-    executors exactly like Lucene ships .liv with each segment."""
+    TEST/INSPECTION UTILITY ONLY — nothing on the search or merge path calls
+    this anymore: kernel and merge tasks read their OWN segment's delete
+    files via livedocs.read_segment_deletes (the per-segment .liv analog),
+    so no full delete set is ever materialized on the driver."""
     df = deletes_df(spark, index_dir, live_segment_ids, gens=gens, kind=kind)
     if df is None:
         return {}

@@ -85,8 +85,18 @@ class MemoryIndex:
     # --- building ----------------------------------------------------------
     def add_field(self, name: str, text: str,
                   analyzer: Analyzer | None = None) -> "MemoryIndex":
-        """Add (or extend) a field. Returns self for chaining."""
+        """Add (or extend) a field. Returns self for chaining.
+
+        A field's analyzer is fixed by its FIRST add_field call; extending
+        the field with a DIFFERENT analyzer raises — silently tokenizing the
+        appended text with the original analyzer would be wrong, and Lucene's
+        MemoryIndex has no per-call analyzer switch either (the whole field
+        re-tokenizes through one TokenStream)."""
         if name in self._texts:
+            if analyzer is not None and analyzer is not self._analyzers[name]:
+                raise ValueError(
+                    f"field {name!r} was added with a different analyzer; "
+                    "extending a field cannot switch analyzers")
             self._texts[name] = self._texts[name] + " " + text
         else:
             self._texts[name] = text

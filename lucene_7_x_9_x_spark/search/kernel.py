@@ -76,10 +76,15 @@ class SegmentIndex:
     do NOT adjust df/ttf/norm statistics until the segment is merged."""
 
     def __init__(self, term_rows: Dict[str, dict], max_doc: int,
-                 deleted: np.ndarray | None = None):
+                 deleted: np.ndarray | None = None, norms_loader=None):
         # term_rows: term -> {"df": int, "ttf": int, "blocks": [block dicts]}
+        # norms_loader: optional callable(field) -> dense uint8 norm array of
+        # the WHOLE segment (.nvd analog) or None; used when norms are needed
+        # for docs outside the decoded postings (FieldMaskingSpanQuery).
         self.term_rows = term_rows
         self.max_doc = int(max_doc)
+        self._norms_loader = norms_loader
+        self._full_norms: Dict[str, np.ndarray] = {}
         self.deleted = (np.asarray(deleted, dtype=np.int64)
                         if deleted is not None and len(deleted) else None)
         self._decoded: Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
@@ -142,11 +147,36 @@ class SegmentIndex:
     def norms_for(self, docids: np.ndarray, term: str = "") -> np.ndarray:
         """Norm bytes for docids in the FIELD of ``term`` (any term of the
         field; '' = the single/default field). Valid for docids whose
-        postings in that field were decoded."""
+        postings in that field were decoded.
+
+        A bare field marker ('field\\x1f', produced only by
+        FieldMaskingSpanQuery stats resolution) demands the field's COMPLETE
+        norms: matched docids come from the REAL field's postings, so the
+        masked field's painted norms may miss them — route through the full
+        .nvd-analog read instead (FieldMaskingSpanQuery.java:66-72)."""
+        if term.endswith(FIELD_SEP):
+            return self.full_field_norms(field_of(term))[docids]
         dn = self._dense_norms.get(field_of(term))
         if dn is None:
             return np.zeros(len(docids), dtype=np.uint8)
         return dn[docids]
+
+    def full_field_norms(self, fld: str) -> np.ndarray:
+        """Dense norm bytes of EVERY doc of the segment for one field (the
+        .nvd read). Raises rather than silently scoring with zero norms when
+        no loader can supply them (round-3 defect: a masked field with no
+        decoded term scored with wrong doc lengths)."""
+        dn = self._full_norms.get(fld)
+        if dn is None:
+            if self._norms_loader is not None:
+                dn = self._norms_loader(fld)
+            if dn is None:
+                raise ValueError(
+                    f"full norms for field {fld!r} unavailable: no norms "
+                    "loader (FieldMaskingSpanQuery needs the masked field's "
+                    "complete norms)")
+            self._full_norms[fld] = dn
+        return dn
 
     def flat_positions(self, term: str):
         """(docids repeated per position, flat positions) — the whole

@@ -32,6 +32,7 @@ from ..fields import FIELD_RANGE_END, FIELD_SEP
 from ..functions import bm25
 from ..functions.similarities import make_similarity
 from ..index.catalog import IndexCatalog
+from ..index.livedocs import DeleteSpec, load_segment_field_norms
 from . import kernel as K
 from . import query as Q
 from .rewrite import rewrite as _rewrite_tree
@@ -97,23 +98,40 @@ class TopDocs:
     total_hits_exact: bool
 
 
+def _make_segment_index(pdf: pd.DataFrame, seg_id: int, seg_meta, del_spec,
+                        norms_ctx) -> "K.SegmentIndex":
+    """Task-side SegmentIndex over one segment's scanned posting rows.
+
+    Deletes are read task-locally for THIS segment only (the .liv analog —
+    del_spec carries just gen lists + which-segments flags, never docid
+    arrays; index/livedocs.py). Full-field norms load the same way on demand
+    (.nvd analog, FieldMaskingSpanQuery path)."""
+    rows = {
+        r.term: {"df": r.df, "ttf": r.ttf,
+                 "blocks": [b.asDict() if hasattr(b, "asDict") else b
+                            for b in r.blocks]}
+        for r in pdf.itertuples()
+    }
+    deleted = del_spec.deleted_for(seg_id) if del_spec is not None else None
+    loader = None
+    if norms_ctx is not None:
+        index_dir, seg_waves, multi_field = norms_ctx
+        max_doc = seg_meta[seg_id]
+
+        def loader(fld, _sid=seg_id, _md=max_doc):
+            return load_segment_field_norms(
+                index_dir, seg_waves[_sid], _sid, fld, _md, multi_field)
+    return K.SegmentIndex(rows, seg_meta[seg_id], deleted=deleted,
+                          norms_loader=loader)
+
+
 def _segment_kernel_fn(query, seg_meta, stats_args, gdf, k, pruning, threshold,
-                       after=None, seg_ords=None, deletes_bc=None):
+                       after=None, seg_ords=None, del_spec=None,
+                       norms_ctx=None):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        # deletes ride a broadcast, not the task closure: at
-        # deletesPctAllowed-scale .liv sets, closure-shipping would re-send
-        # megabytes per task (searcher.py round-1 defect #6)
-        deletes = deletes_bc.value if deletes_bc is not None else {}
         seg_id = int(pdf["segment_id"].iloc[0])
-        rows = {
-            r.term: {"df": r.df, "ttf": r.ttf,
-                     "blocks": [b.asDict() if hasattr(b, "asDict") else b
-                                for b in r.blocks]}
-            for r in pdf.itertuples()
-        }
         stats = _make_stats(stats_args)
-        seg = K.SegmentIndex(rows, seg_meta[seg_id],
-                             deleted=deletes.get(seg_id))
+        seg = _make_segment_index(pdf, seg_id, seg_meta, del_spec, norms_ctx)
         if after is None:
             d, s, hits, exact = K.segment_top_k(
                 seg, stats, gdf, query, k, pruning=pruning,
@@ -190,29 +208,15 @@ class IndexSearcher:
         self._index_dir = index_dir
         live = [(s["wave"], s["segment_id"]) for s in self.segments]
         self._seg_ids = [s for _, s in live]
-        from ..index.writer import load_deletes
-        self.deletes = load_deletes(
-            spark, index_dir, set(self._seg_ids),
-            gens=self._snapshot.get("delete_gens", []))
-        # soft deletes: hidden by the default reader
-        # (SoftDeletesDirectoryReaderWrapper), visible with
-        # include_soft_deleted=True (history/retention reads)
+        self._seg_waves = {s: w for w, s in live}
+        # Deletes are NOT collected to the driver: each kernel task reads its
+        # own segment's delete files (.liv analog, index/livedocs.py). The
+        # spec shipped in closures is a few ints per segment. Soft deletes
+        # are hidden by the default reader (SoftDeletesDirectoryReaderWrapper)
+        # and visible with include_soft_deleted=True (history reads).
         self.include_soft_deleted = include_soft_deleted
-        self.soft_deletes = load_deletes(
-            spark, index_dir, set(self._seg_ids),
-            gens=self._snapshot.get("soft_delete_gens", []),
-            kind="soft_deletes")
-        if not include_soft_deleted and self.soft_deletes:
-            merged = dict(self.deletes)
-            for sid, arr in self.soft_deletes.items():
-                cur = merged.get(sid)
-                merged[sid] = (np.unique(np.concatenate([cur, arr]))
-                               if cur is not None else arr)
-            self.deletes = merged
-        # one broadcast per searcher; every kernel UDF reads deletes from it
-        self._deletes_bc = (
-            spark.sparkContext.broadcast(self.deletes)
-            if self.deletes else None)
+        self._del_spec = DeleteSpec.from_snapshot(
+            index_dir, self._snapshot, include_soft=include_soft_deleted)
         self._df_cache: dict = {}
         self.del_counts = {s["segment_id"]: s.get("del_count", 0)
                            for s in self.segments}
@@ -534,7 +538,7 @@ class IndexSearcher:
             q, self.seg_meta, self._stats_args(), gdf, k, pruning,
             total_hits_threshold,
             after=after, seg_ords=self.seg_ords if after else None,
-            deletes_bc=self._deletes_bc)
+            del_spec=self._del_spec, norms_ctx=self._norms_ctx())
         out = scan.groupBy("segment_id").applyInPandas(fn, _KERNEL_OUT).toPandas()
         per_seg_hits = out.drop_duplicates("segment_id")[["hits", "exact"]] \
             if len(out) else pd.DataFrame(columns=["hits", "exact"])
@@ -557,6 +561,10 @@ class IndexSearcher:
                     columns=["rank", "segment_id", "docid", "key", "score"])
         return TopDocs(hits, total, exact)
 
+    def _norms_ctx(self):
+        """Closure-safe context for task-local full-field norm reads."""
+        return (self._index_dir, self._seg_waves, self.multi_field)
+
     def _hidden_count(self, s: dict) -> int:
         """Docs of segment s this reader must not see (hard + hidden soft)."""
         n = s.get("del_count", 0)
@@ -568,7 +576,7 @@ class IndexSearcher:
         """docs rows minus deleted (liv-filtered view; hides soft-deleted
         unless the reader includes them)."""
         d = self._docs
-        if self.deletes:
+        if self._del_spec is not None:
             from ..index.writer import deletes_df
             frames = [deletes_df(
                 self.spark, self._index_dir, set(self._seg_ids),
@@ -637,8 +645,14 @@ class IndexSearcher:
             for r in rows
         }
         stats = _make_stats(self._stats_args())
-        seg = K.SegmentIndex(term_rows, self.seg_meta[segment_id],
-                             deleted=self.deletes.get(segment_id))
+        deleted = (self._del_spec.deleted_for(segment_id)
+                   if self._del_spec is not None else None)
+        index_dir, seg_waves, multi_field = self._norms_ctx()
+        seg = K.SegmentIndex(
+            term_rows, self.seg_meta[segment_id], deleted=deleted,
+            norms_loader=lambda fld: load_segment_field_norms(
+                index_dir, seg_waves[segment_id], segment_id, fld,
+                self.seg_meta[segment_id], multi_field))
         return K.explain(seg, stats, gdf, q, docid)
 
     def count(self, q: Q.Query) -> int:
@@ -667,20 +681,14 @@ class IndexSearcher:
         gdf = self._global_df(terms)
         stats_args = self._stats_args()
         seg_meta = self.seg_meta
-        deletes_bc = self._deletes_bc
+        del_spec = self._del_spec
+        norms_ctx = self._norms_ctx()
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            deletes = deletes_bc.value if deletes_bc is not None else {}
             seg_id = int(pdf["segment_id"].iloc[0])
-            rows = {
-                r.term: {"df": r.df, "ttf": r.ttf,
-                         "blocks": [b.asDict() if hasattr(b, "asDict") else b
-                                    for b in r.blocks]}
-                for r in pdf.itertuples()
-            }
             stats = _make_stats(stats_args)
-            seg = K.SegmentIndex(rows, seg_meta[seg_id],
-                                 deleted=deletes.get(seg_id))
+            seg = _make_segment_index(pdf, seg_id, seg_meta, del_spec,
+                                      norms_ctx)
             scorer = K.Scorer(seg, stats, gdf)
             d = scorer.eval_match(K._push_boost(q, 1.0))
             return pd.DataFrame({
@@ -699,7 +707,8 @@ class IndexSearcher:
         gdf = self._global_df(terms)
         stats_args = self._stats_args()
         seg_meta = self.seg_meta
-        deletes_bc = self._deletes_bc
+        del_spec = self._del_spec
+        norms_ctx = self._norms_ctx()
 
         out_schema = T.StructType([
             T.StructField("segment_id", T.IntegerType(), False),
@@ -708,17 +717,10 @@ class IndexSearcher:
         ])
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            deletes = deletes_bc.value if deletes_bc is not None else {}
             seg_id = int(pdf["segment_id"].iloc[0])
-            rows = {
-                r.term: {"df": r.df, "ttf": r.ttf,
-                         "blocks": [b.asDict() if hasattr(b, "asDict") else b
-                                    for b in r.blocks]}
-                for r in pdf.itertuples()
-            }
             stats = _make_stats(stats_args)
-            seg = K.SegmentIndex(rows, seg_meta[seg_id],
-                                 deleted=deletes.get(seg_id))
+            seg = _make_segment_index(pdf, seg_id, seg_meta, del_spec,
+                                      norms_ctx)
             scorer = K.Scorer(seg, stats, gdf)
             d, s = scorer.eval_scored(K._push_boost(q, 1.0))
             return pd.DataFrame({

@@ -152,39 +152,69 @@ def main() -> None:
     }
     print(json.dumps(result, indent=2))
     out_path = os.path.join(REPO, "scaling_result.json")
-    # preserve the run history across executions (the sandbox host's noise
-    # varies by hours — the full record is the honest evidence), and keep the
-    # best complete run as the reported one
-    history = []
+    # Reporting contract (round-4 advice): the HEADLINE is always the LATEST
+    # complete protocol execution — never a silently carried-forward best.
+    # Blocks are keyed by corpus size, so a small smoke run can neither
+    # dethrone nor be masked by full-size evidence. The best and the median
+    # across same-size runs are exposed as their own labelled fields; every
+    # execution stays in history.
     prev = None
+    history = []
+    by_size = {}
     if os.path.exists(out_path):
         try:
             with open(out_path) as f:
                 prev = json.load(f)
             history = list(prev.get("history", []))
+            by_size = dict(prev.get("by_size", {}))
+            if "low" in prev and "by_size" not in prev:
+                # migrate a legacy single-block file: its top block becomes
+                # the latest-known run at its own size
+                legacy = {k: v for k, v in prev.items()
+                          if k not in ("history", "selection")}
+                by_size[str(legacy.get("n_docs"))] = {
+                    "latest": legacy,
+                    "best_efficiency_median": legacy.get("efficiency_median"),
+                    "best_ts": legacy.get("ts"),
+                    "note": ("migrated from legacy best-run-selected block; "
+                             "see history for every execution"),
+                }
         except Exception:
             prev = None
     history.append({
-        "ts": result["ts"], "protocol": f"interleaved pairs x{reps}",
+        "ts": result["ts"], "n_docs": n_docs,
+        "protocol": f"interleaved pairs x{reps}",
         "lo_all": lo["all_wall_s"], "hi_all": hi["all_wall_s"],
         "pair_speedups": ratios,
         "efficiency_median": result["efficiency_median"],
         "efficiency_min": result["efficiency_min"],
     })
-    reported = result
-    # A smoke run at a different corpus size must not dethrone the best
-    # same-size execution, so compare against the previous reported block
-    # only when sizes match (a full-size prev also carries every earlier
-    # full-size run's efficiency in its own selection chain).
-    if prev is not None and prev.get("n_docs") == result["n_docs"] and (
-            prev.get("efficiency_median", 0) > result["efficiency_median"]):
-        reported = {k: v for k, v in prev.items()
-                    if k not in ("history", "selection")}
-    reported["selection"] = (
-        "reported run = best complete protocol execution at this corpus size "
-        "(host contention is asymmetric across parallelism levels and only "
-        "biases efficiency DOWN); every execution recorded in history")
-    reported["history"] = history
+    same = [h["efficiency_median"] for h in history
+            if h.get("n_docs") == n_docs and "efficiency_median" in h]
+    cur = by_size.get(str(n_docs), {})
+    best_eff = max([result["efficiency_median"]]
+                   + ([cur["best_efficiency_median"]]
+                      if cur.get("best_efficiency_median") is not None else []))
+    by_size[str(n_docs)] = {
+        "latest": result,
+        "median_of_runs_at_this_size": round(
+            sorted(same)[len(same) // 2], 3) if same else None,
+        "runs_at_this_size_in_history": len(same),
+        "best_efficiency_median": round(best_eff, 3),
+        "best_ts": (result["ts"]
+                    if best_eff == result["efficiency_median"]
+                    else cur.get("best_ts")),
+    }
+    reported = {
+        "selection": (
+            "headline = the LATEST complete protocol execution at each "
+            "corpus size; best/median across same-size runs are separate "
+            "fields (host contention produces noise in BOTH directions — "
+            "see history for every execution)"),
+        "headline": result,
+        "by_size": by_size,
+        "history": history,
+    }
     with open(out_path, "w") as f:
         json.dump(reported, f, indent=2)
 

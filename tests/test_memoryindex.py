@@ -113,3 +113,19 @@ def test_reset_and_custom_analyzer():
     assert not mi.matches(Q.TermQuery("quick"))
     mi.add_field("text", "entirely new content")
     assert mi.matches(Q.TermQuery("entirely"))
+
+
+def test_extend_field_with_different_analyzer_raises():
+    # round-4 advice: a field's analyzer is pinned by its first add_field;
+    # silently tokenizing appended text with the original analyzer is wrong
+    import pytest
+
+    an1 = Analyzer(stopwords=frozenset({"the"}))
+    an2 = Analyzer(stopwords=frozenset({"a"}))
+    mi = MemoryIndex().add_field("text", "alpha beta", analyzer=an1)
+    with pytest.raises(ValueError, match="different analyzer"):
+        mi.add_field("text", "gamma delta", analyzer=an2)
+    # same analyzer object (or none) still extends fine
+    mi.add_field("text", "gamma delta", analyzer=an1)
+    mi.add_field("text", "epsilon")
+    assert mi.matches(Q.TermQuery("epsilon"))

@@ -115,6 +115,42 @@ def test_mask_noop_on_single_field_index(sf_searcher):
     assert list(a.hits["score"]) == list(b.hits["score"])
 
 
+def test_mask_uses_masked_field_full_norms(spark, tmp_path_factory):
+    """Round-4 advice fix: when the masked field has NO term in the query
+    tree, its norms must come from the full .nvd-analog read — never zeros,
+    never the real field's lengths. Field b's doclens (5 vs 2) differ from
+    field a's, so a wrong-norms implementation scores docs 0/1 equal."""
+    import numpy as np
+
+    from lucene_7_x_9_x_spark.functions.similarities import make_similarity
+    from lucene_7_x_9_x_spark.functions.smallfloat import int_to_byte4
+
+    d = str(tmp_path_factory.mktemp("mask_norms"))
+    rows = spark.createDataFrame(
+        [(0, "apple", "one two three four five"),
+         (1, "apple banana", "one two"),
+         (2, "cherry", "one")],
+        "doc_id long, a string, b string")
+    build_index(spark, rows, "doc_id", None, d, docs_per_segment=4,
+                int_keys=True, term_shards=4,
+                field_cols={"a": "a", "b": "b"}, default_field="a")
+    s = IndexSearcher(spark, d)
+    q = Q.FieldMaskingSpanQuery(Q.SpanTermQuery("apple", field="a"), "b")
+    td = s.search(q, k=10)
+    got = {int(k): float(sc)
+           for k, sc in zip(td.hits["key"], td.hits["score"])}
+    assert sorted(got) == [0, 1]
+    # expected: BM25 over field b's collection stats (N=3, sumttf=8), the
+    # real term's df (2), freq=1 span occurrence, and the MASKED field's
+    # doc lengths (5 and 2)
+    st = make_similarity("bm25", 3, 8, dtype=np.float32)
+    w = st.multi_term_weight([2], 1.0)
+    exp = st.score(np.array([1.0, 1.0]), int_to_byte4([5, 2]), w)
+    assert got[0] == float(exp[0])
+    assert got[1] == float(exp[1])
+    assert got[0] != got[1]  # longer masked field scores lower
+
+
 # ---- SpanMultiTermQueryWrapper ---------------------------------------------
 
 def test_wrapper_prefix_in_span_near(sf_searcher):
