@@ -67,6 +67,25 @@ def _stats_for(stats, term: str):
     return ft(term) if ft is not None else stats
 
 
+def _weight_for(st, term: str, df: int, boost: float):
+    """Term weight; similarities that need the TERM identity (LM/DFR resolve
+    per-term totalTermFreq from their term_ttf map) get it, the rest keep the
+    plain (df, boost) interface."""
+    f = getattr(st, "weight_for_term", None)
+    return f(term, df, boost) if f is not None else st.weight(df, boost)
+
+
+def _multi_weight_for(st, terms, dfs, boost: float):
+    f = getattr(st, "multi_term_weight_for_terms", None)
+    return (f(terms, dfs, boost) if f is not None
+            else st.multi_term_weight(dfs, boost))
+
+
+def _synonym_weight_for(st, terms, df: int, boost: float):
+    f = getattr(st, "synonym_weight", None)
+    return f(terms, df, boost) if f is not None else st.weight(df, boost)
+
+
 class SegmentIndex:
     """Lazily-decoded postings of one segment for the terms of one query.
 
@@ -294,7 +313,7 @@ class Scorer:
             d, f, n = seg.decode(q.term)
             if d.size == 0:
                 return d, np.zeros(0, dtype=dt)
-            w = st.weight(self.gdf.get(q.term, 0), q.boost)
+            w = _weight_for(st, q.term, self.gdf.get(q.term, 0), q.boost)
             return d, st.score(f, n, w)
         if isinstance(q, Q.SynonymQuery):
             # pseudo-stats: df = max(member dfs), freq = sum (SynonymQuery.java:233-247)
@@ -309,7 +328,7 @@ class Scorer:
             if docids.size == 0:
                 return docids, np.zeros(0, dtype=dt)
             df = max((self.gdf.get(t, 0) for t in q.terms), default=0)
-            w = st.weight(df, q.boost)
+            w = _synonym_weight_for(st, q.terms, df, q.boost)
             return docids, st.score(
                 freq_acc[docids], seg.norms_for(docids, q.terms[0]), w)
         if isinstance(q, Q.BlendedTermQuery):
@@ -325,7 +344,7 @@ class Scorer:
                 d, f, n = seg.decode(t)
                 if d.size == 0:
                     continue
-                w = st.weight(df_blend, b * q.boost)
+                w = _weight_for(st, t, df_blend, b * q.boost)
                 acc[d] += st.score(f, n, w).astype(np.float64)
                 mask[d] = True
             docids = np.flatnonzero(mask)
@@ -335,7 +354,8 @@ class Scorer:
             docids, pfreqs = self._phrase_freqs(q)
             if docids.size == 0:
                 return docids, np.zeros(0, dtype=dt)
-            w = st.multi_term_weight([self.gdf.get(t, 0) for t in q.terms], q.boost)
+            w = _multi_weight_for(
+                st, q.terms, [self.gdf.get(t, 0) for t in q.terms], q.boost)
             return docids, st.score(
                 pfreqs, self.seg.norms_for(docids, q.terms[0]), w)
         if isinstance(q, Q.MultiPhraseQuery):
@@ -346,8 +366,9 @@ class Scorer:
             # idf summed over ALL terms of all slots, in slot-then-term order
             # (MultiPhraseQuery weight resolves stats of every term)
             all_terms = [t for slot in q.slots for t in slot]
-            w = st.multi_term_weight(
-                [self.gdf.get(t, 0) for t in all_terms], q.boost)
+            w = _multi_weight_for(
+                st, all_terms, [self.gdf.get(t, 0) for t in all_terms],
+                q.boost)
             return docids, st.score(
                 pfreqs, self.seg.norms_for(docids, q.slots[0][0]), w)
         if isinstance(q, Q.ConstantScoreQuery):
@@ -388,8 +409,8 @@ class Scorer:
             d, f = self.eval_spans(q)
             if d.size == 0:
                 return d, np.zeros(0, dtype=dt)
-            w = st.multi_term_weight(
-                [self.gdf.get(t, 0) for t in span_ts], q.boost)
+            w = _multi_weight_for(
+                st, span_ts, [self.gdf.get(t, 0) for t in span_ts], q.boost)
             return d, st.score(f, seg.norms_for(d, stats_term), w)
         if isinstance(q, Q.IntervalQuery):
             # IntervalScorer.score: simScorer over the interval freq — no
@@ -1109,7 +1130,7 @@ def _chunk_bounds(seg: SegmentIndex, stats, gdf, terms, n_chunks: int):
     tbs, has, weights, metas = {}, {}, {}, {}
     for t, boost in terms:
         st_t = _stats_for(stats, t)
-        w = st_t.weight(gdf.get(t, 0), boost)
+        w = _weight_for(st_t, t, gdf.get(t, 0), boost)
         weights[t] = (st_t, w)
         if seg.has(t):
             first, last, mf, mn = seg.block_meta(t)
@@ -1293,7 +1314,7 @@ def _pruned_or(seg: SegmentIndex, stats: bm25.BM25Stats, gdf: Dict[str, int],
     weights = {}
     for t, boost in present:
         st_t = _stats_for(stats, t)
-        w = st_t.weight(gdf.get(t, 0), boost)
+        w = _weight_for(st_t, t, gdf.get(t, 0), boost)
         weights[t] = (st_t, w)
         first, last, mf, mn = seg.block_meta(t)
         bmax = st_t.score(mf, mn, w)

@@ -30,7 +30,7 @@ from pyspark.sql import types as T
 
 from ..fields import FIELD_RANGE_END, FIELD_SEP
 from ..functions import bm25
-from ..functions.similarities import make_similarity
+from ..functions.similarities import NEEDS_TTF, make_similarity
 from ..index.catalog import IndexCatalog
 from ..index.livedocs import DeleteSpec, load_segment_field_norms
 from . import kernel as K
@@ -59,14 +59,15 @@ def _make_stats(stats_args: dict):
     N/sumTotalTermFreq — BM25Similarity.java:74-90 field statistics)."""
     dtype = np.float32 if stats_args["dtype"] == "float32" else np.float64
     sim = stats_args.get("similarity", "bm25")
+    term_ttf = stats_args.get("term_ttf")
     base = make_similarity(sim, stats_args["doc_count"],
                            stats_args["sum_ttf"], stats_args["k1"],
-                           stats_args["b"], dtype)
+                           stats_args["b"], dtype, term_ttf=term_ttf)
     fs = stats_args.get("field_stats")
     if fs:
         by_field = {
             f: make_similarity(sim, dc, st, stats_args["k1"],
-                               stats_args["b"], dtype)
+                               stats_args["b"], dtype, term_ttf=term_ttf)
             for f, (dc, st) in fs.items()
         }
         return K.PerFieldStats(by_field, base)
@@ -490,25 +491,34 @@ class IndexSearcher:
             cond = cond | self._predicate_col(p)
         return self._postings.where(cond)
 
-    def _global_df(self, terms) -> dict:
-        """Cross-segment docFreq per term (TermStates resolution). Memoized:
-        the term-dict lookup is the per-query driver round-trip, so repeated
-        terms across queries hit the cache (LRUQueryCache-adjacent, but for
-        stats; the index is immutable per searcher so no invalidation)."""
+    def _global_stats(self, terms) -> dict:
+        """Cross-segment (docFreq, totalTermFreq) per term (TermStates
+        resolution). Memoized: the term-dict lookup is the per-query driver
+        round-trip, so repeated terms across queries hit the cache
+        (LRUQueryCache-adjacent, but for stats; the index is immutable per
+        searcher so no invalidation). Both stats ride the same aggregation —
+        ttf costs nothing extra and LM/DFR similarities need it."""
         if not terms:
             return {}
         missing = [t for t in terms if t not in self._df_cache]
         if missing:
             rows = (
                 self._postings.where(F.col("term").isin(missing))
-                .groupBy("term").agg(F.sum("df").alias("df")).collect()
+                .groupBy("term").agg(F.sum("df").alias("df"),
+                                     F.sum("ttf").alias("ttf")).collect()
             )
-            found = {r["term"]: int(r["df"]) for r in rows}
+            found = {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
             for t in missing:
-                self._df_cache[t] = found.get(t, 0)
+                self._df_cache[t] = found.get(t, (0, 0))
         return {t: self._df_cache[t] for t in terms}
 
-    def _stats_args(self) -> dict:
+    def _global_df(self, terms) -> dict:
+        return {t: df for t, (df, _) in self._global_stats(terms).items()}
+
+    def _global_ttf(self, terms) -> dict:
+        return {t: ttf for t, (_, ttf) in self._global_stats(terms).items()}
+
+    def _stats_args(self, terms=None) -> dict:
         d = {
             "doc_count": self.doc_count, "sum_ttf": self.sum_ttf,
             "k1": self.k1, "b": self.b, "similarity": self.similarity,
@@ -517,6 +527,10 @@ class IndexSearcher:
         if self.multi_field:
             d["field_stats"] = {f: [dc, st] for f, (dc, st)
                                 in self.field_totals.items()}
+        if terms and self.similarity in NEEDS_TTF:
+            # per-term totalTermFreq for the query's terms only (LM/DFR);
+            # same single driver round-trip as the df resolution
+            d["term_ttf"] = self._global_ttf(terms)
         return d
 
     # --- entry points ---------------------------------------------------------
@@ -535,7 +549,7 @@ class IndexSearcher:
         gdf = self._global_df(terms)
         scan = self._term_scan(q)
         fn = _segment_kernel_fn(
-            q, self.seg_meta, self._stats_args(), gdf, k, pruning,
+            q, self.seg_meta, self._stats_args(terms), gdf, k, pruning,
             total_hits_threshold,
             after=after, seg_ords=self.seg_ords if after else None,
             del_spec=self._del_spec, norms_ctx=self._norms_ctx())
@@ -644,7 +658,7 @@ class IndexSearcher:
                         "blocks": [b.asDict() for b in r["blocks"]]}
             for r in rows
         }
-        stats = _make_stats(self._stats_args())
+        stats = _make_stats(self._stats_args(terms))
         deleted = (self._del_spec.deleted_for(segment_id)
                    if self._del_spec is not None else None)
         index_dir, seg_waves, multi_field = self._norms_ctx()
@@ -679,7 +693,7 @@ class IndexSearcher:
             return self._live_docs_df().select("segment_id", "docid")
         terms = Q.collect_terms(q)
         gdf = self._global_df(terms)
-        stats_args = self._stats_args()
+        stats_args = self._stats_args(terms)
         seg_meta = self.seg_meta
         del_spec = self._del_spec
         norms_ctx = self._norms_ctx()
@@ -705,7 +719,7 @@ class IndexSearcher:
         q = self._expand_query(q)
         terms = Q.collect_terms(q)
         gdf = self._global_df(terms)
-        stats_args = self._stats_args()
+        stats_args = self._stats_args(terms)
         seg_meta = self.seg_meta
         del_spec = self._del_spec
         norms_ctx = self._norms_ctx()

@@ -67,3 +67,101 @@ def test_registry_unknown():
     with pytest.raises(ValueError):
         make_similarity("nope", 1, 1)
     assert isinstance(make_similarity("boolean", 1, 1), BooleanSimilarity)
+
+
+# ---- LMDirichlet + DFR InL2 (round 4) ---------------------------------------
+
+def test_lmdirichlet_formula_unit():
+    from lucene_7_x_9_x_spark.functions.similarities import (
+        LMDirichletSimilarity)
+    from lucene_7_x_9_x_spark.functions.smallfloat import byte4_to_int
+    sim = LMDirichletSimilarity(doc_count=100, sum_ttf=1000,
+                                term_ttf={"t": 42})
+    w = sim.weight_for_term("t", 9, 1.0)
+    nb = int(int_to_byte4(np.array([16]))[0])
+    dlq = float(byte4_to_int(np.array([nb]))[0])
+    mu, p = 2000.0, (42 + 1.0) / (1000 + 1.0)
+    exp = np.float32(np.log(1 + 4 / (mu * p)) + np.log(mu / (dlq + mu)))
+    s = sim.score(np.array([4]), np.array([nb]), w)
+    assert s[0] == exp
+    # clamp: a rare term in a long doc can go negative -> 0
+    sim2 = LMDirichletSimilarity(doc_count=100, sum_ttf=10,
+                                 term_ttf={"t": 9})
+    w2 = sim2.weight_for_term("t", 9, 1.0)
+    long_nb = int(int_to_byte4(np.array([100000]))[0])
+    assert sim2.score(np.array([1]), np.array([long_nb]), w2)[0] == 0.0
+
+
+def test_dfr_inl2_formula_unit():
+    from lucene_7_x_9_x_spark.functions.similarities import DFRSimilarityInL2
+    from lucene_7_x_9_x_spark.functions.smallfloat import byte4_to_int
+    sim = DFRSimilarityInL2(doc_count=100, sum_ttf=1000)
+    w = sim.weight_for_term("t", 9, 1.0)
+    nb = int(int_to_byte4(np.array([16]))[0])
+    dlq = float(byte4_to_int(np.array([nb]))[0])
+    avgfl = 1000 / 100.0
+    tfn = 4 * np.log2(1 + avgfl / dlq)
+    exp = np.float32(np.log2(101 / 9.5) * (1 - 1 / (1 + tfn)))
+    s = sim.score(np.array([4]), np.array([nb]), w)
+    assert s[0] == pytest.approx(float(exp), rel=1e-7)
+
+
+def test_lm_dfr_monotone_block_bound():
+    """max_score(max_freq, min_norm) must upper-bound every (freq<=max,
+    norm>=min) score — the block-max pruning safety contract."""
+    from lucene_7_x_9_x_spark.functions.similarities import (
+        DFRSimilarityInL2, LMDirichletSimilarity)
+    for sim in (LMDirichletSimilarity(50, 700, term_ttf={"t": 30}),
+                DFRSimilarityInL2(50, 700)):
+        w = sim.weight_for_term("t", 20, 1.3)
+        bound = sim.max_score(7, int(int_to_byte4(np.array([3]))[0]), w)
+        freqs = np.arange(1, 8)
+        for dl in (3, 10, 50, 300):
+            nb = int(int_to_byte4(np.array([dl]))[0])
+            s = sim.score(freqs, np.full(7, nb), w)
+            assert (s <= bound + 1e-9).all()
+
+
+def test_lmdirichlet_engine_topk(spark, idx):
+    """Engine top-k matches a straight recomputation from the corpus."""
+    from lucene_7_x_9_x_spark.functions.smallfloat import byte4_to_int
+    s = IndexSearcher(spark, idx, similarity="lmdirichlet")
+    td = s.search(Q.TermQuery("spark"), k=10)
+    # corpus stats: docs 0..3 all non-empty; doclens 5,5,4,61; spark ttf=6 df=3
+    sttf = 5 + 5 + 4 + 61
+    p = (6 + 1.0) / (sttf + 1.0)
+    mu = 2000.0
+    exp = {}
+    for key, dl, f in ((0, 5, 4), (1, 5, 1), (3, 61, 1)):
+        dlq = float(byte4_to_int(int_to_byte4(np.array([dl])))[0])
+        v = np.log(1 + f / (mu * p)) + np.log(mu / (dlq + mu))
+        v = v if v > 0.0 else 0.0  # LMDirichletSimilarity.java:87 clamp
+        exp[key] = float(np.float32(v))
+    got = {int(k): float(v) for k, v in zip(td.hits["key"], td.hits["score"])}
+    assert got == exp
+
+
+def test_dfr_pruned_equals_exhaustive(spark, idx):
+    s = IndexSearcher(spark, idx, similarity="dfr_inl2")
+    q = Q.BooleanQuery(should=(Q.TermQuery("spark"), Q.TermQuery("filler")))
+    a = s.search(q, k=4, pruning=True).hits
+    b = s.search(q, k=4, pruning=False).hits
+    assert list(a["key"]) == list(b["key"])
+    np.testing.assert_array_equal(a["score"].values, b["score"].values)
+
+
+def test_lm_phrase_multisim_sum(spark, idx):
+    """Phrase scoring under LM sums per-term float32 scores with the phrase
+    freq (MultiSimilarity.MultiSimScorer)."""
+    s = IndexSearcher(spark, idx, similarity="lmdirichlet")
+    td = s.search(Q.PhraseQuery(("spark", "alone")), k=10)
+    assert [int(k) for k in td.hits["key"]] == [1]
+    from lucene_7_x_9_x_spark.functions.smallfloat import byte4_to_int
+    sttf = 75
+    mu = 2000.0
+    dlq = float(byte4_to_int(int_to_byte4(np.array([5])))[0])
+    tot = np.float32(0.0)
+    for ttf in (6, 1):  # spark ttf=6, alone ttf=1
+        p = (ttf + 1.0) / (sttf + 1.0)
+        tot += np.float32(np.log(1 + 1 / (mu * p)) + np.log(mu / (dlq + mu)))
+    assert float(td.hits["score"].iloc[0]) == float(tot)
