@@ -25,7 +25,8 @@ from typing import Iterable, List, Optional, Tuple
 
 import pandas as pd
 
-__all__ = ["ENGLISH_STOP_WORDS", "Analyzer", "STANDARD", "tokenize_text"]
+__all__ = ["ENGLISH_STOP_WORDS", "Analyzer", "STANDARD", "ENGLISH", "CJK",
+           "tokenize_text"]
 
 # EnglishAnalyzer.java:48-54
 ENGLISH_STOP_WORDS = frozenset(
@@ -64,6 +65,39 @@ def _raw_tokens(text: str) -> Iterable[str]:
                 yield tok[i : i + MAX_TOKEN_LENGTH]
 
 
+# single ideograph token (the StandardTokenizer IDEOGRAPHIC type our regex
+# emits one char at a time)
+_IDEO_ONE = re.compile(r"[一-鿿㐀-䶿豈-﫿]")
+
+
+def _cjk_fold(tokens: List[str]) -> List[str]:
+    """CJKBigramFilter analog (analysis/common/src/java/org/apache/lucene/
+    analysis/cjk/CJKBigramFilter.java, default flags: HAN bigrams, no
+    unigram output): every run of >=2 consecutive ideograph unigrams in the
+    token stream becomes its n-1 overlapping bigrams; an ISOLATED ideograph
+    (run of 1) stays a unigram ("HANGUL/HAN characters with no adjacent
+    partner are output in unigram form"); non-ideograph tokens pass through
+    and break runs."""
+    out: List[str] = []
+    run: List[str] = []
+
+    def flush():
+        if len(run) == 1:
+            out.append(run[0])
+        elif run:
+            out.extend(run[i] + run[i + 1] for i in range(len(run) - 1))
+        run.clear()
+
+    for tok in tokens:
+        if len(tok) == 1 and _IDEO_ONE.match(tok):
+            run.append(tok)
+            continue
+        flush()
+        out.append(tok)
+    flush()
+    return out
+
+
 class Analyzer:
     """tokenize(text) -> [(term, position)] with stop-filter position holes.
 
@@ -73,12 +107,13 @@ class Analyzer:
 
     def __init__(self, stopwords: Optional[frozenset] = None,
                  lowercase: bool = True, stem: bool = False,
-                 strip_possessive: bool = False):
+                 strip_possessive: bool = False, cjk_bigrams: bool = False):
         # StandardAnalyzer() default: NO stopwords (StandardAnalyzer.java:57-58)
         self.stopwords = frozenset(stopwords) if stopwords else frozenset()
         self.lowercase = lowercase
         self.stem = stem
         self.strip_possessive = strip_possessive
+        self.cjk_bigrams = cjk_bigrams
 
     def _strip_poss(self, tok: str) -> str:
         # EnglishPossessiveFilter.java:53-58: drop a trailing 's / ’s
@@ -93,9 +128,12 @@ class Analyzer:
     def tokenize(self, text: Optional[str]) -> List[Tuple[str, int]]:
         if not text:
             return []
+        raw: Iterable[str] = _raw_tokens(text)
+        if self.cjk_bigrams:
+            raw = _cjk_fold(list(raw))
         out = []
         pos = 0
-        for tok in _raw_tokens(text):
+        for tok in raw:
             if self.lowercase:
                 tok = tok.lower()
             if self.strip_possessive:
@@ -117,7 +155,7 @@ class Analyzer:
         the index build's hot loop (~every token of the corpus passes here)."""
         if not text:
             return [], 0
-        if self.stem or self.strip_possessive:
+        if self.stem or self.strip_possessive or self.cjk_bigrams:
             # filter-chain path: per-token transforms, Zipfian-memoized
             # stemming (porter.py) keeps this near the plain-loop cost
             acc = {}
@@ -214,6 +252,12 @@ STANDARD = Analyzer()  # StandardAnalyzer() defaults: lowercase, no stopwords
 # 33-word stop set + possessive strip + Porter stemming
 ENGLISH = Analyzer(stopwords=ENGLISH_STOP_WORDS, lowercase=True, stem=True,
                    strip_possessive=True)
+
+# CJKAnalyzer analog (analysis/common/.../cjk/CJKAnalyzer.java):
+# StandardTokenizer -> LowerCaseFilter -> CJKBigramFilter; the default
+# CJK stop set is omitted (StandardAnalyzer-style empty set — documented
+# simplification; stopwords only affect latin tokens riding along)
+CJK = Analyzer(cjk_bigrams=True)
 
 
 def tokenize_text(text: str, analyzer: Analyzer = STANDARD) -> List[str]:

@@ -70,6 +70,32 @@ def _tokenize_udf(analyzer: Analyzer):
     return tok
 
 
+def _routed_tokenize_udf(by_lang: dict, default: Analyzer):
+    """Per-row analyzer routing (PerFieldAnalyzerWrapper-style, keyed on the
+    corpus `lang` column instead of the field name): each row tokenizes with
+    by_lang[lang], falling back to `default`. Same vectorized batch shape as
+    the single-analyzer UDF — the dispatch is a dict lookup per row."""
+    out_type = T.StructType(
+        [
+            T.StructField("tv", S.TERMVEC_STRUCT, False),
+            T.StructField("doclen", T.IntegerType(), False),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def tok(texts: pd.Series, langs: pd.Series) -> pd.DataFrame:
+        tvs = []
+        lens = []
+        get = by_lang.get
+        for text, lang in zip(texts, langs):
+            items, doclen = get(lang, default).term_freqs(text)
+            tvs.append(items)
+            lens.append(doclen)
+        return pd.DataFrame({"tv": tvs, "doclen": lens})
+
+    return tok
+
+
 @F.pandas_udf(T.IntegerType())
 def _norm_byte_udf(doclen: pd.Series) -> pd.Series:
     return pd.Series(
@@ -189,8 +215,13 @@ def index_wave(
     coalesce_postings: bool = False,
     fields: list[str] | None = None,
     codec: "Codec | str" = DEFAULT_CODEC,
+    analyzer_by_lang: dict | None = None,
 ) -> list[dict]:
     """Index one wave: src(key, text, segment_id) -> docs+postings partitions.
+
+    ``analyzer_by_lang``: per-row analyzer routing — src must carry a ``lang``
+    column; each row tokenizes with analyzer_by_lang[lang] falling back to
+    ``analyzer`` (single-field mode only).
 
     ``fields``: multi-field mode — src carries one text column per field named
     ``f_<field>``; every term is stored '<field>\\x1fterm'-encoded with that
@@ -210,7 +241,10 @@ def index_wave(
     fewer files directly cuts the un-parallelizable tail; the price is one
     extra (fully parallel) shuffle of the compressed index. On local disks the
     renames are cheap and the shuffle is pure overhead — default off."""
-    tok_udf = _tokenize_udf(analyzer)
+    if analyzer_by_lang and fields:
+        raise ValueError("analyzer_by_lang supports single-field mode only")
+    tok_udf = (_routed_tokenize_udf(analyzer_by_lang, analyzer)
+               if analyzer_by_lang else _tokenize_udf(analyzer))
     for root in ("docs", "postings"):
         wdir = os.path.join(index_dir, root, f"wave={wave}")
         if os.path.exists(wdir):
@@ -238,7 +272,8 @@ def index_wave(
         )
     else:
         tokenized = (
-            src.withColumn("_t", tok_udf(F.col("text")))
+            src.withColumn("_t", tok_udf(F.col("text"), F.col("lang"))
+                           if analyzer_by_lang else tok_udf(F.col("text")))
             .select(
                 "segment_id", "key",
                 F.col("_t.tv").alias("tv"),
@@ -450,6 +485,8 @@ def build_index(
     field_cols: dict[str, str] | None = None,
     default_field: str | None = None,
     codec: "Codec | str" = DEFAULT_CODEC,
+    analyzer_by_lang: dict | None = None,
+    lang_col: str = "lang",
     _crash_point: tuple | None = None,  # (wave, "after_docs"|"after_commit") — test hook
 ) -> IndexCatalog:
     """Build (or resume building) the inverted index for df[key_col, text_col].
@@ -465,6 +502,10 @@ def build_index(
     FieldInfo.java semantics); text_col is ignored then, and unqualified query
     terms resolve to ``default_field`` (first field if None). Field names must
     not contain the '\\x1f' separator.
+
+    analyzer_by_lang={"zh": CJK, ...} routes each row's analysis by its
+    ``lang_col`` value (CJKAnalyzer-per-language, the smartcn/kuromoji-module
+    role at the routing level); unmatched langs use ``analyzer``.
     """
     cat = IndexCatalog(index_dir)
     if not resume and cat.head() >= 0:
@@ -510,6 +551,11 @@ def build_index(
     else:
         text_sel = [F.col(text_col).alias("text")]
         text_names = ["text"]
+    if analyzer_by_lang:
+        if fields:
+            raise ValueError("analyzer_by_lang supports single-field mode only")
+        text_sel.append(F.col(lang_col).alias("lang"))
+        text_names.append("lang")
     if int_keys:
         seg_expr = (F.col(key_col).cast("long") / docs_per_segment).cast("int")
         n_segments = (
@@ -565,7 +611,7 @@ def build_index(
                        term_shards=term_shards,
                        salt_bucket_docs=salt_bucket_docs,
                        docs_per_segment=docs_per_segment, fields=fields,
-                       codec=codec)
+                       codec=codec, analyzer_by_lang=analyzer_by_lang)
             shutil.rmtree(os.path.join(index_dir, "postings", f"wave={wave}"),
                           ignore_errors=True)
             raise RuntimeError("injected crash: after_docs")
@@ -577,7 +623,7 @@ def build_index(
                 term_shards=term_shards, salt_bucket_docs=salt_bucket_docs,
                 docs_per_segment=docs_per_segment,
                 coalesce_postings=coalesce_postings, fields=fields,
-                codec=codec)
+                codec=codec, analyzer_by_lang=analyzer_by_lang)
             if s["segment_id"] not in done_segs
         ]
         wall_ms = int((time.time() - t0) * 1000)
