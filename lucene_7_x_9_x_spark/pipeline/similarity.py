@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["cosine_top_k", "ivf_top_k"]
+__all__ = ["cosine_top_k", "ivf_top_k", "sparse_knn_query"]
 
 
 def _two_stage_top_k(scored: DataFrame, k: int) -> DataFrame:
@@ -174,3 +174,15 @@ def ivf_top_k(vectors: DataFrame, queries: DataFrame, k: int = 10,
         .withColumnRenamed(id_col, "vec_id")
     )
     return _two_stage_top_k(scored, k)
+
+
+def sparse_knn_query(vec: dict):
+    """Sparse-vector KNN as a query over the engine's own inverted index —
+    the TestSparseKNN1.java shape (LuceneDemo9.8.0): dimension = term,
+    document weight = term frequency, query weight = term boost. Run with
+    IndexSearcher(..., similarity='dot'): score = sum_t w_t * tf(doc, t),
+    executed through the pruned WAND disjunction (block-max = w * max_freq),
+    so top-k sparse dot-product search inherits the text path's skipping."""
+    from ..search import query as Q
+    return Q.BooleanQuery(should=tuple(
+        Q.TermQuery(t, float(w)) for t, w in sorted(vec.items())))
