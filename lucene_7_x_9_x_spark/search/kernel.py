@@ -651,6 +651,84 @@ class Scorer:
         return (np.asarray(out_docs, dtype=np.int64),
                 np.asarray(out_freqs, dtype=np.float64))
 
+    sloppy_2term_vectorized = True  # leapfrog walk replaces per-doc matcher
+
+    def _sloppy_counts_2term(self, cand, slop: int, tA: str, tB: str):
+        """Vectorized SloppyPhraseMatcher for the dominant 2-distinct-term
+        shape — NO per-doc Python matcher.
+
+        For exactly two non-repeating PhrasePositions the greedy in
+        SloppyPhraseMatcher.java:165-197 (always advance the least pp,
+        minimizing the current match length before emitting) collapses to an
+        alternating leapfrog over the two phrase-position streams: with
+        l_1 = max(firstA, firstB) (a cross-stream tie counts as l in B —
+        PhraseQueue breaks position ties by query offset, so A pops first),
+        each cycle emits matchLength = l_k − pred_other(l_k) (a match iff
+        ≤ slop) and jumps l_{k+1} = succ_other(l_k), stopping when the
+        successor doesn't exist. pred/succ never reach behind the stream
+        pointers because every prior l is itself a member of the other
+        stream's past. Exhaustive small-universe + randomized differential
+        tests against the faithful matcher pin the equivalence
+        (test_sloppy_vectorized.py).
+
+        Vectorization: the walk runs for ALL candidate docs simultaneously —
+        one np.searchsorted sweep per cycle over composite (doc<<32)+pos+1
+        keys (the +1 keeps B's phrase positions pos−1 nonnegative), with
+        per-doc states retiring as their walks end. Total work is
+        O(total matches · log positions) at numpy speed; the per-cycle
+        emissions are already in per-doc match order, so an order-preserving
+        np.add.at reproduces the matcher's sequential float32 accumulation
+        (freq += 1/(1+matchLength), PhraseScorer.java:76-79) bit-exactly."""
+        sh = self._POS_SHIFT
+        dA, pA = self.seg.flat_positions(tA)
+        dB, pB = self.seg.flat_positions(tB)
+        kA = (dA << sh) + pA + 1          # phrase pos = pos - 0
+        kB = (dB << sh) + pB              # phrase pos = pos - 1, then +1
+        base = cand << sh
+        iA = np.searchsorted(kA, base, side="left")
+        iB = np.searchsorted(kB, base, side="left")
+        kA0, kB0 = kA[iA], kB[iB]
+        lead = np.maximum(kA0, kB0)
+        lead_in_a = kA0 > kB0             # tie -> lead counts as in B
+        idx = np.arange(cand.size)
+        em_idx, em_len = [], []
+        while idx.size:
+            other_is_b = lead_in_a
+            nxt_lead = np.empty_like(lead)
+            alive = np.zeros(lead.shape, dtype=bool)
+            for flag, keys in ((other_is_b, kB), (~other_is_b, kA)):
+                if not flag.any():
+                    continue
+                li = lead[flag]
+                r = np.searchsorted(keys, li, side="right")
+                pred = keys[r - 1]        # same doc by the walk invariant
+                e = li - pred
+                ok = e <= slop
+                if ok.any():
+                    em_idx.append(idx[flag][ok])
+                    em_len.append(e[ok])
+                a = r < keys.size
+                succ = np.where(a, keys[np.minimum(r, keys.size - 1)], 0)
+                a &= (succ >> sh) == (li >> sh)
+                nxt_lead[flag] = succ
+                alive[flag] = a
+            lead = nxt_lead[alive]
+            lead_in_a = ~lead_in_a[alive]  # lead jumped to the other stream
+            idx = idx[alive]
+        if not em_idx:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.astype(np.float64)
+        ei = np.concatenate(em_idx)
+        el = np.concatenate(em_len)
+        order = np.argsort(ei, kind="stable")  # per-doc cycle order kept
+        ei, el = ei[order], el[order]
+        acc_dt = (np.float32 if self.dtype == np.float32 else np.float64)
+        w = acc_dt(1.0) / (acc_dt(1.0) + el.astype(acc_dt))
+        freq = np.zeros(cand.size, dtype=acc_dt)
+        np.add.at(freq, ei, w)            # unbuffered, sequential in order
+        hit = freq > 0
+        return cand[hit], freq[hit].astype(np.float64)
+
     def _phrase_freqs(self, q: Q.PhraseQuery):
         terms = q.terms
         if q.slop == 0:
@@ -661,6 +739,9 @@ class Scorer:
         for t in set(terms):
             cnt[self.seg.decode(t)[0]] += 1
         cand = np.flatnonzero(cnt == len(set(terms)))
+        if (cand.size and len(terms) == 2 and terms[0] != terms[1]
+                and self.sloppy_2term_vectorized):
+            return self._sloppy_counts_2term(cand, q.slop, terms[0], terms[1])
         if cand.size and self.span_prefilter:
             # adjacent slots of a real sloppy match satisfy
             # |(p_{i+1}-(i+1)) - (p_i-i)| <= slop, i.e. b in [a+1-slop,

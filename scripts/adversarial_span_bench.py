@@ -97,7 +97,14 @@ def run(kind: str):
             slop=2, in_order=True),
     }
     for name, q in shapes.items():
-        for cut in (True, False):
+        # sloppy runs three variants: the vectorized 2-term walk (new
+        # default), and the per-doc matcher with/without the window cut;
+        # spans keep the two cut variants (walk applies to phrases only)
+        variants = (("vec", True, True), ("cut", False, True),
+                    ("nocut", False, False))
+        if isinstance(q, Q.SpanQuery):
+            variants = (("cut", False, True), ("nocut", False, False))
+        for vname, use_vec, cut in variants:
             calls = {"n": 0}
             orig_spans = K.Scorer._doc_spans
             orig_freq = SL.SloppyPhraseMatcher.freq
@@ -118,6 +125,7 @@ def run(kind: str):
                     seg, gdf = _segment(docs)  # fresh decode caches
                     sc = K.Scorer(seg, stats, gdf)
                     sc.span_prefilter = cut
+                    sc.sloppy_2term_vectorized = use_vec
                     calls["n"] = 0
                     t0 = time.time()
                     if isinstance(q, Q.SpanQuery):
@@ -125,7 +133,7 @@ def run(kind: str):
                     else:
                         d, _ = sc._phrase_freqs(q)
                     walls.append(time.time() - t0)
-                key = f"{name}_{'cut' if cut else 'nocut'}"
+                key = f"{name}_{vname}"
                 out[key] = {
                     "matcher_calls": calls["n"],
                     "matches": int(d.size),

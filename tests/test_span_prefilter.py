@@ -114,11 +114,15 @@ def test_span_near_unordered_cut(far_corpus):
 
 
 def test_sloppy_phrase_cut_differential(far_corpus):
+    """The window cut still halves matcher calls for the per-doc path (the
+    path >=3-clause / repeating-term phrases take); the 2-term query is
+    forced onto it by disabling the round-4 vectorized walk."""
     from lucene_7_x_9_x_spark.search import sloppy as SL
     q = Q.PhraseQuery(("alpha", "beta"), slop=2)
     seg1, gdf = _segment(far_corpus)
     s1 = _scorer(seg1, gdf)
     s1.span_prefilter = True
+    s1.sloppy_2term_vectorized = False
     calls = {"n": 0}
     orig_freq = SL.SloppyPhraseMatcher.freq
 
@@ -134,14 +138,24 @@ def test_sloppy_phrase_cut_differential(far_corpus):
         seg2, _ = _segment(far_corpus)
         s2 = _scorer(seg2, gdf)
         s2.span_prefilter = False
+        s2.sloppy_2term_vectorized = False
         d_off, f_off = s2._phrase_freqs(q)
         n_off = calls["n"]
+        # the DEFAULT path is the vectorized walk: zero matcher calls,
+        # identical results
+        calls["n"] = 0
+        seg3, _ = _segment(far_corpus)
+        s3 = _scorer(seg3, gdf)
+        d_vec, f_vec = s3._phrase_freqs(q)
+        n_vec = calls["n"]
     finally:
         SL.SloppyPhraseMatcher.freq = orig_freq
     assert np.array_equal(d_on, d_off)
     assert np.allclose(f_on, f_off)
     assert d_on.size > 0
     assert n_on < n_off / 2
+    assert n_vec == 0
+    assert np.array_equal(d_vec, d_off) and np.allclose(f_vec, f_off)
 
 
 def test_random_differential_many_shapes():
