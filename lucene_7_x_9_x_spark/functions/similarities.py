@@ -48,7 +48,9 @@ from .smallfloat import BYTE4_DECODE_TABLE
 from . import bm25
 
 __all__ = ["ClassicSimilarity", "BooleanSimilarity", "DotProductSimilarity",
-           "LMDirichletSimilarity", "DFRSimilarityInL2", "make_similarity"]
+           "LMDirichletSimilarity", "DFRSimilarityInL2",
+           "LMJelinekMercerSimilarity", "AxiomaticF2EXP", "IBSimilarityLLD",
+           "make_similarity"]
 
 
 class ClassicSimilarity:
@@ -248,6 +250,76 @@ class DFRSimilarityInL2(_PerTermStatsSimilarity):
         return boost * a * (1.0 - 1.0 / (1.0 + tfn))
 
 
+class LMJelinekMercerSimilarity(_PerTermStatsSimilarity):
+    """Jelinek-Mercer smoothed language model
+    (LMJelinekMercerSimilarity.java:70-74):
+    score = boost * ln(1 + ((1-lambda)*freq/dl) / (lambda*p(t|C))),
+    p(t|C) = (ttf+1)/(sumTotalTermFreq+1). lambda defaults to 0.1, the
+    javadoc-recommended value for short (title) queries."""
+
+    def __init__(self, doc_count: int, sum_ttf: int, lam: float = 0.1,
+                 dtype=np.float32, term_ttf: dict | None = None):
+        super().__init__(doc_count, sum_ttf, dtype, term_ttf)
+        if not (0.0 < lam <= 1.0):
+            raise ValueError("lambda must be in the range (0 .. 1]")
+        self.lam = float(lam)
+
+    def _rec(self, df: int, ttf: int):
+        return (int(ttf) + 1.0) / (self.sum_ttf + 1.0)
+
+    def _score1(self, f64, dl64, rec, boost):
+        return boost * np.log1p(
+            ((1.0 - self.lam) * f64 / dl64) / (self.lam * rec))
+
+
+class AxiomaticF2EXP(_PerTermStatsSimilarity):
+    """Axiomatic F2EXP (AxiomaticF2EXP.java; Axiomatic.java:103 defaults
+    s=0.25, k=0.35): score = boost * (freq/(freq + s + s*dl/avgdl)) *
+    ((N+1)/df)^k, clamped at 0 (Axiomatic.java:107-115 — the clamp only
+    bites for the F3 gamma variants; F2EXP is nonnegative). tf and ln
+    components are 1 for F2EXP (AxiomaticF2EXP.java:63-72)."""
+
+    needs_ttf = False  # df-only
+
+    def __init__(self, doc_count: int, sum_ttf: int, s: float = 0.25,
+                 k: float = 0.35, dtype=np.float32,
+                 term_ttf: dict | None = None):
+        super().__init__(doc_count, sum_ttf, dtype, term_ttf)
+        self.s = float(s)
+        self.k = float(k)
+
+    def _rec(self, df: int, ttf: int):
+        return int(df)
+
+    def _score1(self, f64, dl64, rec, boost):
+        tfln = f64 / (f64 + self.s + self.s * dl64 / self.avgfl)
+        idf = ((self.doc_count + 1.0) / rec) ** self.k
+        return boost * tfln * idf
+
+
+class IBSimilarityLLD(_PerTermStatsSimilarity):
+    """Information-based similarity, LL distribution + D lambda + H2 norm
+    (IBSimilarity.java:107-112): score = boost * -ln(lam/(tfn+lam)) with
+    tfn = freq*log2(1 + c*avgfl/dl), c=1 (NormalizationH2.java:60-61) and
+    lam = (df+1)/(N+1) (LambdaDF.java:36-42; the ==1 nextDown guard only
+    matters for SPL). DistributionLL.java:37-38 uses the NATURAL log."""
+
+    needs_ttf = False  # df-only
+
+    def __init__(self, doc_count: int, sum_ttf: int, c: float = 1.0,
+                 dtype=np.float32, term_ttf: dict | None = None):
+        super().__init__(doc_count, sum_ttf, dtype, term_ttf)
+        self.c = float(c)
+
+    def _rec(self, df: int, ttf: int):
+        # float32 lambda (LambdaDF.lambda returns float)
+        return float(np.float32((df + 1.0) / (self.doc_count + 1.0)))
+
+    def _score1(self, f64, dl64, rec, boost):
+        tfn = f64 * (np.log1p(self.c * self.avgfl / dl64) / np.log(2.0))
+        return boost * -np.log(rec / (tfn + rec))
+
+
 _REGISTRY = {
     "bm25": lambda n, ttf, k1, b, dtype, tt: bm25.BM25Stats(n, ttf, k1, b,
                                                             dtype=dtype),
@@ -261,6 +333,12 @@ _REGISTRY = {
         n, ttf, dtype=dtype, term_ttf=tt),
     "dot": lambda n, ttf, k1, b, dtype, tt: DotProductSimilarity(n, ttf,
                                                                  dtype),
+    "lmjelinekmercer": lambda n, ttf, k1, b, dtype, tt:
+        LMJelinekMercerSimilarity(n, ttf, dtype=dtype, term_ttf=tt),
+    "axiomatic_f2exp": lambda n, ttf, k1, b, dtype, tt:
+        AxiomaticF2EXP(n, ttf, dtype=dtype, term_ttf=tt),
+    "ib_ll_d": lambda n, ttf, k1, b, dtype, tt:
+        IBSimilarityLLD(n, ttf, dtype=dtype, term_ttf=tt),
 }
 
 # similarities whose scoring needs per-term totalTermFreq resolved up front

@@ -239,6 +239,36 @@ class IndexSearcher:
     def docs_df(self) -> DataFrame:
         return self._docs
 
+    @property
+    def has_term_vectors(self) -> bool:
+        """True when the index was built with store_term_vectors=True
+        (a tvd/ sidecar exists — FieldInfo.hasVectors analog)."""
+        return os.path.isdir(os.path.join(self._index_dir, "tvd"))
+
+    def term_vectors_df(self) -> DataFrame:
+        """(segment_id, docid, tv) rows of the stored term vectors —
+        TermVectorsReader as a DataFrame; filter pushdown addresses one
+        doc's row just like the .tvx docid index."""
+        if not self.has_term_vectors:
+            raise ValueError(
+                "index was not built with store_term_vectors=True")
+        return self.spark.read.parquet(
+            os.path.join(self._index_dir, "tvd"))
+
+    def term_vector(self, segment_id: int, docid: int) -> list:
+        """One doc's stored (term, freq, positions) vector
+        (IndexReader.getTermVector analog; Fields->Terms walk flattened).
+        Partition pruning on segment_id + a row-group-pruned docid predicate
+        reach the scan — no full-table read."""
+        rows = (self.term_vectors_df()
+                .where((F.col("segment_id") == int(segment_id))
+                       & (F.col("docid") == int(docid)))
+                .select("tv").collect())
+        if not rows:
+            return []
+        return sorted(((t["term"], t["freq"], list(t["positions"]))
+                       for t in rows[0]["tv"]), key=lambda x: x[0])
+
     def _field_prefix(self, field: str | None) -> str:
         """The encoded-term prefix of a leaf's field ('' = bare terms).
 

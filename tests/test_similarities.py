@@ -165,3 +165,70 @@ def test_lm_phrase_multisim_sum(spark, idx):
         p = (ttf + 1.0) / (sttf + 1.0)
         tot += np.float32(np.log(1 + 1 / (mu * p)) + np.log(mu / (dlq + mu)))
     assert float(td.hits["score"].iloc[0]) == float(tot)
+
+
+# ---- LM Jelinek-Mercer + Axiomatic F2EXP + IB LL-D (round 4) -----------------
+
+def test_lmjelinekmercer_formula_unit():
+    from lucene_7_x_9_x_spark.functions.similarities import (
+        LMJelinekMercerSimilarity)
+    from lucene_7_x_9_x_spark.functions.smallfloat import byte4_to_int
+    sim = LMJelinekMercerSimilarity(doc_count=100, sum_ttf=1000,
+                                    term_ttf={"t": 42})
+    w = sim.weight_for_term("t", 9, 1.0)
+    nb = int(int_to_byte4(np.array([16]))[0])
+    dlq = float(byte4_to_int(np.array([nb]))[0])
+    p = (42 + 1.0) / (1000 + 1.0)
+    exp = np.float32(np.log(1 + (0.9 * 4 / dlq) / (0.1 * p)))
+    assert sim.score(np.array([4]), np.array([nb]), w)[0] == exp
+    with pytest.raises(ValueError):
+        LMJelinekMercerSimilarity(10, 10, lam=0.0)
+
+
+def test_axiomatic_f2exp_formula_unit():
+    from lucene_7_x_9_x_spark.functions.similarities import AxiomaticF2EXP
+    from lucene_7_x_9_x_spark.functions.smallfloat import byte4_to_int
+    sim = AxiomaticF2EXP(doc_count=100, sum_ttf=1000)
+    w = sim.weight(df=9, boost=1.0)
+    nb = int(int_to_byte4(np.array([16]))[0])
+    dlq = float(byte4_to_int(np.array([nb]))[0])
+    tfln = 4.0 / (4.0 + 0.25 + 0.25 * dlq / 10.0)
+    exp = np.float32(tfln * (101.0 / 9.0) ** 0.35)
+    assert sim.score(np.array([4]), np.array([nb]), w)[0] == exp
+
+
+def test_ib_ll_d_formula_unit():
+    from lucene_7_x_9_x_spark.functions.similarities import IBSimilarityLLD
+    from lucene_7_x_9_x_spark.functions.smallfloat import byte4_to_int
+    sim = IBSimilarityLLD(doc_count=100, sum_ttf=1000)
+    w = sim.weight(df=9, boost=1.0)
+    nb = int(int_to_byte4(np.array([16]))[0])
+    dlq = float(byte4_to_int(np.array([nb]))[0])
+    lam = float(np.float32(10.0 / 101.0))  # LambdaDF computes in float
+    tfn = 4 * np.log2(1 + 10.0 / dlq)
+    exp = np.float32(-np.log(lam / (tfn + lam)))
+    assert sim.score(np.array([4]), np.array([nb]), w)[0] == exp
+
+
+def test_new_sims_monotone_block_bound():
+    from lucene_7_x_9_x_spark.functions.similarities import (
+        AxiomaticF2EXP, IBSimilarityLLD, LMJelinekMercerSimilarity)
+    for sim in (LMJelinekMercerSimilarity(50, 700, term_ttf={"t": 30}),
+                AxiomaticF2EXP(50, 700), IBSimilarityLLD(50, 700)):
+        w = sim.weight_for_term("t", 20, 1.3)
+        bound = sim.max_score(7, int(int_to_byte4(np.array([3]))[0]), w)
+        freqs = np.arange(1, 8)
+        for dl in (3, 10, 50, 300):
+            nb = int(int_to_byte4(np.array([dl]))[0])
+            s = sim.score(freqs, np.full(7, nb), w)
+            assert (s <= bound + 1e-9).all()
+
+
+def test_new_sims_engine_rank_sanity(spark, idx):
+    """All three new sims rank the heavy-tf short doc first on 'spark'."""
+    for name in ("lmjelinekmercer", "axiomatic_f2exp", "ib_ll_d"):
+        s = IndexSearcher(spark, idx, similarity=name)
+        td = s.search(Q.TermQuery("spark"), k=10)
+        assert len(td.hits) == 3, name
+        assert int(td.hits["key"].iloc[0]) == 0, name
+        assert (td.hits["score"] > 0).all(), name
