@@ -216,8 +216,15 @@ def index_wave(
     fields: list[str] | None = None,
     codec: "Codec | str" = DEFAULT_CODEC,
     analyzer_by_lang: dict | None = None,
+    store_term_vectors: bool = False,
 ) -> list[dict]:
     """Index one wave: src(key, text, segment_id) -> docs+postings partitions.
+
+    ``store_term_vectors``: also persist each doc's (term, freq, positions)
+    vector to a tvd/ sidecar keyed by (segment_id, docid) — the .tvd/.tvx
+    analog of FieldType.setStoreTermVectors(true) (TermVectorsWriter). Opt-in
+    because it re-writes the tokenized corpus (same trade as Lucene's term
+    vectors, which typically dwarf the postings). Single-field mode only.
 
     ``analyzer_by_lang``: per-row analyzer routing — src must carry a ``lang``
     column; each row tokenizes with analyzer_by_lang[lang] falling back to
@@ -245,7 +252,9 @@ def index_wave(
         raise ValueError("analyzer_by_lang supports single-field mode only")
     tok_udf = (_routed_tokenize_udf(analyzer_by_lang, analyzer)
                if analyzer_by_lang else _tokenize_udf(analyzer))
-    for root in ("docs", "postings"):
+    if store_term_vectors and fields:
+        raise ValueError("store_term_vectors supports single-field mode only")
+    for root in ("docs", "postings", "tvd"):
         wdir = os.path.join(index_dir, root, f"wave={wave}")
         if os.path.exists(wdir):
             shutil.rmtree(wdir)
@@ -333,6 +342,23 @@ def index_wave(
         .partitionBy("wave", "segment_id")
         .parquet(os.path.join(index_dir, "docs"))
     )
+
+    if store_term_vectors:
+        # second window pass over the cached segment partitioning, this time
+        # carrying the vectors: docids are deterministic functions of
+        # (key, doclen, tvh), so the sidecar rows land on the SAME docids as
+        # the docs pass without any join (TermVectorsWriter parity: one .tvd
+        # row per doc, addressed by docid)
+        (
+            part.select("segment_id", "key", "doclen", "tvh", "tv")
+            .withColumn("docid", (F.row_number().over(w_seg) - 1).cast("int"))
+            .select("segment_id", "docid", "tv")
+            .repartition(F.col("segment_id"))
+            .withColumn("wave", F.lit(wave))
+            .write.mode("append")
+            .partitionBy("wave", "segment_id")
+            .parquet(os.path.join(index_dir, "tvd"))
+        )
     # re-read the committed wave subdir: clean barrier (no recompute) and a
     # compact columnar source for the stats aggregation
     docs_wave = spark.read.parquet(
@@ -487,6 +513,7 @@ def build_index(
     codec: "Codec | str" = DEFAULT_CODEC,
     analyzer_by_lang: dict | None = None,
     lang_col: str = "lang",
+    store_term_vectors: bool = False,
     _crash_point: tuple | None = None,  # (wave, "after_docs"|"after_commit") — test hook
 ) -> IndexCatalog:
     """Build (or resume building) the inverted index for df[key_col, text_col].
@@ -611,7 +638,8 @@ def build_index(
                        term_shards=term_shards,
                        salt_bucket_docs=salt_bucket_docs,
                        docs_per_segment=docs_per_segment, fields=fields,
-                       codec=codec, analyzer_by_lang=analyzer_by_lang)
+                       codec=codec, analyzer_by_lang=analyzer_by_lang,
+                       store_term_vectors=store_term_vectors)
             shutil.rmtree(os.path.join(index_dir, "postings", f"wave={wave}"),
                           ignore_errors=True)
             raise RuntimeError("injected crash: after_docs")
@@ -623,7 +651,8 @@ def build_index(
                 term_shards=term_shards, salt_bucket_docs=salt_bucket_docs,
                 docs_per_segment=docs_per_segment,
                 coalesce_postings=coalesce_postings, fields=fields,
-                codec=codec, analyzer_by_lang=analyzer_by_lang)
+                codec=codec, analyzer_by_lang=analyzer_by_lang,
+                store_term_vectors=store_term_vectors)
             if s["segment_id"] not in done_segs
         ]
         wall_ms = int((time.time() - t0) * 1000)

@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["top_docs_per_group", "facet_counts", "hierarchical_facet_counts",
-           "distinct_values", "more_like_this_terms"]
+           "distinct_values", "more_like_this_terms", "drill_sideways",
+           "range_facet_counts"]
 
 
 def top_docs_per_group(scored: DataFrame, group_col: str, k: int,
@@ -76,6 +77,59 @@ def hierarchical_facet_counts(matched: DataFrame,
 def distinct_values(matched: DataFrame, col: str) -> DataFrame:
     """Distinct field values of the match set (DistinctValueCollector analog)."""
     return matched.select(col).distinct()
+
+
+def drill_sideways(matched: DataFrame, drill_downs: dict) -> DataFrame:
+    """DrillSideways counts (facet/src/java/.../DrillSideways.java; demo
+    facet examples): for each drilled dimension, facet counts over the docs
+    that match the base query AND every OTHER dimension's drill-down — so the
+    UI can show what the counts of dim d would be if d's own filter were
+    lifted (DrillSidewaysQuery's near-miss collection).
+
+    drill_downs: {dim_col: value}. Returns (dim, value, cnt) across all
+    drilled dims; the dim's own filter is excluded from its rows.
+
+    Scale: ONE pass over the match set — each doc is exploded only into the
+    dims whose sideways predicate it satisfies (near-miss docs fail exactly
+    one filter and contribute to exactly that dim; full matches contribute to
+    all), then one (dim, value) partial-agg shuffle. No per-dimension rescan,
+    which is what DrillSideways' single DrillSidewaysScorer pass achieves."""
+    dims = list(drill_downs)
+    flags = {d: (F.col(d) == F.lit(v)).cast("int")
+             for d, v in drill_downs.items()}
+    total = sum(flags.values())
+    contrib = F.array_compact(F.array(*[
+        # doc counts toward dim d iff all OTHER filters pass: either a full
+        # match (total == n) or a near-miss failing exactly d
+        F.when((total - flags[d]) == len(dims) - 1,
+               F.struct(F.lit(d).alias("dim"),
+                        F.col(d).cast("string").alias("value")))
+        for d in dims
+    ]))
+    return (matched.select(F.explode(contrib).alias("c"))
+            .groupBy(F.col("c.dim").alias("dim"),
+                     F.col("c.value").alias("value"))
+            .agg(F.count("*").alias("cnt")))
+
+
+def range_facet_counts(matched: DataFrame, col: str,
+                       ranges: list[tuple]) -> DataFrame:
+    """LongRangeFacetCounts analog (facet/range/LongRangeFacetCounts.java,
+    LongRange.java): count matches per labelled [min, max] range. Ranges MAY
+    overlap (Lucene allows it), so this is one aggregation of conditional
+    sums — a single map-side-combined pass, not a groupBy on a bucket id.
+
+    ranges: (label, min_incl, max_incl) triples over a long column."""
+    aggs = [
+        F.sum(F.when((F.col(col) >= lo) & (F.col(col) <= hi), 1)
+              .otherwise(0)).alias(f"_r{i}")
+        for i, (_, lo, hi) in enumerate(ranges)
+    ]
+    row = matched.agg(*aggs)
+    pairs = ", ".join(f"'{label}', _r{i}"
+                      for i, (label, _, _) in enumerate(ranges))
+    return row.selectExpr(
+        f"stack({len(ranges)}, {pairs}) AS (label, cnt)")
 
 
 def more_like_this_terms(term_freqs: dict, global_df: dict, doc_count: int,
