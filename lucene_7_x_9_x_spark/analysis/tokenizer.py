@@ -26,7 +26,7 @@ from typing import Iterable, List, Optional, Tuple
 import pandas as pd
 
 __all__ = ["ENGLISH_STOP_WORDS", "Analyzer", "STANDARD", "ENGLISH", "CJK",
-           "tokenize_text"]
+           "ascii_fold", "tokenize_text"]
 
 # EnglishAnalyzer.java:48-54
 ENGLISH_STOP_WORDS = frozenset(
@@ -98,6 +98,61 @@ def _cjk_fold(tokens: List[str]) -> List[str]:
     return out
 
 
+# ASCIIFoldingFilter analog: NFKD-decompose + drop combining marks covers the
+# accent table; the explicit map covers the Latin-1/Extended-A letters that
+# have NO canonical decomposition but a documented fold in
+# ASCIIFoldingFilter.java (ss/ae/oe ligature expansions, slashed/stroked
+# letters, eth/thorn)
+_ASCII_FOLD_MAP = {
+    "ß": "ss", "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
+    "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ħ": "h", "Ħ": "H",
+    "ł": "l", "Ł": "L", "þ": "th", "Þ": "TH", "ð": "d", "Ð": "D",
+    "ı": "i", "ĳ": "ij", "Ĳ": "IJ", "ŋ": "n", "Ŋ": "N", "ſ": "s",
+}
+_ASCII_FOLD_TRANS = str.maketrans(_ASCII_FOLD_MAP)
+
+
+def ascii_fold(tok: str) -> str:
+    """ASCIIFoldingFilter analog (analysis/common/.../miscellaneous/
+    ASCIIFoldingFilter.java): map Unicode Latin variants to their ASCII
+    equivalents — é->e, ü->u, ß->ss, ø->o, ..."""
+    if tok.isascii():
+        return tok
+    import unicodedata
+    t = tok.translate(_ASCII_FOLD_TRANS)
+    t = unicodedata.normalize("NFKD", t)
+    t = "".join(c for c in t if not unicodedata.combining(c))
+    return t
+
+
+SHINGLE_FILLER = "_"  # ShingleFilter.DEFAULT_FILLER_TOKEN
+
+
+def _shingle_fold(pairs: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
+    """ShingleFilter analog (analysis/common/.../shingle/ShingleFilter.java,
+    defaults min=max=2, outputUnigrams=true, tokenSeparator ' '): emit each
+    unigram plus the bigram of every adjacent token pair, where stop-filter
+    position holes are occupied by the filler token '_'. A bigram anchors at
+    its first component's position (posIncrement 0 relative to the unigram —
+    overlap tokens, discounted from the norm). All-filler shingles are
+    dropped; a shingle STARTING at a hole anchors the filler's position."""
+    if not pairs:
+        return pairs
+    out: List[Tuple[str, int]] = []
+    for i, (term, pos) in enumerate(pairs):
+        out.append((term, pos))
+        if i + 1 < len(pairs):
+            nterm, npos = pairs[i + 1]
+            if npos - pos == 1:
+                out.append((term + " " + nterm, pos))
+            else:
+                # holes: term _ ... _ next -> 'term _' and '_ next' (interior
+                # all-filler bigrams are dropped, ShingleFilter emits none)
+                out.append((term + " " + SHINGLE_FILLER, pos))
+                out.append((SHINGLE_FILLER + " " + nterm, npos - 1))
+    return out
+
+
 class Analyzer:
     """tokenize(text) -> [(term, position)] with stop-filter position holes.
 
@@ -107,13 +162,16 @@ class Analyzer:
 
     def __init__(self, stopwords: Optional[frozenset] = None,
                  lowercase: bool = True, stem: bool = False,
-                 strip_possessive: bool = False, cjk_bigrams: bool = False):
+                 strip_possessive: bool = False, cjk_bigrams: bool = False,
+                 ascii_folding: bool = False, shingles: bool = False):
         # StandardAnalyzer() default: NO stopwords (StandardAnalyzer.java:57-58)
         self.stopwords = frozenset(stopwords) if stopwords else frozenset()
         self.lowercase = lowercase
         self.stem = stem
         self.strip_possessive = strip_possessive
         self.cjk_bigrams = cjk_bigrams
+        self.ascii_folding = ascii_folding
+        self.shingles = shingles
 
     def _strip_poss(self, tok: str) -> str:
         # EnglishPossessiveFilter.java:53-58: drop a trailing 's / ’s
@@ -125,9 +183,7 @@ class Analyzer:
         from .porter import porter_stem
         return porter_stem(tok)
 
-    def tokenize(self, text: Optional[str]) -> List[Tuple[str, int]]:
-        if not text:
-            return []
+    def _base_pairs(self, text: str) -> List[Tuple[str, int]]:
         raw: Iterable[str] = _raw_tokens(text)
         if self.cjk_bigrams:
             raw = _cjk_fold(list(raw))
@@ -136,6 +192,8 @@ class Analyzer:
         for tok in raw:
             if self.lowercase:
                 tok = tok.lower()
+            if self.ascii_folding:
+                tok = ascii_fold(tok)
             if self.strip_possessive:
                 tok = self._strip_poss(tok)
             if tok in self.stopwords:
@@ -147,6 +205,14 @@ class Analyzer:
             pos += 1
         return out
 
+    def tokenize(self, text: Optional[str]) -> List[Tuple[str, int]]:
+        if not text:
+            return []
+        out = self._base_pairs(text)
+        if self.shingles:
+            out = _shingle_fold(out)
+        return out
+
     def term_freqs(self, text: Optional[str]):
         """One-pass tokenize + per-term position aggregation.
 
@@ -155,19 +221,25 @@ class Analyzer:
         the index build's hot loop (~every token of the corpus passes here)."""
         if not text:
             return [], 0
-        if self.stem or self.strip_possessive or self.cjk_bigrams:
+        if (self.stem or self.strip_possessive or self.cjk_bigrams
+                or self.shingles
+                or (self.ascii_folding and not text.isascii())):
             # filter-chain path: per-token transforms, Zipfian-memoized
-            # stemming (porter.py) keeps this near the plain-loop cost
+            # stemming (porter.py) keeps this near the plain-loop cost.
+            # (ascii_folding on pure-ASCII text is the identity, so those
+            # docs keep the fast path below.)
             acc = {}
-            pos = 0
-            for tok, p in self.tokenize(text):
+            base = self._base_pairs(text)
+            # norm counts only non-overlap tokens (discountOverlaps=true,
+            # BM25Similarity default): shingles ride posIncrement 0
+            total = len(base)
+            pairs = _shingle_fold(base) if self.shingles else base
+            for tok, p in pairs:
                 lst = acc.get(tok)
                 if lst is None:
                     acc[tok] = [p]
                 else:
                     lst.append(p)
-                pos = p + 1
-            total = sum(len(ps) for ps in acc.values())
             return [(t, len(ps), ps) for t, ps in acc.items()], total
         acc: dict = {}
         pos = 0

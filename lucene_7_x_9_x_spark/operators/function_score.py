@@ -1,0 +1,29 @@
+"""FunctionScoreQuery analog: re-score hits with a doc-value expression.
+
+Semantics source (behavior only):
+  queries/src/java/org/apache/lucene/queries/function/FunctionScoreQuery.java
+  (score = DoubleValuesSource over the wrapped query's score + doc values;
+  the boostByValue/boostByQuery factories compose multiplicatively).
+
+Spark-first: the "DoubleValuesSource" is a Catalyst column expression over
+the scored match set joined with per-doc features — whole-stage-codegen
+JVM-side evaluation, no UDF. At 100 TB the join is keyed on the doc id and
+AQE-sized; the expression itself adds zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["function_score"]
+
+
+def function_score(scores: DataFrame, features: DataFrame, expr: str,
+                   key_cols: tuple = ("doc_id",)) -> DataFrame:
+    """Re-score: new score = `expr` over the base `score` column and any
+    feature column (e.g. "score * ln(1 + n_chars)" — boostByValue shape).
+    Docs missing from `features` drop out (inner join), matching
+    FunctionScoreQuery's requirement that the values source advances."""
+    return (scores.join(features, list(key_cols))
+            .withColumn("score", F.expr(expr)))

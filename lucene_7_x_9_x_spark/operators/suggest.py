@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["spell_suggest", "prefix_completions"]
+__all__ = ["spell_suggest", "prefix_completions", "infix_completions"]
 
 
 def prefix_completions(postings: DataFrame, prefix: str, k: int = 5) -> DataFrame:
@@ -55,3 +55,23 @@ def spell_suggest(postings: DataFrame, term: str, max_edits: int = 2,
         .limit(k)
         .select("term", F.col("distance").cast("long"), F.col("df").cast("long"))
     )
+
+
+def infix_completions(suggestions: DataFrame, query: str, k: int = 5,
+                      text_col: str = "suggestion",
+                      weight_col: str = "weight") -> DataFrame:
+    """AnalyzingInfixSuggester.lookup analog (suggest/src/java/.../analyzing/
+    AnalyzingInfixSuggester.java): a suggestion matches when the query is a
+    PREFIX of ANY analyzed token of the suggestion text (Lucene indexes the
+    suggestions into an ancillary index and queries it with per-token
+    PrefixQuery); results rank by weight desc, tie-broken by text asc.
+
+    suggestions: (text_col, weight_col) weighted dictionary. The token-prefix
+    predicate is a Catalyst higher-order EXISTS over the split tokens —
+    JVM-side, no UDF; at scale the dictionary is a DataFrame like any other
+    (Lucene's ancillary-index role played by the scan + predicate)."""
+    q = query.lower()
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    hit = F.exists(toks, lambda t: t.startswith(q))
+    return (suggestions.where(hit)
+            .orderBy(F.desc(weight_col), F.asc(text_col)).limit(k))
