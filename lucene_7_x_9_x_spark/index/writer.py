@@ -141,6 +141,85 @@ class IndexWriter:
         self.cat.commit(live + segs, operation="append", extra=commit_extra)
         return [s["segment_id"] for s in segs]
 
+    def add_indexes(self, *source_dirs: str) -> list[int]:
+        """IndexWriter.addIndexes(Directory...) analog
+        (IndexWriter.java addIndexes(Directory...) — a FILE-LEVEL segment
+        import: source segments are copied in, renumbered, and published in
+        one commit; no re-indexing, no re-encoding).
+
+        Each source's live segments' docs/postings (and tvd sidecar)
+        partitions are copied under a fresh wave of this index with remapped
+        segment ids, then one atomic snapshot commit publishes them. At
+        production scale the copy is an object-store/manifest copy — the same
+        cost Lucene pays copying segment files into the target Directory.
+
+        Requirements enforced (as Lucene enforces codec/sort compatibility):
+        the source must use the SAME codec, the SAME field configuration
+        (fieldinfos), and have NO pending deletes (run
+        force_merge/expungeDeletes on the source first — Lucene's
+        addIndexes(CodecReader...) path does the equivalent reclaim)."""
+        import json as _json
+        import shutil
+
+        from .builder import load_index_codec
+
+        t0 = time.time()
+        live = self.cat.live_segments()
+        next_seg = max((s["segment_id"] for s in live), default=-1) + 1
+        next_wave = max((s["wave"] for s in live), default=-1) + 1
+
+        def _fieldinfos(d):
+            fp = os.path.join(d, "_catalog", "fieldinfos.json")
+            return _json.load(open(fp)) if os.path.exists(fp) else None
+
+        my_fi = _fieldinfos(self.index_dir)
+        imported: list[dict] = []
+        for sdir in source_dirs:
+            scat = IndexCatalog(sdir)
+            if scat.head() < 0:
+                raise ValueError(f"no committed snapshot under {sdir}")
+            if load_index_codec(sdir).name != self.codec.name:
+                raise ValueError(
+                    f"codec mismatch: {sdir} uses "
+                    f"{load_index_codec(sdir).name!r}, this index "
+                    f"{self.codec.name!r}")
+            if _fieldinfos(sdir) != my_fi:
+                raise ValueError(f"field configuration mismatch with {sdir}")
+            if scat.delete_gens() or scat.soft_delete_gens():
+                raise ValueError(
+                    f"{sdir} has pending deletes; force_merge/expungeDeletes "
+                    "it first, then add_indexes")
+            for s in sorted(scat.live_segments(),
+                            key=lambda x: x["segment_id"]):
+                new_id = next_seg
+                next_seg += 1
+                roots = ["docs", "postings"]
+                if os.path.isdir(os.path.join(sdir, "tvd")):
+                    roots.append("tvd")
+                for root in roots:
+                    src_part = os.path.join(
+                        sdir, root, f"wave={s['wave']}",
+                        f"segment_id={s['segment_id']}")
+                    if not os.path.isdir(src_part):
+                        continue
+                    dst_part = os.path.join(
+                        self.index_dir, root, f"wave={next_wave}",
+                        f"segment_id={new_id}")
+                    shutil.copytree(src_part, dst_part)
+                ns = dict(s)
+                ns["segment_id"] = new_id
+                ns["wave"] = next_wave
+                ns["imported_from"] = os.path.abspath(sdir)
+                imported.append(ns)
+        if not imported:
+            return []
+        wall_ms = int((time.time() - t0) * 1000)
+        append_lineage(self.index_dir, [
+            ("add_indexes", s["segment_id"], self.cat.head() + 1,
+             s["doc_count"], wall_ms, "done") for s in imported])
+        self.cat.commit(live + imported, operation="add_indexes")
+        return [s["segment_id"] for s in imported]
+
     # --- deletes ------------------------------------------------------------
     def _live_docs(self) -> DataFrame:
         live = self.cat.live_segments()
