@@ -153,6 +153,27 @@ def _shingle_fold(pairs: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
     return out
 
 
+def _edge_expand(pairs: List[Tuple[str, int]], lo: int,
+                 hi: int) -> List[Tuple[str, int]]:
+    """EdgeNGramTokenFilter analog (analysis/common/.../ngram/
+    EdgeNGramTokenFilter.java, preserveOriginal=true): each token emits its
+    leading grams of length lo..min(hi, len) at the TOKEN's position
+    (overlap tokens, discounted from the norm); a token outside [lo, hi]
+    additionally/only keeps its original form — the autocomplete-index
+    configuration."""
+    out: List[Tuple[str, int]] = []
+    for term, pos in pairs:
+        n = len(term)
+        if n < lo:
+            out.append((term, pos))  # preserveOriginal below minGram
+            continue
+        for g in range(lo, min(hi, n) + 1):
+            out.append((term[:g], pos))
+        if n > hi:
+            out.append((term, pos))  # preserveOriginal above maxGram
+    return out
+
+
 class Analyzer:
     """tokenize(text) -> [(term, position)] with stop-filter position holes.
 
@@ -163,7 +184,11 @@ class Analyzer:
     def __init__(self, stopwords: Optional[frozenset] = None,
                  lowercase: bool = True, stem: bool = False,
                  strip_possessive: bool = False, cjk_bigrams: bool = False,
-                 ascii_folding: bool = False, shingles: bool = False):
+                 ascii_folding: bool = False, shingles: bool = False,
+                 edge_ngrams: Optional[Tuple[int, int]] = None):
+        if shingles and edge_ngrams:
+            raise ValueError("shingles and edge_ngrams cannot combine "
+                             "(undefined gram-of-shingle semantics)")
         # StandardAnalyzer() default: NO stopwords (StandardAnalyzer.java:57-58)
         self.stopwords = frozenset(stopwords) if stopwords else frozenset()
         self.lowercase = lowercase
@@ -172,6 +197,7 @@ class Analyzer:
         self.cjk_bigrams = cjk_bigrams
         self.ascii_folding = ascii_folding
         self.shingles = shingles
+        self.edge_ngrams = tuple(edge_ngrams) if edge_ngrams else None
 
     def _strip_poss(self, tok: str) -> str:
         # EnglishPossessiveFilter.java:53-58: drop a trailing 's / ’s
@@ -211,6 +237,8 @@ class Analyzer:
         out = self._base_pairs(text)
         if self.shingles:
             out = _shingle_fold(out)
+        if self.edge_ngrams:
+            out = _edge_expand(out, *self.edge_ngrams)
         return out
 
     def term_freqs(self, text: Optional[str]):
@@ -222,7 +250,7 @@ class Analyzer:
         if not text:
             return [], 0
         if (self.stem or self.strip_possessive or self.cjk_bigrams
-                or self.shingles
+                or self.shingles or self.edge_ngrams
                 or (self.ascii_folding and not text.isascii())):
             # filter-chain path: per-token transforms, Zipfian-memoized
             # stemming (porter.py) keeps this near the plain-loop cost.
@@ -234,6 +262,8 @@ class Analyzer:
             # BM25Similarity default): shingles ride posIncrement 0
             total = len(base)
             pairs = _shingle_fold(base) if self.shingles else base
+            if self.edge_ngrams:
+                pairs = _edge_expand(pairs, *self.edge_ngrams)
             for tok, p in pairs:
                 lst = acc.get(tok)
                 if lst is None:

@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["spell_suggest", "prefix_completions", "infix_completions"]
+__all__ = ["spell_suggest", "prefix_completions", "infix_completions",
+           "free_text_suggest"]
 
 
 def prefix_completions(postings: DataFrame, prefix: str, k: int = 5) -> DataFrame:
@@ -75,3 +76,46 @@ def infix_completions(suggestions: DataFrame, query: str, k: int = 5,
     hit = F.exists(toks, lambda t: t.startswith(q))
     return (suggestions.where(hit)
             .orderBy(F.desc(weight_col), F.asc(text_col)).limit(k))
+
+
+def free_text_suggest(postings: DataFrame, context: str, total_tokens: int,
+                      k: int = 5, alpha: float = 0.4) -> DataFrame:
+    """FreeTextSuggester analog (suggest/src/java/.../analyzing/
+    FreeTextSuggester.java, bigram model): predict the next token after
+    ``context`` with the stupid-backoff language model — bigram candidates
+    score count(context, t)/count(context); tokens the bigram model never
+    saw back off to ALPHA * count(t)/totTokens (ALPHA=0.4,
+    FreeTextSuggester.java:143), each suffix taken from the highest-order
+    model that saw it.
+
+    Lucene feeds a ShingleFilter stream into an FST; here the SHINGLE
+    index's postings ARE that model — unigram rows are the 1-gram counts,
+    "w t" rows the 2-gram counts — so lookup is two pruned term-dictionary
+    scans (term prefix pushdown), never a corpus pass. ``total_tokens`` is
+    the searcher's sum_ttf (unigram token count, norm-consistent)."""
+    from ..analysis.tokenizer import SHINGLE_FILLER
+
+    context = context.lower()
+    ctx_rows = (postings.where(F.col("term") == context)
+                .agg(F.sum("ttf").alias("cnt")).collect())
+    ctx_cnt = int(ctx_rows[0]["cnt"] or 0)
+    big = (postings.where(F.col("term").startswith(context + " "))
+           .groupBy("term").agg(F.sum("ttf").alias("cnt"))
+           .withColumn("token", F.col("term").substr(
+               F.lit(len(context) + 2), F.length("term")))
+           .where(F.col("token") != SHINGLE_FILLER))
+    if ctx_cnt > 0:
+        big_scored = big.select(
+            "token", (F.col("cnt") / F.lit(float(ctx_cnt))).alias("score"))
+    else:
+        big_scored = big.select("token", F.lit(0.0).alias("score")).limit(0)
+    uni = (postings.where(~F.col("term").contains(" ")
+                          & (F.col("term") != SHINGLE_FILLER))
+           .groupBy("term").agg(F.sum("ttf").alias("cnt"))
+           .join(big.select("token"),
+                 F.col("term") == F.col("token"), "left_anti")
+           .select(F.col("term").alias("token"),
+                   (F.lit(alpha) * F.col("cnt")
+                    / F.lit(float(total_tokens))).alias("score")))
+    return (big_scored.unionByName(uni)
+            .orderBy(F.desc("score"), F.asc("token")).limit(k))

@@ -90,3 +90,43 @@ def test_function_score(spark):
     got = {r["doc_id"]: r["score"]
            for r in function_score(scores, feats, "score * boost").collect()}
     assert got == {1: 20.0, 2: 3.0}
+
+
+def test_edge_ngrams_expand():
+    a = Analyzer(edge_ngrams=(2, 5))
+    assert a.tokenize("sparkling x") == [
+        ("sp", 0), ("spa", 0), ("spar", 0), ("spark", 0), ("sparkling", 0),
+        ("x", 1),
+    ]
+    items, dl = a.term_freqs("spark spar is")
+    assert dl == 3  # norms count source tokens only
+    got = {t: f for t, f, _ in items}
+    assert got["spar"] == 2 and got["spark"] == 1 and got["is"] == 1
+
+
+def test_edge_ngrams_shingles_conflict():
+    with pytest.raises(ValueError):
+        Analyzer(shingles=True, edge_ngrams=(2, 3))
+
+
+def test_free_text_suggest(spark, tmp_path):
+    from lucene_7_x_9_x_spark.index.builder import build_index
+    from lucene_7_x_9_x_spark.operators.suggest import free_text_suggest
+    from lucene_7_x_9_x_spark.search.searcher import IndexSearcher
+    rows = [(0, "fast sort fast merge fast sort"), (1, "fast sort slow scan")]
+    d = str(tmp_path / "sg")
+    build_index(spark, spark.createDataFrame(rows, "doc_id long, text string"),
+                "doc_id", "text", d, docs_per_segment=2, int_keys=True,
+                term_shards=2, analyzer=Analyzer(shingles=True))
+    s = IndexSearcher(spark, d)
+    got = [(r["token"], r["score"])
+           for r in free_text_suggest(s.postings_df(), "fast", s.sum_ttf,
+                                      k=3).collect()]
+    # count(fast)=4; fast->sort 3 times, fast->merge 1
+    assert got[0] == ("sort", 3 / 4.0)
+    assert got[1] == ("merge", 1 / 4.0)
+    # third is a backoff unigram: 0.4 * count/total, 10 tokens total
+    assert got[2][1] == pytest.approx(0.4 * 4 / 10.0)  # 'fast' itself
+    # unseen context -> pure backoff, still returns suggestions
+    back = free_text_suggest(s.postings_df(), "zzz", s.sum_ttf, k=2).collect()
+    assert len(back) == 2 and back[0]["score"] == pytest.approx(0.4 * 4 / 10)
