@@ -232,3 +232,16 @@ def test_new_sims_engine_rank_sanity(spark, idx):
         assert len(td.hits) == 3, name
         assert int(td.hits["key"].iloc[0]) == 0, name
         assert (td.hits["score"] > 0).all(), name
+
+
+def test_explain_value_matches_search_all_sims(spark, idx):
+    """explain(q, seg, docid)['value'] equals the hit's score for EVERY
+    registered scoring similarity (the kernel arithmetic is shared)."""
+    for name in ("bm25", "classic", "boolean", "lmdirichlet", "dfr_inl2",
+                 "lmjelinekmercer", "axiomatic_f2exp", "ib_ll_d"):
+        s = IndexSearcher(spark, idx, similarity=name)
+        td = s.search(Q.TermQuery("spark"), k=1)
+        row = td.hits.iloc[0]
+        ex = s.explain(Q.TermQuery("spark"),
+                       int(row["segment_id"]), int(row["docid"]))
+        assert ex["match"] and ex["value"] == float(row["score"]), name
