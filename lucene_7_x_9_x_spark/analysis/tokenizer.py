@@ -153,6 +153,23 @@ def _shingle_fold(pairs: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
     return out
 
 
+def _synonym_expand(pairs: List[Tuple[str, int]],
+                    mapping: dict) -> List[Tuple[str, int]]:
+    """SynonymFilter/SynonymGraphFilter analog (analysis/common/.../synonym/
+    SynonymGraphFilter.java, single-token rules, keepOrig=true): each mapped
+    token additionally emits its synonyms AT THE SAME POSITION (posIncrement
+    0 — overlap tokens, discounted from the norm), so a query for either
+    form matches and phrase positions stay aligned. Multi-token rules and
+    graph side-paths are out of scope (documented; the reference's
+    SynonymQuery covers the query-time direction, entry synonym_topk)."""
+    out: List[Tuple[str, int]] = []
+    for term, pos in pairs:
+        out.append((term, pos))
+        for syn in mapping.get(term, ()):
+            out.append((syn, pos))
+    return out
+
+
 def _edge_expand(pairs: List[Tuple[str, int]], lo: int,
                  hi: int) -> List[Tuple[str, int]]:
     """EdgeNGramTokenFilter analog (analysis/common/.../ngram/
@@ -185,10 +202,15 @@ class Analyzer:
                  lowercase: bool = True, stem: bool = False,
                  strip_possessive: bool = False, cjk_bigrams: bool = False,
                  ascii_folding: bool = False, shingles: bool = False,
-                 edge_ngrams: Optional[Tuple[int, int]] = None):
+                 edge_ngrams: Optional[Tuple[int, int]] = None,
+                 synonyms: Optional[dict] = None):
         if shingles and edge_ngrams:
             raise ValueError("shingles and edge_ngrams cannot combine "
                              "(undefined gram-of-shingle semantics)")
+        if synonyms and (shingles or edge_ngrams):
+            raise ValueError("synonyms cannot combine with shingles/"
+                             "edge_ngrams (graph-shingle semantics are out "
+                             "of scope)")
         # StandardAnalyzer() default: NO stopwords (StandardAnalyzer.java:57-58)
         self.stopwords = frozenset(stopwords) if stopwords else frozenset()
         self.lowercase = lowercase
@@ -198,6 +220,8 @@ class Analyzer:
         self.ascii_folding = ascii_folding
         self.shingles = shingles
         self.edge_ngrams = tuple(edge_ngrams) if edge_ngrams else None
+        self.synonyms = ({k: tuple(v) for k, v in synonyms.items()}
+                         if synonyms else None)
 
     def _strip_poss(self, tok: str) -> str:
         # EnglishPossessiveFilter.java:53-58: drop a trailing 's / ’s
@@ -235,6 +259,8 @@ class Analyzer:
         if not text:
             return []
         out = self._base_pairs(text)
+        if self.synonyms:
+            out = _synonym_expand(out, self.synonyms)
         if self.shingles:
             out = _shingle_fold(out)
         if self.edge_ngrams:
@@ -250,7 +276,7 @@ class Analyzer:
         if not text:
             return [], 0
         if (self.stem or self.strip_possessive or self.cjk_bigrams
-                or self.shingles or self.edge_ngrams
+                or self.shingles or self.edge_ngrams or self.synonyms
                 or (self.ascii_folding and not text.isascii())):
             # filter-chain path: per-token transforms, Zipfian-memoized
             # stemming (porter.py) keeps this near the plain-loop cost.
@@ -261,7 +287,10 @@ class Analyzer:
             # norm counts only non-overlap tokens (discountOverlaps=true,
             # BM25Similarity default): shingles ride posIncrement 0
             total = len(base)
-            pairs = _shingle_fold(base) if self.shingles else base
+            pairs = (_synonym_expand(base, self.synonyms)
+                     if self.synonyms else base)
+            if self.shingles:
+                pairs = _shingle_fold(pairs)
             if self.edge_ngrams:
                 pairs = _edge_expand(pairs, *self.edge_ngrams)
             for tok, p in pairs:

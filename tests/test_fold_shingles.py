@@ -130,3 +130,32 @@ def test_free_text_suggest(spark, tmp_path):
     # unseen context -> pure backoff, still returns suggestions
     back = free_text_suggest(s.postings_df(), "zzz", s.sum_ttf, k=2).collect()
     assert len(back) == 2 and back[0]["score"] == pytest.approx(0.4 * 4 / 10)
+
+
+def test_synonym_expansion():
+    a = Analyzer(synonyms={"fast": ("swift", "quick")})
+    assert a.tokenize("fast sort") == [
+        ("fast", 0), ("swift", 0), ("quick", 0), ("sort", 1)]
+    items, dl = a.term_freqs("fast sort fast")
+    assert dl == 3  # synonyms are norm-discounted overlaps
+    got = {t: (f, ps) for t, f, ps in items}
+    assert got["swift"] == got["fast"] == (2, [0, 2])
+    with pytest.raises(ValueError):
+        Analyzer(synonyms={"a": ("b",)}, shingles=True)
+
+
+def test_synonym_index_phrase_alignment(spark, tmp_path):
+    """Synonyms share the original's position, so a phrase using the synonym
+    matches where the original phrase does (SynonymGraphFilter keepOrig)."""
+    from lucene_7_x_9_x_spark.index.builder import build_index
+    from lucene_7_x_9_x_spark.search import query as Q
+    from lucene_7_x_9_x_spark.search.searcher import IndexSearcher
+    rows = [(0, "fast sort wins"), (1, "sort fast loses")]
+    d = str(tmp_path / "syn")
+    build_index(spark, spark.createDataFrame(rows, "doc_id long, text string"),
+                "doc_id", "text", d, docs_per_segment=2, int_keys=True,
+                term_shards=2,
+                analyzer=Analyzer(synonyms={"fast": ("swift",)}))
+    s = IndexSearcher(spark, d)
+    td = s.search(Q.PhraseQuery(("swift", "sort")), k=5)
+    assert [int(k) for k in td.hits["key"]] == [0]
