@@ -8,6 +8,8 @@ Returns a list of violation strings (empty == healthy index).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
@@ -112,6 +114,25 @@ def check_index(spark: SparkSession, index_dir: str) -> list:
     if bad_norms:
         violations.append(
             f"norm_byte != intToByte4(doclen) for {bad_norms} docs")
+
+    # term-vector sidecar (CheckIndex.testTermVectors role): when tvd exists,
+    # every live doc has exactly ONE vector row and no row is orphaned —
+    # distributed anti-join counts, nothing collected but the two scalars
+    tvd_dir = os.path.join(index_dir, "tvd")
+    if os.path.isdir(tvd_dir):
+        tvd = spark.read.parquet(tvd_dir).where(
+            F.struct("wave", "segment_id").isin(
+                [F.struct(F.lit(w), F.lit(s)) for w, s in live]))
+        keys = ["segment_id", "docid"]
+        missing = docs.select(keys).join(tvd.select(keys), keys,
+                                         "left_anti").count()
+        orphans = tvd.select(keys).join(docs.select(keys), keys,
+                                        "left_anti").count()
+        dupes = tvd.count() - tvd.select(keys).distinct().count()
+        if missing or orphans or dupes:
+            violations.append(
+                f"term vectors: {missing} docs missing a vector, "
+                f"{orphans} orphan vectors, {dupes} duplicate rows")
 
     # stats: doc_count/sum_ttf in the snapshot match the docs table
     agg = (

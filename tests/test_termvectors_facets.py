@@ -95,3 +95,20 @@ def test_block_join_modes(spark):
     assert got["none"] == {"p1": 1.0, "p2": 1.0}  # p3: no matching child
     with pytest.raises(ValueError):
         to_parent_block_join(cs, cp, parents, mode="nope")
+
+
+def test_checkindex_validates_tvd(spark, docs, tmp_path):
+    from lucene_7_x_9_x_spark.index.checkindex import check_index
+    import glob
+    import os
+    d = str(tmp_path / "idx")
+    build_index(spark, docs, "doc_id", "text", d, docs_per_segment=2,
+                int_keys=True, term_shards=2, store_term_vectors=True)
+    assert check_index(spark, d) == []
+    # corrupting the sidecar (drop one segment's vectors) is detected
+    victim = sorted(glob.glob(os.path.join(d, "tvd", "wave=*",
+                                           "segment_id=*")))[0]
+    import shutil
+    shutil.rmtree(victim)
+    v = check_index(spark, d)
+    assert v and "missing a vector" in v[0]
