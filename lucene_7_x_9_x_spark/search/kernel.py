@@ -965,11 +965,93 @@ class Scorer:
             return self._doc_spans(q.query, doc)
         raise TypeError(type(q))
 
+    span_near_2term_vectorized = True  # closed-form walk, no per-doc Python
+
+    def _near_2term_counts(self, cand: np.ndarray, tA: str, tB: str,
+                           slop: int, in_order: bool):
+        """Vectorized NearSpans for the dominant 2-distinct-term shape.
+
+        Both per-doc algorithms collapse to closed forms over the two sorted
+        position streams (proof: exhaustive + randomized differential tests
+        vs the faithful matchers, test_span_near_vectorized.py):
+
+        ORDERED (NearSpansOrdered.java:60-121): the later clause's pointer is
+        monotone and the constraint start >= a+1 is monotone in a, so each
+        first-clause position a independently matches b* = first B-position
+        >= a+1 with width b* - a - 1, emitting iff width <= slop; exhaustion
+        only removes a's that could never match.
+
+        UNORDERED (NearSpansUnordered window queue): the queue pops the
+        merged (position, clause-ord) order; an A-pop at a sees partner
+        first b >= a (gap b - a), a B-pop at b sees partner first a > b
+        (the tie pops A first), each emitting iff gap <= slop + 1 with span
+        width gap + 1; a pop with no partner ends the doc, which removes
+        only matchless pops.
+
+        One searchsorted per direction over composite (doc<<32)+pos keys for
+        ALL candidate docs at once; emissions are accumulated in merged-pop
+        order so the float32 freq fold (SpanScorer.setFreqCurrentDoc) is
+        reproduced bit-exactly via an unbuffered np.add.at."""
+        sh = self._POS_SHIFT
+        acc_dt = (np.float32 if self.dtype == np.float32 else np.float64)
+
+        def _flat_in(term):
+            d, p = self.seg.flat_positions(term)
+            i = np.searchsorted(cand, d)
+            m = (i < cand.size) & (cand[np.minimum(i, cand.size - 1)] == d)
+            return d[m], (d[m] << sh) + p[m]
+
+        dA, kA = _flat_in(tA)
+        dB, kB = _flat_in(tB)
+        acc = np.zeros(self.seg.max_doc, dtype=acc_dt)
+
+        def _partner(keys_from, keys_to, target):
+            j = np.searchsorted(keys_to, target, side="left")
+            ok = j < keys_to.size
+            pk = keys_to[np.minimum(j, keys_to.size - 1)]
+            ok &= (pk >> sh) == (keys_from >> sh)
+            return ok, pk
+
+        # NOTE the weight stays float64 even in float32 mode: the SpanScorer
+        # fold adds a DOUBLE 1/(1+width) to the float accumulator (unlike
+        # SloppyPhraseMatcher, which pre-rounds the weight to float) — the
+        # mixed-dtype np.add.at reproduces f32(f64(acc) + w) per emission.
+        if in_order:
+            ok, bk = _partner(kA, kB, kA + 1)
+            width = bk - kA - 1
+            emit = ok & (width <= slop)
+            # kA is (doc, pos)-sorted == emission order
+            w = 1.0 / (1.0 + width[emit].astype(np.float64))
+            np.add.at(acc, dA[emit], w)
+        else:
+            oka, bk = _partner(kA, kB, kA)       # first b >= a (tie: b == a)
+            ga = bk - kA
+            ea = oka & (ga <= slop + 1)
+            okb, ak = _partner(kB, kA, kB + 1)   # first a > b (tie pops A)
+            gb = ak - kB
+            eb = okb & (gb <= slop + 1)
+            # merged pop order: by key, A before B on ties (clause ord)
+            keys = np.concatenate([kA[ea] * 2, kB[eb] * 2 + 1])
+            docs_e = np.concatenate([dA[ea], dB[eb]])
+            widths = np.concatenate([ga[ea], gb[eb]]) + 1
+            order = np.argsort(keys, kind="stable")
+            w = 1.0 / (1.0 + widths[order].astype(np.float64))
+            np.add.at(acc, docs_e[order], w)
+        docs = np.flatnonzero(acc > 0)
+        return docs, acc[docs].astype(np.float64)
+
     def eval_spans(self, q: Q.SpanQuery):
         """(docids asc, sloppy freqs) over the segment. freq = sum over spans
         of 1/(1 + width), accumulated in the scoring dtype exactly like
         SpanScorer.setFreqCurrentDoc (float32 in Lucene-parity mode)."""
         cand = self._span_candidates(q)
+        if (cand.size and self.span_near_2term_vectorized
+                and isinstance(q, Q.SpanNearQuery) and len(q.clauses) == 2
+                and all(isinstance(c, Q.SpanTermQuery) for c in q.clauses)
+                and q.clauses[0].term != q.clauses[1].term):
+            return self._near_2term_counts(
+                cand, q.clauses[0].term, q.clauses[1].term, q.slop,
+                q.in_order)
         if (cand.size and self.span_prefilter
                 and isinstance(q, Q.SpanNearQuery) and len(q.clauses) > 1
                 and all(isinstance(c, Q.SpanTermQuery) for c in q.clauses)):

@@ -102,8 +102,6 @@ def run(kind: str):
         # spans keep the two cut variants (walk applies to phrases only)
         variants = (("vec", True, True), ("cut", False, True),
                     ("nocut", False, False))
-        if isinstance(q, Q.SpanQuery):
-            variants = (("cut", False, True), ("nocut", False, False))
         for vname, use_vec, cut in variants:
             calls = {"n": 0}
             orig_spans = K.Scorer._doc_spans
@@ -126,6 +124,7 @@ def run(kind: str):
                     sc = K.Scorer(seg, stats, gdf)
                     sc.span_prefilter = cut
                     sc.sloppy_2term_vectorized = use_vec
+                    sc.span_near_2term_vectorized = use_vec
                     calls["n"] = 0
                     t0 = time.time()
                     if isinstance(q, Q.SpanQuery):

@@ -80,14 +80,25 @@ def _run_both(q, far_corpus, count_attr):
     try:
         mode = "on"
         s1.span_prefilter = True
+        # force the per-doc path: the cut's effectiveness is what's under
+        # test; 2-term near queries default to the vectorized walk
+        s1.span_near_2term_vectorized = False
         d_on, f_on = (s1.eval_spans(q) if isinstance(q, Q.SpanQuery)
                       else s1._phrase_freqs(q))
         seg2, _ = _segment(far_corpus)
         s2 = _scorer(seg2, gdf)
         mode = "off"
         s2.span_prefilter = False
+        s2.span_near_2term_vectorized = False
         d_off, f_off = (s2.eval_spans(q) if isinstance(q, Q.SpanQuery)
                         else s2._phrase_freqs(q))
+        if isinstance(q, Q.SpanQuery):
+            # the DEFAULT path (vectorized walk) must agree exactly
+            seg3, _ = _segment(far_corpus)
+            s3 = _scorer(seg3, gdf)
+            d_vec, f_vec = s3.eval_spans(q)
+            assert np.array_equal(d_vec, d_off)
+            assert np.allclose(f_vec, f_off)
     finally:
         K.Scorer._doc_spans = orig
     assert np.array_equal(d_on, d_off)
