@@ -21,7 +21,30 @@ import time
 import uuid
 from typing import Optional
 
-__all__ = ["IndexCatalog", "append_lineage"]
+__all__ = ["IndexCatalog", "append_lineage", "read_live_partitions"]
+
+
+def read_live_partitions(spark, index_dir: str, root: str, segments):
+    """Read ONLY the live (wave, segment_id) partitions of `root` by direct
+    partition-directory paths (SegmentInfos.files analog: the reader opens
+    exactly the files the commit point lists, nothing else).
+
+    This replaces a per-live-segment struct-literal `isin` filter: the listing
+    cost is O(#segments) path strings handed to the scan's file index — the
+    same cost Lucene pays enumerating segment files — while the QUERY PLAN
+    stays O(1), with no giant literal expression for Catalyst to carry through
+    optimization at 10^5+ segments. `basePath` keeps wave/segment_id visible
+    as partition columns, so downstream partition pruning (term shards,
+    per-segment filters) is unchanged. Returns None when nothing is live.
+    """
+    base = os.path.join(index_dir, root)
+    paths = [os.path.join(base, f"wave={s['wave']}",
+                          f"segment_id={s['segment_id']}")
+             for s in segments]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:
+        return None
+    return spark.read.option("basePath", base).parquet(*paths)
 
 
 def append_lineage(index_dir: str, rows: list[tuple]) -> None:

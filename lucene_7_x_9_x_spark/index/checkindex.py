@@ -59,13 +59,9 @@ def check_index(spark: SparkSession, index_dir: str) -> list:
     violations = []
     if not segs:
         return ["no committed snapshot"]
-    live = [(s["wave"], s["segment_id"]) for s in segs]
-    postings = spark.read.parquet(f"{index_dir}/postings").where(
-        F.struct("wave", "segment_id").isin(
-            [F.struct(F.lit(w), F.lit(s)) for w, s in live]))
-    docs = spark.read.parquet(f"{index_dir}/docs").where(
-        F.struct("wave", "segment_id").isin(
-            [F.struct(F.lit(w), F.lit(s)) for w, s in live]))
+    from .catalog import read_live_partitions
+    postings = read_live_partitions(spark, index_dir, "postings", segs)
+    docs = read_live_partitions(spark, index_dir, "docs", segs)
 
     v = (
         postings.withColumn("shard", F.pmod(F.xxhash64("term"), F.lit(16)))
@@ -119,10 +115,9 @@ def check_index(spark: SparkSession, index_dir: str) -> list:
     # every live doc has exactly ONE vector row and no row is orphaned —
     # distributed anti-join counts, nothing collected but the two scalars
     tvd_dir = os.path.join(index_dir, "tvd")
-    if os.path.isdir(tvd_dir):
-        tvd = spark.read.parquet(tvd_dir).where(
-            F.struct("wave", "segment_id").isin(
-                [F.struct(F.lit(w), F.lit(s)) for w, s in live]))
+    tvd = (read_live_partitions(spark, index_dir, "tvd", segs)
+           if os.path.isdir(tvd_dir) else None)
+    if tvd is not None:
         keys = ["segment_id", "docid"]
         missing = docs.select(keys).join(tvd.select(keys), keys,
                                          "left_anti").count()

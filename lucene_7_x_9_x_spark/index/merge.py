@@ -257,11 +257,9 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
         kept = docids[keep]
         return keep, kept - np.searchsorted(dels, kept) + offsets[seg_id]
 
-    pairs = [F.struct(F.lit(s["wave"]), F.lit(s["segment_id"])) for s in parts]
-    docs = spark.read.parquet(f"{index_dir}/docs").where(
-        F.struct("wave", "segment_id").isin(pairs))
-    postings = spark.read.parquet(f"{index_dir}/postings").where(
-        F.struct("wave", "segment_id").isin(pairs))
+    from .catalog import read_live_partitions
+    docs = read_live_partitions(spark, index_dir, "docs", parts)
+    postings = read_live_partitions(spark, index_dir, "postings", parts)
 
     def remap_docs(batches):
         for pdf in batches:

@@ -222,11 +222,27 @@ class IndexWriter:
 
     # --- deletes ------------------------------------------------------------
     def _live_docs(self) -> DataFrame:
-        live = self.cat.live_segments()
-        pairs = [F.struct(F.lit(s["wave"]), F.lit(s["segment_id"]))
-                 for s in live]
-        return (self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
-                .where(F.struct("wave", "segment_id").isin(pairs)))
+        from .catalog import read_live_partitions
+        df = read_live_partitions(self.spark, self.index_dir, "docs",
+                                  self.cat.live_segments())
+        if df is None:
+            raise ValueError(f"no committed docs under {self.index_dir}")
+        return df
+
+    def _resolve_batch_targets(self, df: DataFrame, key_col: str) -> DataFrame:
+        """(segment_id, docid) of every live doc whose key appears in the
+        update batch — resolved as a DISTRIBUTED left-semi join against the
+        batch's key set, never a driver-collected key list (a bulk update of
+        a Common-Crawl partition carries 10^7–10^9 keys; collecting them and
+        building an `isin` literal would materialize all of them on the
+        driver and hand Catalyst a plan-breaking expression). Mirror of the
+        deleteDocuments(Query) path, which already resolves via matches_df;
+        Lucene analog: delete-by-term buffering in IndexWriter.java:1603."""
+        batch_keys = df.select(
+            F.col(key_col).cast("string").alias("key")).distinct()
+        return (self._live_docs()
+                .join(batch_keys, "key", "left_semi")
+                .select("segment_id", "docid"))
 
     def delete_documents_by_keys(self, keys) -> int:
         """deleteDocuments(Term...) analog: delete every doc whose key is in
@@ -326,10 +342,7 @@ class IndexWriter:
         reader (the demo's SoftDeletesTest1 history behavior)."""
         t0 = time.time()
         live = self.cat.live_segments()
-        keys = [r[0] for r in df.select(F.col(key_col).cast("string"))
-                .distinct().collect()]
-        targets = self._live_docs().where(
-            F.col("key").isin(keys)).select("segment_id", "docid")
+        targets = self._resolve_batch_targets(df, key_col)
         per_seg, gen = self._write_delete_files(targets, kind="soft_deletes")
 
         next_seg = max((s["segment_id"] for s in live), default=-1) + 1
@@ -372,10 +385,7 @@ class IndexWriter:
         (IndexWriter.java:1603 atomicity)."""
         t0 = time.time()
         live = self.cat.live_segments()
-        keys = [r[0] for r in df.select(F.col(key_col).cast("string"))
-                .distinct().collect()]
-        targets = self._live_docs().where(
-            F.col("key").isin(keys)).select("segment_id", "docid")
+        targets = self._resolve_batch_targets(df, key_col)
         per_seg, gen = self._write_delete_files(targets)
 
         next_seg = max((s["segment_id"] for s in live), default=-1) + 1

@@ -221,16 +221,13 @@ class IndexSearcher:
         self._df_cache: dict = {}
         self.del_counts = {s["segment_id"]: s.get("del_count", 0)
                            for s in self.segments}
-        self._postings = (
-            spark.read.parquet(f"{index_dir}/postings")
-            .where(F.struct("wave", "segment_id").isin(
-                [F.struct(F.lit(w), F.lit(s)) for w, s in live]))
-        )
-        self._docs = (
-            spark.read.parquet(f"{index_dir}/docs")
-            .where(F.struct("wave", "segment_id").isin(
-                [F.struct(F.lit(w), F.lit(s)) for w, s in live]))
-        )
+        # live partitions read by direct path (SegmentInfos.files analog) —
+        # keeps the plan free of O(#segments) literal expressions
+        from ..index.catalog import read_live_partitions
+        self._postings = read_live_partitions(
+            spark, index_dir, "postings", self.segments)
+        self._docs = read_live_partitions(
+            spark, index_dir, "docs", self.segments)
 
     # --- term dictionary ----------------------------------------------------
     def postings_df(self) -> DataFrame:

@@ -100,6 +100,32 @@ def test_update_documents_atomic_replace(spark, idx):
     assert s.count(Q.MatchAllDocsQuery()) == 8  # replaced, not added
 
 
+def test_bulk_update_large_key_batch(spark, tmp_path):
+    """A bulk update through a >10k-key batch: target resolution must be a
+    distributed semi-join (no driver-collected key list, no isin literal —
+    the Common-Crawl-partition refresh shape)."""
+    d = str(tmp_path / "bulk")
+    n = 12_000
+    src = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta doc "), F.col("id")).alias("text"))
+    build_index(spark, src, "doc_id", "text", d,
+                docs_per_segment=4096, int_keys=True, term_shards=8)
+    w = IndexWriter(spark, d, int_keys=True, docs_per_segment=4096)
+    upd = spark.range(10_500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("gamma doc "), F.col("id")).alias("text"))
+    w.update_documents(upd, "doc_id", "text")
+    s = IndexSearcher(spark, d)
+    assert s.count(Q.MatchAllDocsQuery()) == n
+    assert s.count(Q.TermQuery("gamma")) == 10_500
+    assert s.count(Q.TermQuery("alpha")) == n - 10_500
+    # the resolution plan is a join, not a giant literal
+    plan = w._resolve_batch_targets(
+        upd, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
 def test_merge_purges_deletes_and_compacts(spark, idx):
     w = IndexWriter(spark, idx, int_keys=True)
     w.delete_documents_by_keys([1, 3, 4])
