@@ -321,6 +321,60 @@ def q_grouping_top2_per_lang(spark, sf_dir):
                       F.col("rnk").cast("long").alias("rnk"))
 
 
+def q_diversity_topk(spark, sf_dir):
+    """DiversityCollector analog (demo lucene/collector/DiversityCollector
+    .java): global top-10 by BM25 score with at most 2 hits per lang."""
+    from lucene_7_x_9_x_spark.operators.collectors import diversity_top_k
+    scored = _scores_all_df(spark, sf_dir, Q.TermQuery(T1))
+    docs = _documents(spark, sf_dir).select("doc_id", "lang")
+    out = diversity_top_k(scored.join(docs, "doc_id"), "lang", 10, 2,
+                          id_col="doc_id", score_col="score_micro")
+    return out.select("lang", "doc_id", "score_micro")
+
+
+def _dvu_searcher(spark, sf_dir) -> IndexSearcher:
+    """Index with an in-place numeric DocValues update applied once
+    (IndexWriter.updateNumericDocValue; demo UpdateDocValuesTest.java's
+    refresh-popularity-without-reindex): docs with doc_id % 10 == 3 get
+    pop = doc_id % 7, overlaying the base n_chars values."""
+    from lucene_7_x_9_x_spark.index.writer import IndexWriter
+    key = (os.path.abspath(sf_dir), "dvu")
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    idx = _index_dir(sf_dir) + "_dvu"
+    if IndexCatalog(idx).head() < 0:
+        build_index(
+            spark, _documents(spark, sf_dir), key_col="doc_id",
+            text_col="text", index_dir=idx,
+            docs_per_segment=_DOCS_PER_SEGMENT, int_keys=True, resume=True)
+    if not IndexCatalog(idx).dv_gens():
+        w = IndexWriter(spark, idx, int_keys=True)
+        upd = (_documents(spark, sf_dir)
+               .where(F.col("doc_id") % 10 == 3)
+               .select("doc_id", (F.col("doc_id") % 7).alias("v")))
+        w.update_numeric_docvalues(upd, "doc_id", "pop", "v")
+    s = IndexSearcher(spark, idx, dtype=np.float64)
+    _SEARCHERS[key] = s
+    return s
+
+
+def q_docvalues_update_sort(spark, sf_dir):
+    """In-place DocValues update, then Sort-by-field through the overlay:
+    matches of a term query ordered by the UPDATED numeric field (newest
+    generation wins; untouched docs keep the base column)."""
+    s = _dvu_searcher(spark, sf_dir)
+    m = s.matches_df(Q.TermQuery(T1))
+    dv = s.numeric_docvalues(
+        "pop", _documents(spark, sf_dir).select("doc_id", "n_chars"),
+        "doc_id", "n_chars")
+    keyed = s.docs_df().select("segment_id", "docid",
+                               F.col("key").cast("long").alias("doc_id"))
+    return (m.join(dv, ["segment_id", "docid"])
+            .join(keyed, ["segment_id", "docid"])
+            .orderBy(F.asc("value"), F.asc("doc_id")).limit(10)
+            .select("doc_id", F.col("value").cast("long").alias("value")))
+
+
 def q_facet_counts_by_source(spark, sf_dir):
     m = _matches_with_meta(spark, sf_dir, Q.TermQuery(T1))
     return facet_counts(m, "source").select("source",
@@ -1212,6 +1266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries were driver-green inside the r3 window and route only through
     # those same represented paths.
     return {
+        # (r5-new) in-place DocValues updates + diversity collector
+        "docvalues_update_sort": q_docvalues_update_sort,
+        "diversity_topk": q_diversity_topk,
         # (a) previously outside the driver window
         "grouping_top2_per_lang": q_grouping_top2_per_lang,
         "facet_counts_by_source": q_facet_counts_by_source,
@@ -1860,6 +1917,26 @@ r AS (SELECT lang, doc_id, score_micro,
       FROM g)""".strip()], """
 SELECT lang, doc_id, score_micro, CAST(rnk AS BIGINT) AS rnk
 FROM r WHERE rnk <= 2""")
+
+    out["diversity_topk"] = _topk_sql([s1, f"""
+g AS (SELECT d.lang AS lang, s1.doc_id AS doc_id,
+             {_micro('s1.s')} AS score_micro
+      FROM s1 JOIN documents d ON d.doc_id = s1.doc_id)""".strip(), """
+r AS (SELECT lang, doc_id, score_micro,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY score_micro DESC, doc_id) AS rnk
+      FROM g)""".strip()], """
+SELECT lang, doc_id, score_micro
+FROM r WHERE rnk <= 2
+ORDER BY score_micro DESC, doc_id LIMIT 10""")
+
+    out["docvalues_update_sort"] = _topk_sql([], f"""
+SELECT m.doc_id AS doc_id,
+       CAST(CASE WHEN d.doc_id % 10 = 3 THEN d.doc_id % 7
+                 ELSE d.n_chars END AS BIGINT) AS value
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{T1}') m
+JOIN documents d ON d.doc_id = m.doc_id
+ORDER BY value, doc_id LIMIT 10""")
 
     out["facet_counts_by_source"] = _topk_sql([], f"""
 SELECT d.source AS source, CAST(COUNT(*) AS BIGINT) AS cnt

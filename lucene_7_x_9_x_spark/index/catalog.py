@@ -120,6 +120,14 @@ class IndexCatalog:
         snap = self.snapshot()
         return list(snap.get("soft_delete_gens", [])) if snap else []
 
+    def dv_gens(self) -> list[int]:
+        """DocValues-update generations visible to the current snapshot (the
+        docValuesGen analog of Lucene's in-place field updates,
+        SegmentCommitInfo.java docValuesGen / IndexWriter.updateNumericDocValue).
+        Uncommitted gens stay invisible; rollback restores the old list."""
+        snap = self.snapshot()
+        return list(snap.get("dv_gens", [])) if snap else []
+
     def commit(self, segments: list[dict], operation: str = "append",
                extra: dict | None = None) -> int:
         """Atomically publish a new snapshot with the given live segment set.
@@ -147,6 +155,7 @@ class IndexCatalog:
             "delete_gens": (parent_snap or {}).get("delete_gens", []),
             "soft_delete_gens": (parent_snap or {}).get(
                 "soft_delete_gens", []),
+            "dv_gens": (parent_snap or {}).get("dv_gens", []),
             "committed_batches": dict(
                 (parent_snap or {}).get("committed_batches", {})),
             "segments": sorted(segments, key=lambda s: s["segment_id"]),
@@ -182,6 +191,7 @@ class IndexCatalog:
             snap["segments"], operation="rollback",
             extra={"delete_gens": snap.get("delete_gens", []),
                    "soft_delete_gens": snap.get("soft_delete_gens", []),
+                   "dv_gens": snap.get("dv_gens", []),
                    "rollback_of": snapshot_id})
 
     def segment_complete(self, segment_id: int) -> bool:

@@ -412,6 +412,42 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
             new_seg["soft_del_count"] = int(soft_total)
             extra = {"soft_delete_gens": cat.soft_delete_gens() + [gen]}
         remapped.unpersist()
+    # in-place DocValues updates survive the merge re-based onto the new
+    # docids, exactly like Lucene's SegmentMerger folding docValuesGen files
+    # into the merged segment's .dvd: collapse newest-gen-wins upstream
+    # (dv_updates_df), drop updates of deleted docs, re-address to the new
+    # segment, publish as one new gen in the SAME merge commit. Old segments'
+    # dv rows fall out of the live set with the segments themselves.
+    from .writer import dv_updates_df
+    dv_src = (dv_updates_df(spark, index_dir, set(segment_ids),
+                            gens=cat.dv_gens())
+              if cat.dv_gens() else None)
+    if dv_src is not None:
+        def remap_dv(batches):
+            for pdf in batches:
+                for sid, g in pdf.groupby("segment_id"):
+                    keep, new_ids = remap(
+                        int(sid), g["docid"].values.astype(np.int64))
+                    g = g.loc[keep]
+                    yield pd.DataFrame({
+                        "segment_id": np.full(new_ids.size, new_id,
+                                              dtype=np.int32),
+                        "docid": new_ids.astype(np.int32),
+                        "field": g["field"].values,
+                        "value": g["value"].values})
+
+        dv_remapped = dv_src.mapInPandas(
+            remap_dv,
+            "segment_id int, docid int, field string, value long").persist()
+        dv_total = dv_remapped.count()
+        if dv_total:
+            gen = cat.head() + 1
+            (dv_remapped.repartition(1).write.mode("append")
+             .partitionBy("segment_id")
+             .parquet(os.path.join(index_dir, "dv_updates", f"gen={gen}")))
+            extra = dict(extra or {})
+            extra["dv_gens"] = cat.dv_gens() + [gen]
+        dv_remapped.unpersist()
     remaining = [s for sid, s in live.items() if sid not in set(segment_ids)]
     wall_ms = int((time.time() - t0) * 1000)
     append_lineage(index_dir, [

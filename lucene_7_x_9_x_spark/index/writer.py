@@ -37,7 +37,40 @@ from .builder import index_wave
 from .catalog import IndexCatalog, append_lineage
 from . import schema as S
 
-__all__ = ["IndexWriter", "load_deletes", "deletes_df"]
+__all__ = ["IndexWriter", "load_deletes", "deletes_df", "dv_updates_df"]
+
+
+def dv_updates_df(spark: SparkSession, index_dir: str,
+                  live_segment_ids: set[int],
+                  gens: list[int] | None = None) -> DataFrame | None:
+    """(segment_id, docid, field, value) of the committed in-place DocValues
+    updates, collapsed newest-generation-wins per (segment, doc, field) —
+    the read side of IndexWriter.updateNumericDocValue's docValuesGen files
+    (SegmentCommitInfo.java docValuesGen; each update gen is a .dvd sidecar
+    the reader overlays on the segment's base values).
+
+    Generation dirs are read by direct path (only committed gens exist in the
+    plan) and liveness is a broadcast semi-join against the segment-id list —
+    metadata-scale driver data, never a per-segment literal expression.
+    Crash-retried updates may duplicate rows WITHIN a gen; the retry carries
+    the same batch, and max(struct(gen, value)) picks deterministically."""
+    if gens is None:
+        gens = IndexCatalog(index_dir).dv_gens()
+    ddir = os.path.join(index_dir, "dv_updates")
+    paths = [os.path.join(ddir, f"gen={int(g)}") for g in (gens or [])]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:
+        return None
+    live = spark.createDataFrame(
+        [(int(s),) for s in sorted(live_segment_ids)], "segment_id int")
+    return (spark.read.option("basePath", ddir).parquet(*paths)
+            .join(F.broadcast(live), "segment_id", "left_semi")
+            .groupBy("segment_id", "docid", "field")
+            .agg(F.max(F.struct(
+                F.col("gen").cast("long").alias("gen"),
+                F.col("value").alias("value"))).alias("m"))
+            .select("segment_id", "docid", "field",
+                    F.col("m.value").alias("value")))
 
 
 def deletes_df(spark: SparkSession, index_dir: str,
@@ -374,6 +407,66 @@ class IndexWriter:
             self._bump_del_counts(live, per_seg, "soft_del_count") + segs,
             operation="soft_update", extra=extra)
         return [s["segment_id"] for s in segs]
+
+    # --- in-place DocValues updates (docValuesGen analog) ---------------------
+    def _write_dv_files(self, targets: DataFrame) -> int:
+        """Write the next dv-update generation (invisible until the commit
+        lists it in dv_gens). targets: (segment_id, docid, field, value)."""
+        targets = targets.select(
+            F.col("segment_id").cast("int"), F.col("docid").cast("int"),
+            F.col("field").cast("string"),
+            F.col("value").cast("long")).persist()
+        per_seg = {int(r["segment_id"]): int(r["cnt"])
+                   for r in targets.groupBy("segment_id")
+                   .agg(F.count("*").alias("cnt")).collect()}
+        gen = self.cat.head() + 1
+        n = sum(per_seg.values())
+        if n:
+            (targets.write.mode("append").partitionBy("segment_id")
+             .parquet(os.path.join(self.index_dir, "dv_updates",
+                                   f"gen={gen}")))
+            append_lineage(self.index_dir, [
+                ("dv_update", sid, gen, cnt, 0, "done")
+                for sid, cnt in sorted(per_seg.items())])
+            self.cat.commit(
+                self.cat.live_segments(), operation="dv_update",
+                extra={"dv_gens": self.cat.dv_gens() + [gen]})
+        targets.unpersist()
+        return n
+
+    def update_numeric_docvalues(self, df: DataFrame, key_col: str,
+                                 field: str, value_col: str) -> int:
+        """Bulk IndexWriter.updateNumericDocValue analog (IndexWriter.java
+        updateNumericDocValue; demo LuceneDemo/.../query/UpdateDocValuesTest
+        .java): refresh a per-doc numeric signal (popularity, quality, ...)
+        IN PLACE — no delete, no reindex, postings and norms untouched.
+
+        df carries (key, new value); every LIVE doc with that key gets the
+        value. Targets resolve via a distributed join of the live docs
+        against the batch (a Common-Crawl-partition refresh is 10^7+ keys —
+        nothing is collected to the driver); the values land in a dv-update
+        GENERATION sidecar (dv_updates/gen=G/segment_id=K) that readers
+        overlay newest-gen-wins and merges fold into the merged segment.
+        Returns the number of doc-values written."""
+        batch = (df.select(F.col(key_col).cast("string").alias("key"),
+                           F.col(value_col).cast("long").alias("value"))
+                 .groupBy("key").agg(F.max("value").alias("value")))
+        targets = (self._live_docs().select("segment_id", "docid", "key")
+                   .join(batch, "key")
+                   .select("segment_id", "docid",
+                           F.lit(field).alias("field"), "value"))
+        return self._write_dv_files(targets)
+
+    def update_numeric_docvalue(self, query, field: str, value: int) -> int:
+        """updateNumericDocValue(Term, field, value) analog: every live doc
+        matching `query` gets docvalue field = value (the demo's
+        update-popularity-without-reindex shape)."""
+        from ..search.searcher import IndexSearcher
+        s = IndexSearcher(self.spark, self.index_dir)
+        targets = s.matches_df(query).select(
+            "segment_id", "docid", F.lit(field).alias("field"),
+            F.lit(int(value)).alias("value"))
+        return self._write_dv_files(targets)
 
     # --- updates ------------------------------------------------------------
     def update_documents(self, df: DataFrame, key_col: str,

@@ -29,7 +29,7 @@ from pyspark.sql.window import Window
 
 __all__ = ["top_docs_per_group", "facet_counts", "hierarchical_facet_counts",
            "distinct_values", "more_like_this_terms", "drill_sideways",
-           "range_facet_counts"]
+           "range_facet_counts", "diversity_top_k"]
 
 
 def top_docs_per_group(scored: DataFrame, group_col: str, k: int,
@@ -43,6 +43,25 @@ def top_docs_per_group(scored: DataFrame, group_col: str, k: int,
     w = Window.partitionBy(group_col).orderBy(F.desc(score_col), F.asc(id_col))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= k))
+
+
+def diversity_top_k(scored: DataFrame, key_col: str, k: int, per_key: int,
+                    id_col: str = "doc_id",
+                    score_col: str = "score") -> DataFrame:
+    """DiversityCollector analog (demo lucene/collector/DiversityCollector
+    .java): global top-k by (score desc, id asc) keeping at most `per_key`
+    hits that share a key value (e.g. at most 2 results per site).
+
+    The collector's greedy by-score acceptance equals: a doc survives iff
+    fewer than per_key higher-ranked docs share its key — i.e. per-key rank
+    <= per_key, then global top-k. Scale: one shuffle on key_col with the
+    rank filter pushed into the window sort (at most per_key rows per key
+    survive), then a k-row TakeOrderedAndProject (partial top-k per
+    partition, k rows to the driver)."""
+    w = Window.partitionBy(key_col).orderBy(F.desc(score_col), F.asc(id_col))
+    return (scored.withColumn("_dr", F.row_number().over(w))
+            .where(F.col("_dr") <= per_key).drop("_dr")
+            .orderBy(F.desc(score_col), F.asc(id_col)).limit(k))
 
 
 def facet_counts(matched: DataFrame, dim_col: str) -> DataFrame:

@@ -266,6 +266,41 @@ class IndexSearcher:
         return sorted(((t["term"], t["freq"], list(t["positions"]))
                        for t in rows[0]["tv"]), key=lambda x: x[0])
 
+    # --- in-place numeric DocValues (docValuesGen overlay) --------------------
+    def dv_updates_df(self) -> DataFrame | None:
+        """(segment_id, docid, field, value) committed in-place DocValues
+        updates visible to THIS reader's snapshot, newest generation wins
+        (the docValuesGen overlay a Lucene reader applies per segment)."""
+        from ..index.writer import dv_updates_df
+        gens = (self._snapshot or {}).get("dv_gens", [])
+        if not gens:
+            return None
+        return dv_updates_df(self.spark, self._index_dir,
+                             {s["segment_id"] for s in self.segments},
+                             gens=gens)
+
+    def numeric_docvalues(self, field: str, base: DataFrame,
+                          key_col: str, value_col: str) -> DataFrame:
+        """(segment_id, docid, value) of a numeric doc-values field: the base
+        values come from a columnar doc-store table joined by key (the
+        SURVEY-sanctioned parquet-columns-as-DocValues mapping), overlaid
+        with any committed in-place updates for `field`
+        (IndexWriter.updateNumericDocValue read path). Distributed joins
+        only — the overlay is newest-gen-collapsed upstream."""
+        d = self.docs_df().select("segment_id", "docid", "key")
+        b = base.select(F.col(key_col).cast("string").alias("key"),
+                        F.col(value_col).cast("long").alias("_base"))
+        out = d.join(b, "key", "left")
+        upd = self.dv_updates_df()
+        if upd is None:
+            return out.select("segment_id", "docid",
+                              F.col("_base").alias("value"))
+        upd = (upd.where(F.col("field") == field)
+               .select("segment_id", "docid", F.col("value").alias("_upd")))
+        return (out.join(upd, ["segment_id", "docid"], "left")
+                .select("segment_id", "docid",
+                        F.coalesce("_upd", "_base").alias("value")))
+
     def _field_prefix(self, field: str | None) -> str:
         """The encoded-term prefix of a leaf's field ('' = bare terms).
 
