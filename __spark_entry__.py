@@ -375,6 +375,60 @@ def q_docvalues_update_sort(spark, sf_dir):
             .select("doc_id", F.col("value").cast("long").alias("value")))
 
 
+def _pay_searcher(spark, sf_dir) -> IndexSearcher:
+    """Payload index (PayloadAnalyzer + .pay channel): each token of the
+    corpus is re-emitted as 'term|payload' with the deterministic payload
+    (doc_id + position) % 16 — a derivation the SQL oracle recomputes from
+    the raw documents table."""
+    from lucene_7_x_9_x_spark.analysis.tokenizer import PayloadAnalyzer
+    key = (os.path.abspath(sf_dir), "pay")
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    idx = _index_dir(sf_dir) + "_pay"
+    if IndexCatalog(idx).head() < 0:
+        docs = _documents(spark, sf_dir)
+        toks = F.split(F.trim(F.col("text")), " ")
+        pay_text = F.array_join(
+            F.transform(toks, lambda t, i: F.concat(
+                t, F.lit("|"),
+                F.pmod(F.col("doc_id") + i, F.lit(16)).cast("string"))),
+            " ")
+        build_index(
+            spark, docs.select("doc_id", pay_text.alias("text")),
+            key_col="doc_id", text_col="text", index_dir=idx,
+            docs_per_segment=_DOCS_PER_SEGMENT, int_keys=True, resume=True,
+            analyzer=PayloadAnalyzer())
+    s = IndexSearcher(spark, idx, dtype=np.float64)
+    _SEARCHERS[key] = s
+    return s
+
+
+def q_payload_score_topk(spark, sf_dir):
+    """PayloadScoreQuery(term, MaxPayloadFunction, includeSpanScore=false):
+    top-10 docs by the max payload at the term's matched positions."""
+    from lucene_7_x_9_x_spark.operators.payloads import payload_score_topk
+    s = _pay_searcher(spark, sf_dir)
+    out = payload_score_topk(s, T1, fn="max", k=10)
+    return out.select(F.col("key").cast("long").alias("doc_id"),
+                      _micro_col("score").alias("score_micro"))
+
+
+# payload-channel sparse query vector: dimension = term, weight below
+PAY_SPARSE_QV = {"spark": 2.0, "merge": 5.0, "lonely": 9.0}
+
+
+def q_payload_sparse_knn_topk(spark, sf_dir):
+    """Sparse-vector KNN with doc weights read from the .pay channel
+    (dimension = term, doc component = sum of the term's payloads): top-10
+    by dot product with the query vector."""
+    from lucene_7_x_9_x_spark.operators.payloads import (
+        payload_sparse_dot_topk)
+    s = _pay_searcher(spark, sf_dir)
+    out = payload_sparse_dot_topk(s, PAY_SPARSE_QV, k=10)
+    return out.select(F.col("key").cast("long").alias("doc_id"),
+                      _micro_col("score").alias("score_micro"))
+
+
 def q_facet_counts_by_source(spark, sf_dir):
     m = _matches_with_meta(spark, sf_dir, Q.TermQuery(T1))
     return facet_counts(m, "source").select("source",
@@ -1266,9 +1320,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries were driver-green inside the r3 window and route only through
     # those same represented paths.
     return {
-        # (r5-new) in-place DocValues updates + diversity collector
+        # (r5-new) DocValues updates, diversity collector, payload channel
         "docvalues_update_sort": q_docvalues_update_sort,
         "diversity_topk": q_diversity_topk,
+        "payload_score_topk": q_payload_score_topk,
+        "payload_sparse_knn_topk": q_payload_sparse_knn_topk,
         # (a) previously outside the driver window
         "grouping_top2_per_lang": q_grouping_top2_per_lang,
         "facet_counts_by_source": q_facet_counts_by_source,
@@ -1928,6 +1984,23 @@ r AS (SELECT lang, doc_id, score_micro,
       FROM g)""".strip()], """
 SELECT lang, doc_id, score_micro
 FROM r WHERE rnk <= 2
+ORDER BY score_micro DESC, doc_id LIMIT 10""")
+
+    out["payload_score_topk"] = _topk_sql([], f"""
+SELECT doc_id, {_micro('CAST(MAX((doc_id + pos) % 16) AS DOUBLE)')} AS score_micro
+FROM tok WHERE term = '{T1}'
+GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id LIMIT 10""")
+
+    pay_dot = " + ".join(
+        f"{_fc(w)}*COALESCE(SUM(CASE WHEN term = '{t}' "
+        f"THEN CAST((doc_id + pos) % 16 AS DOUBLE) END), 0e0)"
+        for t, w in sorted(PAY_SPARSE_QV.items()))
+    pay_terms = ", ".join(f"'{t}'" for t in sorted(PAY_SPARSE_QV))
+    out["payload_sparse_knn_topk"] = _topk_sql([], f"""
+SELECT doc_id, {_micro(f'({pay_dot})')} AS score_micro
+FROM tok WHERE term IN ({pay_terms})
+GROUP BY doc_id
 ORDER BY score_micro DESC, doc_id LIMIT 10""")
 
     out["docvalues_update_sort"] = _topk_sql([], f"""

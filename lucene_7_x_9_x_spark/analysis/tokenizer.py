@@ -377,6 +377,56 @@ class Analyzer:
         return texts.map(agg)
 
 
+class PayloadAnalyzer(Analyzer):
+    """Whitespace tokenizer + delimited-payload filter (the demo
+    LuceneDemo/src/main/java/lucene/AnalyzerTest/PayloadAnalyzer.java role,
+    via DelimitedPayloadTokenFilter semantics): a token ``term|42`` emits
+    ``term`` with integer payload 42 attached to its position; a token
+    without the delimiter gets payload 0. The payloads land in the postings'
+    .pay channel (pay_bytes) and feed PayloadScoreQuery-style scoring.
+
+    Whitespace tokenization (not the standard token regex) because the
+    delimiter must survive into the filter — exactly why Lucene pairs the
+    delimited filter with WhitespaceTokenizer."""
+
+    def __init__(self, delimiter: str = "|", lowercase: bool = True):
+        super().__init__(lowercase=lowercase)
+        self.delimiter = delimiter
+
+    def term_freqs_payloads(self, text: Optional[str]):
+        """([(term, freq, positions, payloads)], doclen) — positions and
+        payloads are aligned 1:1."""
+        if not text:
+            return [], 0
+        acc: dict = {}
+        pos = 0
+        delim = self.delimiter
+        for raw in text.split():
+            term, _, pay = raw.partition(delim)
+            if not term:
+                continue
+            if self.lowercase:
+                term = term.lower()
+            try:
+                payload = int(pay) if pay else 0
+            except ValueError:
+                payload = 0
+            lst = acc.get(term)
+            if lst is None:
+                acc[term] = [(pos, payload)]
+            else:
+                lst.append((pos, payload))
+            pos += 1
+        return ([(t, len(pp), [p for p, _ in pp], [w for _, w in pp])
+                 for t, pp in acc.items()], pos)
+
+    def term_freqs(self, text: Optional[str]):
+        """Payload-less view (same terms/positions) so shared read paths
+        (MemoryIndex, query analysis) keep working on payload fields."""
+        items, doclen = self.term_freqs_payloads(text)
+        return [(t, f, ps) for t, f, ps, _ in items], doclen
+
+
 STANDARD = Analyzer()  # StandardAnalyzer() defaults: lowercase, no stopwords
 
 # EnglishAnalyzer analog (EnglishAnalyzer.java:48-54,110-123): the canonical

@@ -214,7 +214,7 @@ def _stream_small(lst) -> bytes:
     return _ONE_HEADER
 
 
-def _encode_small(docids, freqs, norm_bytes, positions):
+def _encode_small(docids, freqs, norm_bytes, positions, payloads=None):
     """Pure-python single-block encoder for df <= 16 posting lists.
 
     Low-df terms are the overwhelming majority (Zipf), and at this size the
@@ -244,17 +244,24 @@ def _encode_small(docids, freqs, norm_bytes, positions):
         blk["pos_bytes"] = _vb_small(dp)
     else:
         blk["pos_bytes"] = b""
+    if payloads is not None:
+        blk["pay_bytes"] = _vb_small([int(x) for p in payloads for x in p])
+    else:
+        blk["pay_bytes"] = b""
     return [blk]
 
 
 def encode_posting_list(docids, freqs, norm_bytes, positions=None,
                         block_size: int = BLOCK_SIZE,
-                        codec: "str | Codec" = "for-vbyte"):
+                        codec: "str | Codec" = "for-vbyte",
+                        payloads=None):
     """Encode one (segment, term) posting list into 128-doc blocks.
 
     docids: strictly-increasing int array; freqs: int array >= 1; norm_bytes:
     uint8 array (quantized doc length of each posting's doc); positions: optional
-    list of per-doc ascending position arrays.
+    list of per-doc ascending position arrays; payloads: optional list of
+    per-doc int arrays, one payload per position (the .pay channel,
+    Lucene84PostingsFormat.java:99-103 — requires positions).
 
     ``codec`` selects the stream encoder for the doc-delta and freq streams of
     blocks with >16 postings (see the Codec SPI below; small lists always take
@@ -263,8 +270,10 @@ def encode_posting_list(docids, freqs, norm_bytes, positions=None,
 
     Returns a list of block dicts with keys:
       first_doc, last_doc, count, max_freq, min_norm, doc_bytes, freq_bytes,
-      norm_bytes, pos_bytes
+      norm_bytes, pos_bytes, pay_bytes
     """
+    if payloads is not None and positions is None:
+        raise ValueError("payloads require positions")
     enc = get_codec(codec).encode_stream
     if len(docids) <= 16:
         dl = [int(x) for x in docids]
@@ -273,7 +282,9 @@ def encode_posting_list(docids, freqs, norm_bytes, positions=None,
         return _encode_small(
             dl, [int(x) for x in freqs], [int(x) for x in norm_bytes],
             None if positions is None else
-            [[int(x) for x in p] for p in positions])
+            [[int(x) for x in p] for p in positions],
+            None if payloads is None else
+            [[int(x) for x in p] for p in payloads])
 
     docids = np.asarray(docids, dtype=np.int64)
     freqs = np.asarray(freqs, dtype=np.int64)
@@ -286,6 +297,7 @@ def encode_posting_list(docids, freqs, norm_bytes, positions=None,
     # doc is stored absolute). One pass, no per-doc numpy churn.
     flat_dp = None
     pos_offsets = None
+    flat_pay = None
     if positions is not None:
         if positions and not isinstance(positions[0], np.ndarray):
             positions = [np.asarray(p, dtype=np.int64) for p in positions]
@@ -299,6 +311,10 @@ def encode_posting_list(docids, freqs, norm_bytes, positions=None,
             flat_dp[1:] = flat[1:] - flat[:-1]
             flat_dp[starts] = flat[starts]  # reset delta at doc boundaries
         pos_offsets = np.concatenate([[0], np.cumsum(counts)])
+        if payloads is not None:
+            flat_pay = (np.concatenate(
+                [np.asarray(p, dtype=np.int64) for p in payloads])
+                if payloads else np.zeros(0, dtype=np.int64))
 
     blocks = []
     for start in range(0, n, block_size):
@@ -322,17 +338,26 @@ def encode_posting_list(docids, freqs, norm_bytes, positions=None,
                 flat_dp[pos_offsets[start]:pos_offsets[end]].astype(np.uint64))
         else:
             blk["pos_bytes"] = b""
+        if flat_pay is not None:
+            blk["pay_bytes"] = vbyte_encode(
+                flat_pay[pos_offsets[start]:pos_offsets[end]].astype(np.uint64))
+        else:
+            blk["pay_bytes"] = b""
         blocks.append(blk)
     return blocks
 
 
-def decode_blocks(blocks, want_positions: bool = False):
-    """Decode block dicts/Rows back to (docids, freqs, norm_bytes[, positions]).
+def decode_blocks(blocks, want_positions: bool = False,
+                  want_payloads: bool = False):
+    """Decode block dicts/Rows back to
+    (docids, freqs, norm_bytes[, positions][, payloads]).
 
-    positions is returned as a flat int64 array plus per-posting freq split
-    (use split_positions to get per-doc lists).
-    """
+    positions (and payloads, aligned 1:1 with them) are returned as flat
+    int64 arrays plus per-posting freq split (use split_positions to get
+    per-doc lists). want_payloads implies positions are present in the
+    blocks; segments without a payload channel yield all-zero payloads."""
     all_d, all_f, all_n, all_p = [], [], [], []
+    all_pay = []
     for blk in blocks:
         cnt = int(blk["count"])
         deltas = decode_stream(bytes(blk["doc_bytes"]), cnt - 1) if cnt > 1 else \
@@ -360,13 +385,28 @@ def decode_blocks(blocks, want_positions: bool = False):
                 np.maximum.accumulate(prior, out=prior)
                 base = prior
             all_p.append(csum - base)
+        if want_payloads:
+            total_pos = int(f.sum())
+            try:
+                raw = blk["pay_bytes"]
+            except (KeyError, ValueError):  # pre-payload segment / old Row
+                raw = None
+            if raw:
+                all_pay.append(
+                    vbyte_decode(bytes(raw), total_pos).astype(np.int64))
+            else:
+                all_pay.append(np.zeros(total_pos, dtype=np.int64))
     d = np.concatenate(all_d) if all_d else np.zeros(0, dtype=np.int64)
     f = np.concatenate(all_f) if all_f else np.zeros(0, dtype=np.int64)
     nb = np.concatenate(all_n) if all_n else np.zeros(0, dtype=np.uint8)
+    out = [d, f, nb]
     if want_positions:
-        p = np.concatenate(all_p) if all_p else np.zeros(0, dtype=np.int64)
-        return d, f, nb, p
-    return d, f, nb
+        out.append(np.concatenate(all_p) if all_p
+                   else np.zeros(0, dtype=np.int64))
+    if want_payloads:
+        out.append(np.concatenate(all_pay) if all_pay
+                   else np.zeros(0, dtype=np.int64))
+    return tuple(out)
 
 
 def split_positions(flat_positions: np.ndarray, freqs: np.ndarray):

@@ -70,6 +70,30 @@ def _tokenize_udf(analyzer: Analyzer):
     return tok
 
 
+def _tokenize_pay_udf(analyzer):
+    """Payload-channel tokenizer (PayloadAnalyzer): tv structs carry a
+    payloads array aligned with positions — the PayloadAttribute riding the
+    token stream into the .pay postings channel."""
+    out_type = T.StructType(
+        [
+            T.StructField("tv", S.TERMVEC_PAY_STRUCT, False),
+            T.StructField("doclen", T.IntegerType(), False),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def tok(texts: pd.Series) -> pd.DataFrame:
+        tvs = []
+        lens = []
+        for text in texts:
+            items, doclen = analyzer.term_freqs_payloads(text)
+            tvs.append(items)
+            lens.append(doclen)
+        return pd.DataFrame({"tv": tvs, "doclen": lens})
+
+    return tok
+
+
 def _routed_tokenize_udf(by_lang: dict, default: Analyzer):
     """Per-row analyzer routing (PerFieldAnalyzerWrapper-style, keyed on the
     corpus `lang` column instead of the field name): each row tokenizes with
@@ -117,6 +141,8 @@ def _encode_partition(pdf: pd.DataFrame, store_positions: bool,
     freqs = pdf["freq"].values.astype(np.int64)
     norms = pdf["norm_byte"].values.astype(np.uint8)
     pos_col = pdf["positions"].values if store_positions else None
+    pay_col = (pdf["payloads"].values
+               if ("payloads" in pdf.columns and store_positions) else None)
     order = np.lexsort((docids, term_codes))
     tc = term_codes[order]
     bounds = np.flatnonzero(np.diff(tc)) + 1
@@ -131,7 +157,11 @@ def _encode_partition(pdf: pd.DataFrame, store_positions: bool,
         positions = None
         if pos_col is not None:
             positions = [np.asarray(pos_col[i], dtype=np.int64) for i in idx]
-        blocks = encode_posting_list(d, f, nb, positions, codec=codec)
+        payloads = None
+        if pay_col is not None:
+            payloads = [np.asarray(pay_col[i], dtype=np.int64) for i in idx]
+        blocks = encode_posting_list(d, f, nb, positions, codec=codec,
+                                     payloads=payloads)
         rows.append(
             {
                 "segment_id": seg,
@@ -250,8 +280,18 @@ def index_wave(
     renames are cheap and the shuffle is pure overhead — default off."""
     if analyzer_by_lang and fields:
         raise ValueError("analyzer_by_lang supports single-field mode only")
+    from ..analysis.tokenizer import PayloadAnalyzer
+    has_payloads = isinstance(analyzer, PayloadAnalyzer)
+    if has_payloads and (fields or analyzer_by_lang or store_term_vectors):
+        raise ValueError("PayloadAnalyzer supports plain single-field mode "
+                         "only (no per-lang routing / term vectors)")
+    if has_payloads and not store_positions:
+        raise ValueError("payloads require store_positions=True "
+                         "(.pay rides the .pos channel)")
     tok_udf = (_routed_tokenize_udf(analyzer_by_lang, analyzer)
-               if analyzer_by_lang else _tokenize_udf(analyzer))
+               if analyzer_by_lang
+               else (_tokenize_pay_udf(analyzer) if has_payloads
+                     else _tokenize_udf(analyzer)))
     if store_term_vectors and fields:
         raise ValueError("store_term_vectors supports single-field mode only")
     for root in ("docs", "postings", "tvd"):
@@ -394,6 +434,8 @@ def index_wave(
         for e in per_field[1:]:
             exploded = exploded.unionByName(e)
     else:
+        pay_cols = ([F.col("p.payloads").alias("payloads")]
+                    if has_payloads else [])
         exploded = (
             keyed.withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
             .select(
@@ -405,6 +447,7 @@ def index_wave(
                 F.col("p.term").alias("term"),
                 F.col("p.freq").alias("freq"),
                 F.col("p.positions").alias("positions"),
+                *pay_cols,
             )
         )
     exploded = exploded.withColumn(

@@ -313,17 +313,25 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
         rows = []
         for term, g in pdf.groupby("term", sort=False):
             g = g.sort_values("segment_id")  # segment order == docid order
-            ds, fs, ns, ps = [], [], [], []
+            ds, fs, ns, ps, pays = [], [], [], [], []
             has_pos = True
+            has_pay = False
             for r in g.itertuples():
                 blocks = [b if isinstance(b, dict) else b.asDict()
                           for b in r.blocks]
                 if blocks and blocks[0].get("pos_bytes"):
-                    d, f, n, flat = decode_blocks(blocks, want_positions=True)
+                    # payloads ride the positions channel through the merge
+                    # (SegmentMerger carries .pay alongside .pos); absent
+                    # channels decode as zeros so mixed inputs stay aligned
+                    d, f, n, flat, fpay = decode_blocks(
+                        blocks, want_positions=True, want_payloads=True)
                     plists = split_positions(flat, f)
+                    paylists = split_positions(fpay, f)
+                    if blocks[0].get("pay_bytes"):
+                        has_pay = True
                 else:
                     d, f, n = decode_blocks(blocks)
-                    plists = None
+                    plists = paylists = None
                     has_pos = False
                 keep, new_d = remap(int(r.segment_id), d)
                 if new_d.size == 0:
@@ -333,14 +341,16 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
                 ns.append(n[keep])
                 if plists is not None:
                     ps.extend(p for p, k in zip(plists, keep) if k)
+                    pays.extend(p for p, k in zip(paylists, keep) if k)
             if not ds:
                 continue
             docids = np.concatenate(ds)
             freqs = np.concatenate(fs)
             norms = np.concatenate(ns)
             positions = ps if has_pos else None
-            blocks = encode_posting_list(docids, freqs, norms, positions,
-                                         codec=codec)
+            blocks = encode_posting_list(
+                docids, freqs, norms, positions, codec=codec,
+                payloads=pays if (has_pos and has_pay) else None)
             rows.append({
                 "segment_id": new_id, "term": term,
                 "df": int(docids.size), "ttf": int(freqs.sum()),

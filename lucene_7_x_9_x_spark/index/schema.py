@@ -20,6 +20,10 @@ BLOCK_STRUCT = T.StructType(
         T.StructField("freq_bytes", T.BinaryType(), False),
         T.StructField("norm_bytes", T.BinaryType(), False),
         T.StructField("pos_bytes", T.BinaryType(), True),
+        # per-position payload channel (.pay analog,
+        # Lucene84PostingsFormat.java:99-103); empty when the field has no
+        # payloads — old segments without the column read as null
+        T.StructField("pay_bytes", T.BinaryType(), True),
     ]
 )
 
@@ -50,6 +54,19 @@ TERMVEC_STRUCT = T.ArrayType(
             T.StructField("term", T.StringType(), False),
             T.StructField("freq", T.IntegerType(), False),
             T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+)
+
+# payload-analyzer variant: per-position payloads ride alongside positions
+# (PayloadAttribute on the token stream; DelimitedPayloadTokenFilter shape)
+TERMVEC_PAY_STRUCT = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("freq", T.IntegerType(), False),
+            T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+            T.StructField("payloads", T.ArrayType(T.LongType()), False),
         ]
     )
 )
