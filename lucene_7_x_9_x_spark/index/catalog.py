@@ -194,6 +194,148 @@ class IndexCatalog:
                    "dv_gens": snap.get("dv_gens", []),
                    "rollback_of": snapshot_id})
 
+    # --- deletion policy (IndexDeletionPolicy analog) -------------------------
+    def snapshots(self) -> list[int]:
+        """All snapshot ids still on disk, ascending (commit-point list)."""
+        out = []
+        for fn in os.listdir(self.catalog_dir):
+            if fn.startswith("snapshot-") and fn.endswith(".json"):
+                out.append(int(fn[len("snapshot-"):-len(".json")]))
+        return sorted(out)
+
+    def _pins_path(self) -> str:
+        return os.path.join(self.catalog_dir, "pins.json")
+
+    def pinned(self) -> set[int]:
+        """Snapshot ids protected from expiry (PersistentSnapshotDeletionPolicy
+        analog: pins are PERSISTED, so they survive process restarts —
+        PersistentSnapshotDeletionPolicyTest.java behavior)."""
+        p = self._pins_path()
+        if not os.path.exists(p):
+            return set()
+        with open(p) as f:
+            return set(json.load(f))
+
+    def pin_snapshot(self, snapshot_id: int) -> None:
+        """SnapshotDeletionPolicy.snapshot(): retain this commit point across
+        expiry (the backup/replication handle)."""
+        if self.snapshot(snapshot_id) is None:
+            raise ValueError(f"no snapshot {snapshot_id}")
+        pins = self.pinned() | {int(snapshot_id)}
+        tmp = self._pins_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted(pins), f)
+        os.rename(tmp, self._pins_path())
+
+    def release_snapshot(self, snapshot_id: int) -> None:
+        """SnapshotDeletionPolicy.release(): drop the pin; the commit point
+        becomes expirable on the next expire_snapshots run."""
+        pins = self.pinned() - {int(snapshot_id)}
+        tmp = self._pins_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted(pins), f)
+        os.rename(tmp, self._pins_path())
+
+    def expire_snapshots(self, keep_last_n: int = 1) -> dict:
+        """Retention job: keep the newest ``keep_last_n`` snapshots plus HEAD
+        and every pinned snapshot; delete the rest and garbage-collect data
+        no retained snapshot references (IndexFileDeleter with a
+        KeepLastN/SnapshotDeletionPolicy stack; the demo's
+        IndexDeletePolicyTest retain-by-policy behavior).
+
+        Sweeps: (wave, segment) partition dirs of docs/postings/tvd orphaned
+        by merges and rollbacks, and delete/soft-delete/dv-update generation
+        dirs no retained snapshot lists. Without this, the catalog grows
+        unboundedly — at the 10^12-doc design point orphaned partitions are
+        the dominant storage leak. Metadata-scale driver work: the directory
+        listing is O(#segments), the same cost Lucene's IndexFileDeleter pays
+        listing the Directory; the data deletes themselves are per-partition
+        (object-store manifest drops at production scale).
+
+        Returns {"expired": [...], "kept": [...], "removed_partitions": n,
+        "removed_gens": n}."""
+        import shutil
+
+        if keep_last_n < 1:
+            raise ValueError("keep_last_n must be >= 1")
+        head = self.head()
+        all_sids = self.snapshots()
+        keep = set(all_sids[-keep_last_n:]) | self.pinned()
+        if head >= 0:
+            keep.add(head)
+        expired = [s for s in all_sids if s not in keep]
+
+        live_pairs: set[tuple] = set()
+        live_gens = {"deletes": set(), "soft_deletes": set(),
+                     "dv_updates": set()}
+        for sid in sorted(keep):
+            snap = self.snapshot(sid)
+            if snap is None:
+                continue
+            for seg in snap.get("segments", []):
+                live_pairs.add((int(seg["wave"]), int(seg["segment_id"])))
+            for key, kind in (("delete_gens", "deletes"),
+                              ("soft_delete_gens", "soft_deletes"),
+                              ("dv_gens", "dv_updates")):
+                live_gens[kind].update(int(g) for g in snap.get(key, []))
+
+        removed_parts = 0
+        for root in ("docs", "postings", "tvd"):
+            rdir = os.path.join(self.index_dir, root)
+            if not os.path.isdir(rdir):
+                continue
+            for wdir in os.listdir(rdir):
+                if not wdir.startswith("wave="):
+                    continue
+                wave = int(wdir.split("=", 1)[1])
+                wpath = os.path.join(rdir, wdir)
+                for sdir in os.listdir(wpath):
+                    if not sdir.startswith("segment_id="):
+                        continue
+                    seg = int(sdir.split("=", 1)[1])
+                    if (wave, seg) not in live_pairs:
+                        shutil.rmtree(os.path.join(wpath, sdir))
+                        removed_parts += 1
+                if not any(e.startswith("segment_id=")
+                           for e in os.listdir(wpath)):
+                    shutil.rmtree(wpath)
+
+        # gens referenced by NO retained snapshot drop whole; inside retained
+        # gens, partitions of segments no retained snapshot keeps alive drop
+        # too (a merge folds them into the new segment, so their rows are
+        # unreadable dead weight — IndexFileDeleter dropping the old .liv)
+        live_seg_ids = {seg for _, seg in live_pairs}
+        removed_gens = 0
+        for kind, live in live_gens.items():
+            kdir = os.path.join(self.index_dir, kind)
+            if not os.path.isdir(kdir):
+                continue
+            for gdir in os.listdir(kdir):
+                if not gdir.startswith("gen="):
+                    continue
+                gpath = os.path.join(kdir, gdir)
+                if int(gdir.split("=", 1)[1]) not in live:
+                    shutil.rmtree(gpath)
+                    removed_gens += 1
+                    continue
+                for sdir in os.listdir(gpath):
+                    if (sdir.startswith("segment_id=")
+                            and int(sdir.split("=", 1)[1])
+                            not in live_seg_ids):
+                        shutil.rmtree(os.path.join(gpath, sdir))
+                        removed_gens += 1
+                if not any(e.startswith("segment_id=")
+                           for e in os.listdir(gpath)):
+                    shutil.rmtree(gpath)
+
+        for sid in expired:
+            os.remove(os.path.join(self.catalog_dir, f"snapshot-{sid}.json"))
+        append_lineage(self.index_dir, [
+            ("expire_snapshot", -1, sid, 0, 0, "done") for sid in expired])
+        return {"expired": expired, "kept": sorted(keep),
+                "removed_partitions": removed_parts,
+                "removed_gens": removed_gens}
+
     def segment_complete(self, segment_id: int) -> bool:
         """A segment's data is durable iff its _SUCCESS markers exist (resume check)."""
         return all(
