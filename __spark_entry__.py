@@ -784,6 +784,47 @@ def _cjk_searcher(spark, sf_dir) -> IndexSearcher:
     return s
 
 
+# ---- dictionary CJK segmentation (smartcn-role) ------------------------------
+# Frozen synthetic lexicon over the same deterministic han corpus: all "step-7"
+# pairs chr(x)+chr(x+7) (x in 0..255, offsets from U+4E00, mod 256) plus the
+# "step-7" triples chr(x)+chr(x+7)+chr(x+14) for EVEN x.  Because consecutive
+# chars of every generated doc step by exactly 7, greedy forward maximum
+# matching (the analyzer's cjk_dict route) segments each doc in closed form —
+# the parity of x at the cursor decides triple vs pair, and parity flips every
+# character — so the SQL oracle can regenerate the exact token stream:
+#   d even, len>=3: one triple at offset 0, then pairs, trailing OOV singleton
+#                   iff len is even;
+#   otherwise:      pairs from offset 0, trailing OOV singleton iff len is odd.
+# Pair tokens therefore always carry ODD x and the only triple position is 0.
+_ZH_LEX = frozenset(
+    [chr(0x4E00 + x) + chr(0x4E00 + (x + 7) % 256) for x in range(256)]
+    + [chr(0x4E00 + x) + chr(0x4E00 + (x + 7) % 256)
+       + chr(0x4E00 + (x + 14) % 256) for x in range(0, 256, 2)])
+# chosen for df at both sf0.001 and sf0.01 (pair df=3/3, triple df=2/2)
+CJK_DICT_PAIR = chr(0x4E00 + 197) + chr(0x4E00 + (197 + 7) % 256)
+CJK_DICT_TRI = (chr(0x4E00 + 174) + chr(0x4E00 + 181) + chr(0x4E00 + 188))
+
+
+def _cjk_dict_searcher(spark, sf_dir) -> IndexSearcher:
+    from lucene_7_x_9_x_spark.analysis.tokenizer import Analyzer
+    key = (os.path.abspath(sf_dir), "cjkdict")
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    idx = _index_dir(sf_dir) + "_cjkdict"
+    if IndexCatalog(idx).head() < 0:
+        docs = _documents(spark, sf_dir).withColumn(
+            "text",
+            F.when(F.col("lang") == "zh", _han_text_udf()(F.col("doc_id")))
+            .otherwise(F.col("text")))
+        build_index(spark, docs, key_col="doc_id", text_col="text",
+                    index_dir=idx, docs_per_segment=_DOCS_PER_SEGMENT,
+                    int_keys=True, resume=True,
+                    analyzer_by_lang={"zh": Analyzer(cjk_dict=_ZH_LEX)})
+    s = IndexSearcher(spark, idx, dtype=np.float64)
+    _SEARCHERS[key] = s
+    return s
+
+
 def _accent_searcher(spark, sf_dir) -> IndexSearcher:
     """Index over an accent-injected corpus (a/e/u -> ä/é/ü in every text)
     with an ASCIIFoldingFilter analyzer: folding restores the original
@@ -1001,6 +1042,18 @@ def q_cjk_bigram_topk(spark, sf_dir):
     so English rows participate in the score."""
     return _topk_df(spark, sf_dir, Q.TermQuery(CJK_BIGRAM),
                     searcher=_cjk_searcher(spark, sf_dir))
+
+
+def q_cjk_dict_topk(spark, sf_dir):
+    """Dictionary-based CJK segmentation (analysis/smartcn role, greedy FMM
+    baseline over a frozen lexicon): BM25 top-k for a SHOULD pair of one
+    2-char and one 3-char lexicon word — the score exercises both word
+    lengths directly, and every doclen in the stats reflects the variable-
+    length greedy segmentation (triples consume 3 chars, OOV falls back to
+    singletons), so any deviation from FMM shifts the ranking."""
+    return _topk_df(spark, sf_dir,
+                    _q_or([(CJK_DICT_PAIR, 1.0), (CJK_DICT_TRI, 1.0)]),
+                    searcher=_cjk_dict_searcher(spark, sf_dir))
 
 
 def q_spell_suggest(spark, sf_dir):
@@ -1325,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversity_topk": q_diversity_topk,
         "payload_score_topk": q_payload_score_topk,
         "payload_sparse_knn_topk": q_payload_sparse_knn_topk,
+        "cjk_dict_topk": q_cjk_dict_topk,
         # (a) previously outside the driver window
         "grouping_top2_per_lang": q_grouping_top2_per_lang,
         "facet_counts_by_source": q_facet_counts_by_source,
@@ -2869,6 +2923,56 @@ cjs AS (SELECT tfc.doc_id AS doc_id,
         FROM tfc JOIN qdc ON tfc.doc_id = qdc.doc_id
         WHERE tfc.term = '{CJK_BIGRAM}')
 SELECT doc_id, {_micro('s')} AS score_micro FROM cjs
+ORDER BY s DESC, doc_id LIMIT 10"""
+
+    # --- dictionary CJK segmentation (smartcn role): regenerate the greedy
+    # forward-maximum-match token stream in closed form (see _ZH_LEX: triple
+    # at offset 0 iff doc_id even and len>=3, then non-overlapping pairs,
+    # trailing out-of-vocabulary singleton by parity), then score a 2-term
+    # SHOULD (one pair word + one triple word) as the BM25 sum ---------------
+    _dhead = "CASE WHEN doc_id % 2 = 0 AND length(h) >= 3 THEN 3 ELSE 0 END"
+
+    def _dw(t):
+        ddf = f"(SELECT COUNT(*) FROM tfc WHERE term = '{t}')"
+        return (f"ln(1e0 + ((SELECT n FROM stc) - {ddf} + 0.5e0)"
+                f"/({ddf} + 0.5e0))")
+
+    _dw_p, _dw_t = _dw(CJK_DICT_PAIR), _dw(CJK_DICT_TRI)
+    out["cjk_dict_topk"] = f"""
+WITH zh AS (SELECT doc_id,
+       array_to_string(list_transform(range(0, (doc_id % 12) + 2),
+         i -> chr(CAST(19968 + (doc_id*31 + i*7) % 256 AS INT))), '') AS h
+     FROM documents WHERE lang = 'zh'),
+tokc AS (
+  SELECT doc_id, substr(h, 1, 3) AS term FROM zh
+  WHERE doc_id % 2 = 0 AND length(h) >= 3
+  UNION ALL
+  SELECT doc_id, substr(h, CAST(p AS INT), 2) AS term
+  FROM zh, unnest(range(CAST(({_dhead}) + 1 AS BIGINT),
+                        CAST(length(h) AS BIGINT), 2)) AS t(p)
+  UNION ALL
+  SELECT doc_id, substr(h, length(h), 1) AS term FROM zh
+  WHERE (length(h) - ({_dhead})) % 2 = 1
+  UNION ALL
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE lang <> 'zh'),
+dlc AS (SELECT doc_id, COUNT(*) AS doclen FROM tokc GROUP BY doc_id),
+qdc AS (SELECT doc_id, doclen,
+              (SELECT MAX(v) FROM (VALUES {_quant_values()}) AS tv(v)
+               WHERE v <= doclen) AS qlen
+        FROM dlc),
+stc AS (SELECT COUNT(*) AS n,
+               SUM(doclen)/CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dlc),
+tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokc GROUP BY doc_id, term),
+djs AS (SELECT tfc.doc_id AS doc_id,
+               SUM(CASE WHEN tfc.term = '{CJK_DICT_PAIR}'
+                        THEN {_dw_p} - {_dw_p}/(1e0 + tfc.tf*{cjk_ni})
+                        ELSE {_dw_t} - {_dw_t}/(1e0 + tfc.tf*{cjk_ni}) END
+                   ) AS s
+        FROM tfc JOIN qdc ON tfc.doc_id = qdc.doc_id
+        WHERE tfc.term IN ('{CJK_DICT_PAIR}', '{CJK_DICT_TRI}')
+        GROUP BY tfc.doc_id)
+SELECT doc_id, {_micro('s')} AS score_micro FROM djs
 ORDER BY s DESC, doc_id LIMIT 10"""
 
     return out

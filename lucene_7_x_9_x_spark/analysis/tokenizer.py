@@ -98,6 +98,45 @@ def _cjk_fold(tokens: List[str]) -> List[str]:
     return out
 
 
+def _cjk_dict_fold(tokens: List[str], lexicon: frozenset,
+                   max_len: int) -> List[str]:
+    """Dictionary-based CJK segmentation (the reference ships whole lexicon
+    modules — solr-8.4.0/lucene/analysis/smartcn (zh), kuromoji (ja),
+    nori (ko); behavior role only). The algorithm here is greedy forward
+    maximum matching over a frozen wordlist — the classic FMM baseline that
+    smartcn's HMM refines: each run of consecutive ideograph unigrams emits
+    the LONGEST lexicon word starting at the cursor, falling back to the
+    single character for out-of-vocabulary spans (smartcn's OOV behavior).
+    Non-ideograph tokens pass through and break runs."""
+    out: List[str] = []
+    run: List[str] = []
+
+    def flush():
+        i, n = 0, len(run)
+        while i < n:
+            emitted = False
+            for ln in range(min(max_len, n - i), 1, -1):
+                w = "".join(run[i:i + ln])
+                if w in lexicon:
+                    out.append(w)
+                    i += ln
+                    emitted = True
+                    break
+            if not emitted:
+                out.append(run[i])
+                i += 1
+        run.clear()
+
+    for tok in tokens:
+        if len(tok) == 1 and _IDEO_ONE.match(tok):
+            run.append(tok)
+            continue
+        flush()
+        out.append(tok)
+    flush()
+    return out
+
+
 # ASCIIFoldingFilter analog: NFKD-decompose + drop combining marks covers the
 # accent table; the explicit map covers the Latin-1/Extended-A letters that
 # have NO canonical decomposition but a documented fold in
@@ -203,7 +242,11 @@ class Analyzer:
                  strip_possessive: bool = False, cjk_bigrams: bool = False,
                  ascii_folding: bool = False, shingles: bool = False,
                  edge_ngrams: Optional[Tuple[int, int]] = None,
-                 synonyms: Optional[dict] = None):
+                 synonyms: Optional[dict] = None,
+                 cjk_dict: Optional[frozenset] = None):
+        if cjk_dict and cjk_bigrams:
+            raise ValueError("cjk_dict and cjk_bigrams are alternative "
+                             "segmentation routes; pick one")
         if shingles and edge_ngrams:
             raise ValueError("shingles and edge_ngrams cannot combine "
                              "(undefined gram-of-shingle semantics)")
@@ -222,6 +265,9 @@ class Analyzer:
         self.edge_ngrams = tuple(edge_ngrams) if edge_ngrams else None
         self.synonyms = ({k: tuple(v) for k, v in synonyms.items()}
                          if synonyms else None)
+        self.cjk_dict = frozenset(cjk_dict) if cjk_dict else None
+        self._cjk_dict_maxlen = (max(len(w) for w in self.cjk_dict)
+                                 if self.cjk_dict else 0)
 
     def _strip_poss(self, tok: str) -> str:
         # EnglishPossessiveFilter.java:53-58: drop a trailing 's / ’s
@@ -235,7 +281,10 @@ class Analyzer:
 
     def _base_pairs(self, text: str) -> List[Tuple[str, int]]:
         raw: Iterable[str] = _raw_tokens(text)
-        if self.cjk_bigrams:
+        if self.cjk_dict:
+            raw = _cjk_dict_fold(list(raw), self.cjk_dict,
+                                 self._cjk_dict_maxlen)
+        elif self.cjk_bigrams:
             raw = _cjk_fold(list(raw))
         out = []
         pos = 0
@@ -276,6 +325,7 @@ class Analyzer:
         if not text:
             return [], 0
         if (self.stem or self.strip_possessive or self.cjk_bigrams
+                or self.cjk_dict
                 or self.shingles or self.edge_ngrams or self.synonyms
                 or (self.ascii_folding and not text.isascii())):
             # filter-chain path: per-token transforms, Zipfian-memoized
