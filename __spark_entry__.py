@@ -1139,6 +1139,21 @@ def q_phrase_sloppy_topk(spark, sf_dir):
     return _topk_df(spark, sf_dir, Q.PhraseQuery(PHRASE, slop=2))
 
 
+def q_sloppy3_topk(spark, sf_dir):
+    """3-term sloppy phrase "spark table merge"~4 — pins the round-5
+    k-stream leapfrog (kernel._sloppy_counts_kterm, zero per-doc Python)
+    against a DuckDB recursive-CTE replay of the same greedy."""
+    return _topk_df(spark, sf_dir, Q.PhraseQuery((T1, T2, T3), slop=4))
+
+
+def q_span_near3_topk(spark, sf_dir):
+    """3-clause ordered SpanNearQuery — pins the round-5 chained
+    landing-spot vectorization (kernel._near_kterm_counts)."""
+    return _topk_df(spark, sf_dir, Q.SpanNearQuery(
+        (Q.SpanTermQuery(T1), Q.SpanTermQuery(T2), Q.SpanTermQuery(T3)),
+        slop=6, in_order=True))
+
+
 def q_highlight_topk(spark, sf_dir):
     from lucene_7_x_9_x_spark.search.highlighter import highlight_df
     q = Q.BooleanQuery(should=(Q.TermQuery(T1), Q.TermQuery(T2)))
@@ -1379,6 +1394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_score_topk": q_payload_score_topk,
         "payload_sparse_knn_topk": q_payload_sparse_knn_topk,
         "cjk_dict_topk": q_cjk_dict_topk,
+        "sloppy3_topk": q_sloppy3_topk,
+        "span_near3_topk": q_span_near3_topk,
         # (a) previously outside the driver window
         "grouping_top2_per_lang": q_grouping_top2_per_lang,
         "facet_counts_by_source": q_facet_counts_by_source,
@@ -2433,6 +2450,83 @@ sps2 AS (SELECT sfq.doc_id AS doc_id,
                 ({snw2} - {snw2}/(1e0 + sfq.sfreq*{_NI})) AS s
          FROM sfq JOIN qd ON sfq.doc_id = qd.doc_id)
 SELECT doc_id, {_micro('s')} AS score_micro FROM sps2
+ORDER BY s DESC, doc_id LIMIT 10"""
+
+    # --- span_near3_topk: 3-clause ordered near = chained first landing
+    # spots (NearSpansOrdered's pointers are monotone, so each clause-0
+    # position chains independently: pb = first T2 >= pa+1, pc = first T3 >=
+    # pb+1, width = pc - pa - 2) --------------------------------------------
+    snw3 = f"({_idf(T1)} + {_idf(T2)} + {_idf(T3)})"
+    out["span_near3_topk"] = _topk_sql([f"""
+sn3 AS (SELECT a.doc_id, a.pos AS pa,
+               (SELECT MIN(b.pos) FROM tok b WHERE b.doc_id = a.doc_id
+                 AND b.term = '{T2}' AND b.pos >= a.pos + 1) AS pb
+        FROM tok a WHERE a.term = '{T1}')""".strip(), f"""
+sn3c AS (SELECT doc_id, pa, pb,
+               (SELECT MIN(c.pos) FROM tok c WHERE c.doc_id = sn3.doc_id
+                 AND c.term = '{T3}' AND c.pos >= sn3.pb + 1) AS pc
+         FROM sn3 WHERE pb IS NOT NULL)""".strip(), """
+sp3 AS (SELECT doc_id, SUM(1e0/(1e0 + (pc - pa - 2))) AS sf
+        FROM sn3c WHERE pc IS NOT NULL AND pc - pa - 2 <= 6
+        GROUP BY doc_id)""".strip(), f"""
+sps3 AS (SELECT sp3.doc_id AS doc_id,
+                ({snw3} - {snw3}/(1e0 + sp3.sf*{_NI})) AS s
+         FROM sp3 JOIN qd ON sp3.doc_id = qd.doc_id)""".strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM sps3
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    # --- sloppy3_topk: the SloppyPhraseMatcher greedy replayed for three
+    # streams as a recursive leader walk (state = the three phrase
+    # positions + end; each cycle jumps the least stream past the second
+    # least and emits end - (the stream's last position <= second least)
+    # when within slop — the same closed form the engine's k-stream
+    # leapfrog vectorizes) ---------------------------------------------------
+    _cur3 = ("CASE WHEN pa <= pb AND pa <= pc THEN 0 "
+             "WHEN pb <= pc THEN 1 ELSE 2 END")
+    _nxt3 = ("CASE WHEN pa <= pb AND pa <= pc THEN LEAST(pb, pc) "
+             "WHEN pb <= pc THEN LEAST(pa, pc) ELSE LEAST(pa, pb) END")
+    out["sloppy3_topk"] = f"""WITH RECURSIVE {_prelude()[len(chr(10) + 'WITH '):]},
+pp3 AS (SELECT doc_id, CAST(pos AS BIGINT) AS p, 0 AS lst FROM tok
+        WHERE term = '{T1}'
+        UNION ALL
+        SELECT doc_id, CAST(pos AS BIGINT) - 1, 1 FROM tok
+        WHERE term = '{T2}'
+        UNION ALL
+        SELECT doc_id, CAST(pos AS BIGINT) - 2, 2 FROM tok
+        WHERE term = '{T3}'),
+f3 AS (SELECT * FROM (
+         SELECT doc_id,
+                MIN(CASE WHEN lst = 0 THEN p END) AS fa,
+                MIN(CASE WHEN lst = 1 THEN p END) AS fb,
+                MIN(CASE WHEN lst = 2 THEN p END) AS fc
+         FROM pp3 GROUP BY doc_id)
+       WHERE fa IS NOT NULL AND fb IS NOT NULL AND fc IS NOT NULL),
+walk(doc_id, pa, pb, pc, e) AS (
+    SELECT doc_id, fa, fb, fc, GREATEST(fa, fb, fc) FROM f3
+    UNION ALL
+    SELECT doc_id,
+           CASE WHEN cur = 0 THEN succ ELSE pa END,
+           CASE WHEN cur = 1 THEN succ ELSE pb END,
+           CASE WHEN cur = 2 THEN succ ELSE pc END,
+           GREATEST(e, succ)
+    FROM (
+      SELECT w.*,
+             (SELECT MIN(o.p) FROM pp3 o WHERE o.doc_id = w.doc_id
+               AND o.lst = w.cur AND o.p > w.nxt) AS succ
+      FROM (SELECT w0.*, {_cur3} AS cur, {_nxt3} AS nxt
+            FROM walk w0) w)
+    WHERE succ IS NOT NULL),
+cyc AS (SELECT doc_id,
+               e - (SELECT MAX(o.p) FROM pp3 o WHERE o.doc_id = w.doc_id
+                     AND o.lst = w.cur AND o.p <= w.nxt) AS gap
+        FROM (SELECT walk.*, {_cur3} AS cur, {_nxt3} AS nxt
+              FROM walk) w),
+sf3 AS (SELECT doc_id, SUM(1e0/(1e0 + gap)) AS sfreq
+        FROM cyc WHERE gap <= 4 GROUP BY doc_id),
+sp3s AS (SELECT sf3.doc_id AS doc_id,
+                ({snw3} - {snw3}/(1e0 + sf3.sfreq*{_NI})) AS s
+         FROM sf3 JOIN qd ON sf3.doc_id = qd.doc_id)
+SELECT doc_id, {_micro('s')} AS score_micro FROM sp3s
 ORDER BY s DESC, doc_id LIMIT 10"""
 
     # --- highlight_topk: fragmenter walk over the OR top-10 ----------------

@@ -729,6 +729,100 @@ class Scorer:
         hit = freq > 0
         return cand[hit], freq[hit].astype(np.float64)
 
+    sloppy_kterm_vectorized = True  # k-stream leapfrog replaces per-doc loop
+
+    def _sloppy_counts_kterm(self, cand, slop: int, terms):
+        """Vectorized SloppyPhraseMatcher for k >= 3 DISTINCT single-term
+        PhrasePositions — zero per-doc Python (the 2-term walk's leapfrog
+        generalized; the repeats machinery never engages when all terms are
+        distinct, so the greedy is the whole algorithm).
+
+        With no repeats, each iteration of the greedy in
+        SloppyPhraseMatcher.java:165-197 is one CYCLE of a k-stream leapfrog:
+        pop the least phrase position p0 (PhraseQueue tie-break position →
+        offset → ord == first-hit of np.argmin, offsets ascending), read the
+        second-least position nxt, and crawl the popped stream through its
+        positions <= nxt. While it crawls, `end` (the max current position)
+        is frozen — every visited position is <= nxt <= end — so the
+        minimized matchLength is end - p*, where p* is the stream's LAST
+        position <= nxt: one predecessor searchsorted replaces the crawl. A
+        match of length end - p* is emitted iff <= slop; the stream's new
+        position is its first > nxt (which may raise end), and when none
+        exists in the doc the walk retires after that final emission check
+        (the `while advance(pp)` exit path returning matchLength <= slop).
+
+        The cycle runs for ALL candidate docs simultaneously — one masked
+        searchsorted per stream per cycle over composite
+        (doc<<32)+(pos-offset) keys, per-doc states retiring as walks end.
+        Per-doc emissions happen in cycle order, so a stable sort by doc
+        index preserves the matcher's sequential order and the np.add.at
+        reproduces freq += 1/(1+matchLength) in the scoring dtype bit-exactly
+        (SloppyPhraseMatcher.java:160-162, PhraseScorer.java:76-79).
+        Differential proof vs the faithful matcher:
+        test_sloppy_kterm_vectorized.py (exhaustive 3-term small-universe +
+        randomized k in 3..5, both dtypes, multi-doc)."""
+        sh = self._POS_SHIFT
+        k = len(terms)
+        offs = k  # keeps pos - j nonnegative in the low bits for every slot
+        keys = []
+        for j, t in enumerate(terms):
+            d, p = self.seg.flat_positions(t)
+            keys.append((d << sh) + p - j + offs)
+        base = cand << sh
+        pos = np.empty((k, cand.size), dtype=np.int64)
+        for j in range(k):
+            i0 = np.searchsorted(keys[j], base)
+            pos[j] = keys[j][i0] - base  # cand docs contain every term
+        end = pos.max(axis=0)
+        idx = np.arange(cand.size)
+        em_idx, em_len = [], []
+        while idx.size:
+            cur = np.argmin(pos, axis=0)  # first hit == PhraseQueue order
+            nxt = np.partition(pos, 1, axis=0)[1]
+            pstar = np.empty(idx.size, dtype=np.int64)
+            alive = np.zeros(idx.size, dtype=bool)
+            succ = np.empty(idx.size, dtype=np.int64)
+            for j in range(k):
+                m = cur == j
+                if not m.any():
+                    continue
+                kj = keys[j]
+                tgt = base[m] + nxt[m] + 1  # first key with pos > nxt
+                r = np.searchsorted(kj, tgt, side="left")
+                pstar[m] = kj[r - 1] - base[m]  # same doc: cur key <= tgt-1
+                a = r < kj.size
+                sv = kj[np.minimum(r, kj.size - 1)]
+                a &= (sv >> sh) == (base[m] >> sh)
+                succ[m] = sv - base[m]
+                alive[m] = a
+            ml = end - pstar
+            emit = ml <= slop
+            if emit.any():
+                em_idx.append(idx[emit])
+                em_len.append(ml[emit])
+            if not alive.any():
+                break
+            curk = cur[alive]
+            pos = pos[:, alive]
+            newp = succ[alive]
+            pos[curk, np.arange(curk.size)] = newp
+            end = np.maximum(end[alive], newp)
+            base = base[alive]
+            idx = idx[alive]
+        if not em_idx:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.astype(np.float64)
+        ei = np.concatenate(em_idx)
+        el = np.concatenate(em_len)
+        order = np.argsort(ei, kind="stable")  # per-doc cycle order kept
+        ei, el = ei[order], el[order]
+        acc_dt = (np.float32 if self.dtype == np.float32 else np.float64)
+        w = acc_dt(1.0) / (acc_dt(1.0) + el.astype(acc_dt))
+        freq = np.zeros(cand.size, dtype=acc_dt)
+        np.add.at(freq, ei, w)  # unbuffered, sequential in order
+        hit = freq > 0
+        return cand[hit], freq[hit].astype(np.float64)
+
     def _phrase_freqs(self, q: Q.PhraseQuery):
         terms = q.terms
         if q.slop == 0:
@@ -742,6 +836,16 @@ class Scorer:
         if (cand.size and len(terms) == 2 and terms[0] != terms[1]
                 and self.sloppy_2term_vectorized):
             return self._sloppy_counts_2term(cand, q.slop, terms[0], terms[1])
+        if (cand.size and len(terms) >= 3
+                and len(set(terms)) == len(terms)
+                and self.sloppy_kterm_vectorized):
+            if self.span_prefilter:
+                flats = [self.seg.flat_positions(t) for t in terms]
+                cand = self._pair_window_cut(cand, flats, 1 - q.slop,
+                                             1 + q.slop)
+            if cand.size == 0:
+                return cand, np.zeros(0, dtype=np.float64)
+            return self._sloppy_counts_kterm(cand, q.slop, terms)
         if cand.size and self.span_prefilter:
             # adjacent slots of a real sloppy match satisfy
             # |(p_{i+1}-(i+1)) - (p_i-i)| <= slop, i.e. b in [a+1-slop,
@@ -1040,6 +1144,114 @@ class Scorer:
         docs = np.flatnonzero(acc > 0)
         return docs, acc[docs].astype(np.float64)
 
+    span_near_kterm_vectorized = True  # k>=3 term clauses, no per-doc Python
+
+    def _near_kterm_counts(self, cand: np.ndarray, terms, slop: int,
+                           in_order: bool):
+        """Vectorized NearSpans for k >= 3 distinct single-term clauses.
+
+        ORDERED (NearSpansOrdered.java:60-121): the later clauses' pointers
+        are monotone and every per-clause constraint start >= prev_end is
+        monotone in the previous clause's landing spot, so each clause-0
+        position a independently yields the chain s_i = first clause-i
+        position >= prev_end (prev_end = s_{i-1}+1), width = sum of gaps,
+        emitting iff width <= slop; a clause exhausting mid-doc invalidates
+        exactly the a's whose chain has no landing spot. One searchsorted
+        per later clause for ALL clause-0 positions at once; kA order ==
+        emission order.
+
+        UNORDERED (the window queue): pops happen in merged (position,
+        clause-ord) order; at the pop of position p of clause ti the other
+        clauses' window spans sit at m_j = their first position AFTER (p,ti)
+        in that order (ties pop lower ords first), so the emission test is
+        max(p, max_j m_j) + 1 - p - k <= slop with span width
+        max(p, max_j m_j) + 1 - p. A clause popping its LAST position ends
+        the doc after its own emission check, so exactly the pops at or
+        before the doc's earliest exhaustion event E = min_j (last_j, j)
+        participate. k(k-1) partner searchsorteds + one boundary sweep, all
+        docs at once; a global sort by pop key reproduces the merged
+        emission order for the float fold.
+
+        Differential proof vs the faithful matchers:
+        test_span_near_kterm_vectorized.py."""
+        sh = self._POS_SHIFT
+        k = len(terms)
+        acc_dt = (np.float32 if self.dtype == np.float32 else np.float64)
+
+        def _flat_in(term):
+            d, p = self.seg.flat_positions(term)
+            i = np.searchsorted(cand, d)
+            m = (i < cand.size) & (cand[np.minimum(i, cand.size - 1)] == d)
+            return d[m], (d[m] << sh) + p[m]
+
+        flats = [_flat_in(t) for t in terms]
+        acc = np.zeros(self.seg.max_doc, dtype=acc_dt)
+
+        if in_order:
+            dA, kA = flats[0]
+            ok = np.ones(kA.size, dtype=bool)
+            prev_end = kA + 1
+            width = np.zeros(kA.size, dtype=np.int64)
+            for ci in range(1, k):
+                kc = flats[ci][1]
+                r = np.searchsorted(kc, prev_end, side="left")
+                a = r < kc.size
+                sv = kc[np.minimum(r, kc.size - 1)]
+                a &= (sv >> sh) == (kA >> sh)
+                ok &= a
+                width = np.where(ok, width + sv - prev_end, width)
+                prev_end = sv + 1
+            emit = ok & (width <= slop)
+            # kA is (doc, pos)-sorted == emission order; double weight into
+            # the float accumulator (SpanScorer fold, see 2-term NOTE above)
+            w = 1.0 / (1.0 + width[emit].astype(np.float64))
+            np.add.at(acc, dA[emit], w)
+        else:
+            # earliest exhaustion event per doc: E = min_j (last_j, j)
+            ekey = np.full(cand.size, np.iinfo(np.int64).max, dtype=np.int64)
+            starts = []
+            for j in range(k):
+                dj, kj = flats[j]
+                lo = np.searchsorted(kj, cand << sh)
+                hi = np.searchsorted(kj, (cand + 1) << sh)
+                has = hi > lo
+                last = np.where(has, kj[np.maximum(hi, 1) - 1], 0)
+                ej = np.where(has, last * k + j, -1)
+                # docs missing a clause never pop at all
+                ekey = np.where(has, np.minimum(ekey, ej), -1)
+                starts.append(lo)
+            em_keys, em_docs, em_width = [], [], []
+            for ti in range(k):
+                dt_, kt = flats[ti]
+                di = np.searchsorted(cand, dt_)
+                popkey = kt * k + ti
+                valid = popkey <= ekey[di]
+                mmax = np.zeros(kt.size, dtype=np.int64)
+                for j in range(k):
+                    if j == ti:
+                        continue
+                    kj = flats[j][1]
+                    tgt = kt + (1 if j < ti else 0)
+                    r = np.searchsorted(kj, tgt, side="left")
+                    a = r < kj.size
+                    mv = kj[np.minimum(r, kj.size - 1)]
+                    a &= (mv >> sh) == (kt >> sh)
+                    valid &= a
+                    mmax = np.maximum(mmax, mv)
+                wid = np.maximum(mmax, kt) + 1 - kt
+                emit = valid & (wid - k <= slop)
+                em_keys.append(popkey[emit])
+                em_docs.append(dt_[emit])
+                em_width.append(wid[emit])
+            keys_e = np.concatenate(em_keys)
+            docs_e = np.concatenate(em_docs)
+            wid_e = np.concatenate(em_width)
+            order = np.argsort(keys_e, kind="stable")  # merged pop order
+            w = 1.0 / (1.0 + wid_e[order].astype(np.float64))
+            np.add.at(acc, docs_e[order], w)
+        docs = np.flatnonzero(acc > 0)
+        return docs, acc[docs].astype(np.float64)
+
     def eval_spans(self, q: Q.SpanQuery):
         """(docids asc, sloppy freqs) over the segment. freq = sum over spans
         of 1/(1 + width), accumulated in the scoring dtype exactly like
@@ -1052,6 +1264,22 @@ class Scorer:
             return self._near_2term_counts(
                 cand, q.clauses[0].term, q.clauses[1].term, q.slop,
                 q.in_order)
+        if (cand.size and self.span_near_kterm_vectorized
+                and isinstance(q, Q.SpanNearQuery) and len(q.clauses) >= 3
+                and all(isinstance(c, Q.SpanTermQuery) for c in q.clauses)
+                and len({c.term for c in q.clauses}) == len(q.clauses)):
+            terms = [c.term for c in q.clauses]
+            if self.span_prefilter:
+                flats = [self.seg.flat_positions(t) for t in terms]
+                if q.in_order:
+                    cand = self._pair_window_cut(cand, flats, 1, 1 + q.slop)
+                else:
+                    cand = self._pair_window_cut(cand, flats, -1 - q.slop,
+                                                 1 + q.slop)
+            if cand.size == 0:
+                return (np.zeros(0, dtype=np.int64),
+                        np.zeros(0, dtype=np.float64))
+            return self._near_kterm_counts(cand, terms, q.slop, q.in_order)
         if (cand.size and self.span_prefilter
                 and isinstance(q, Q.SpanNearQuery) and len(q.clauses) > 1
                 and all(isinstance(c, Q.SpanTermQuery) for c in q.clauses)):

@@ -11,11 +11,13 @@ Three seeded corpora, same size/shape (driver-side kernel only — no Spark,
 so the numbers isolate matcher cost from job overhead):
   discriminating — both terms in every doc, ~1/3 within slop (the cut's
                    design case; mirrors tests/test_span_prefilter.py)
-  adversarial    — "new york" adjacent in EVERY doc (cut keeps ~100%)
-  adversarial-hi — additionally high tf (8 pairs/doc): worst per-doc cost
+  adversarial    — "new york( city)" adjacent in EVERY doc (cut keeps ~100%)
+  adversarial-hi — additionally high tf (8 tuples/doc): worst per-doc cost
 
-For each: matcher invocations + wall with the cut on vs off, for the two
-dominant 2-clause shapes (sloppy phrase slop=2, ordered span near slop=2).
+For each: matcher invocations + wall with the cut on vs off, for the 2-term
+shapes (sloppy phrase slop=2, ordered span near slop=2) AND the 3-term
+shapes (round-5 k-stream walks: sloppy3 slop=4, ordered + unordered
+span_near3 slop=4) — `vec` rows must show matcher_calls == 0.
 Prints one JSON line; append the table row to BENCH.md.
 """
 
@@ -35,9 +37,11 @@ from lucene_7_x_9_x_spark.search import kernel as K  # noqa: E402
 from lucene_7_x_9_x_spark.search import query as Q  # noqa: E402
 from lucene_7_x_9_x_spark.search import sloppy as SL  # noqa: E402
 
+import os
+
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
 DOC_LEN = 60
-REPS = 3
+REPS = int(os.environ.get("SPAN_BENCH_REPS", "3"))
 
 
 def _segment(docs_tokens):
@@ -76,12 +80,14 @@ def make_corpus(kind: str, n: int) -> dict:
             else:
                 toks[40 + rng.randint(10)] = "york"
         elif kind == "adversarial":
-            j = rng.randint(DOC_LEN - 2)
-            toks[j], toks[j + 1] = "new", "york"
+            j = rng.randint(DOC_LEN - 3)
+            toks[j], toks[j + 1], toks[j + 2] = "new", "york", "city"
         elif kind == "adversarial-hi":
-            for p in range(8):  # 8 adjacent pairs per doc
+            for p in range(8):  # 8 adjacent tuples per doc
                 j = 2 + p * 7
-                toks[j], toks[j + 1] = "new", "york"
+                toks[j], toks[j + 1], toks[j + 2] = "new", "york", "city"
+        if kind == "discriminating":
+            toks[50 + rng.randint(10)] = "city"
         docs[i] = toks
     return docs
 
@@ -95,6 +101,13 @@ def run(kind: str):
         "span_near": Q.SpanNearQuery(
             (Q.SpanTermQuery("new"), Q.SpanTermQuery("york")),
             slop=2, in_order=True),
+        "sloppy3": Q.PhraseQuery(("new", "york", "city"), slop=4),
+        "span_near3": Q.SpanNearQuery(
+            (Q.SpanTermQuery("new"), Q.SpanTermQuery("york"),
+             Q.SpanTermQuery("city")), slop=4, in_order=True),
+        "span_near3_un": Q.SpanNearQuery(
+            (Q.SpanTermQuery("new"), Q.SpanTermQuery("york"),
+             Q.SpanTermQuery("city")), slop=4, in_order=False),
     }
     for name, q in shapes.items():
         # sloppy runs three variants: the vectorized 2-term walk (new
@@ -125,6 +138,8 @@ def run(kind: str):
                     sc.span_prefilter = cut
                     sc.sloppy_2term_vectorized = use_vec
                     sc.span_near_2term_vectorized = use_vec
+                    sc.sloppy_kterm_vectorized = use_vec
+                    sc.span_near_kterm_vectorized = use_vec
                     calls["n"] = 0
                     t0 = time.time()
                     if isinstance(q, Q.SpanQuery):
