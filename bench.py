@@ -46,6 +46,11 @@ BENCH_QUERIES = {
     "q_span_near": Q.SpanNearQuery(
         (Q.SpanTermQuery("fast"), Q.SpanTermQuery("sort")),
         slop=1, in_order=True),
+    # round-5 k-stream vectorized walks (>= 3 positional clauses)
+    "q_sloppy3": Q.PhraseQuery(("spark", "table", "merge"), slop=4),
+    "q_span_near3": Q.SpanNearQuery(
+        (Q.SpanTermQuery("spark"), Q.SpanTermQuery("table"),
+         Q.SpanTermQuery("merge")), slop=6, in_order=True),
 }
 
 
@@ -104,6 +109,38 @@ def main() -> None:
         shutil.rmtree(idx2, ignore_errors=True)
         shutil.rmtree(src, ignore_errors=True)
 
+    # Mid-scale QUERY latency (round 5): every sf0.1 query row sits on the
+    # ~0.3 s local-mode job floor, so query-side progress is invisible there.
+    # Re-run the same queries against a 600k-doc generated index (k=10,
+    # median of `reps`) — these are the regression-tracking query numbers.
+    n_docs_q = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_DOCS", "600000"))
+    midq = None
+    if n_docs_q > 0:
+        corpus = generate_corpus(spark, n_docs_q, num_partitions=256)
+        srcq = f"/tmp/lucene_spark_bench_midq_src_{os.getpid()}"
+        corpus.select("url", "text").write.mode("overwrite").parquet(srcq)
+        q_docs = spark.read.parquet(srcq)
+        idx3 = f"/tmp/lucene_spark_bench_idx3_{os.getpid()}"
+        t2 = time.time()
+        build_index(spark, q_docs, key_col="url", text_col="text",
+                    index_dir=idx3, docs_per_segment=4096,
+                    segments_per_wave=256, term_shards=max(8, cpus))
+        bq_s = time.time() - t2
+        sq = IndexSearcher(spark, idx3, dtype=np.float32)
+        lat_mid: dict[str, float] = {}
+        for name, q in BENCH_QUERIES.items():
+            runs = []
+            for _ in range(reps):
+                tq = time.time()
+                sq.search(q, k=10, fetch_keys=False)
+                runs.append(time.time() - tq)
+            lat_mid[name] = round(sorted(runs)[len(runs) // 2], 4)
+        midq = {"n_docs": n_docs_q, "build_sec": round(bq_s, 4),
+                "build_docs_per_sec": round(n_docs_q / bq_s, 2),
+                "queries": lat_mid}
+        shutil.rmtree(idx3, ignore_errors=True)
+        shutil.rmtree(srcq, ignore_errors=True)
+
     total = round(build_s + sum(latencies.values()), 4)
     out = {
         "metric": "index-build + BM25 top-k query latency (segmented inverted "
@@ -119,6 +156,8 @@ def main() -> None:
     }
     if mid is not None:
         out["build_mid_scale"] = mid
+    if midq is not None:
+        out["query_mid_scale"] = midq
     # attach the recorded N->4N scaling evidence (scripts/scaling_run.py)
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "scaling_result.json")
