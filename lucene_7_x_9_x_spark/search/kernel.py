@@ -762,12 +762,23 @@ class Scorer:
         test_sloppy_kterm_vectorized.py (exhaustive 3-term small-universe +
         randomized k in 3..5, both dtypes, multi-doc)."""
         sh = self._POS_SHIFT
-        k = len(terms)
-        offs = k  # keeps pos - j nonnegative in the low bits for every slot
+        offs = len(terms)  # keeps pos - j nonnegative in the low bits
         keys = []
         for j, t in enumerate(terms):
             d, p = self.seg.flat_positions(t)
             keys.append((d << sh) + p - j + offs)
+        return self._sloppy_kterm_walk(cand, slop, keys)
+
+    def _sloppy_kterm_walk(self, cand, slop: int, keys: list):
+        """The cycle engine behind _sloppy_counts_kterm, over prepared
+        per-slot composite key streams (already offset-shifted; for
+        MultiPhraseQuery slots: the deduped union of the member terms'
+        streams, the UnionPostingsEnum analog — valid whenever no TERM
+        repeats across slots, because the repeats machinery never engages
+        and the greedy sees exactly the unioned position list the faithful
+        per-doc path feeds it)."""
+        sh = self._POS_SHIFT
+        k = len(keys)
         base = cand << sh
         pos = np.empty((k, cand.size), dtype=np.int64)
         for j in range(k):
@@ -896,6 +907,21 @@ class Scorer:
             cand = self._pair_window_cut(cand, flats, 1 - q.slop, 1 + q.slop)
         if cand.size == 0:
             return cand, np.zeros(0, dtype=np.float64)
+        all_terms = [t for slot in q.slots for t in slot]
+        if (len(set(all_terms)) == len(all_terms) and len(q.slots) >= 2
+                and self.sloppy_kterm_vectorized):
+            # no term repeats across slots -> the repeats machinery never
+            # engages and the k-stream walk applies, with each slot's stream
+            # = the deduped union of its member terms' positions
+            sh = self._POS_SHIFT
+            offs = len(q.slots)
+            ukeys = []
+            for j, slot in enumerate(q.slots):
+                parts = [seg.flat_positions(t) for t in slot]
+                dd = np.concatenate([p[0] for p in parts])
+                pp = np.concatenate([p[1] for p in parts])
+                ukeys.append(np.unique((dd << sh) + pp) - j + offs)
+            return self._sloppy_kterm_walk(cand, q.slop, ukeys)
         slot_maps = [[(seg.decode(t)[0], seg.positions(t)) for t in slot]
                      for slot in q.slots]
         return self._sloppy_counts(cand, slot_maps, list(q.slots), q.slop)

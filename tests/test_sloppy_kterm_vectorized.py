@@ -175,3 +175,54 @@ def test_through_phrase_freqs_route():
             d, f = sc._phrase_freqs(q)
             res[vec] = dict(zip(d.tolist(), f.tolist()))
         assert res[True] == res[False], (slop, res)
+
+
+def test_multiphrase_union_slots_route():
+    """MultiPhraseQuery with no term repeated across slots routes through
+    the k-stream walk over unioned slot streams — must equal the faithful
+    per-doc matcher (which unions the same lists)."""
+    from lucene_7_x_9_x_spark.functions import bm25, smallfloat
+    from lucene_7_x_9_x_spark.functions.codecs import encode_posting_list
+    from lucene_7_x_9_x_spark.search import kernel as K
+    from lucene_7_x_9_x_spark.search import query as Q
+
+    rng = random.Random(4242)
+    docs_tokens = {}
+    vocab = ["a1", "a2", "b1", "c1", "c2", "x", "y", "z"]
+    for doc in range(12):
+        docs_tokens[doc] = [rng.choice(vocab) for _ in range(30)]
+    postings, norms = {}, {}
+    for docid, toks in docs_tokens.items():
+        norms[docid] = int(smallfloat.int_to_byte4([len(toks)])[0])
+        per = {}
+        for pos, t in enumerate(toks):
+            per.setdefault(t, []).append(pos)
+        for t, ps in per.items():
+            postings.setdefault(t, []).append((docid, len(ps), ps))
+    rows, gdf = {}, {}
+    for t, lst in postings.items():
+        lst.sort()
+        d = np.array([x[0] for x in lst], dtype=np.int64)
+        f = np.array([x[1] for x in lst], dtype=np.int64)
+        nb = np.array([norms[x[0]] for x in lst], dtype=np.uint8)
+        ps = [np.array(x[2], dtype=np.int64) for x in lst]
+        rows[t] = {"df": int(d.size), "ttf": int(f.sum()),
+                   "blocks": encode_posting_list(d, f, nb, ps)}
+        gdf[t] = int(d.size)
+    seg = K.SegmentIndex(rows, len(docs_tokens))
+    for slots in ((("a1", "a2"), ("b1",), ("c1", "c2")),
+                  (("a1",), ("b1", "c2")),
+                  (("a1", "x"), ("b1", "y"), ("c1",), ("z",))):
+        for slop in (0, 1, 2, 4, 9):
+            if slop == 0:
+                continue  # exact path is shared; walk only runs slop > 0
+            q = Q.MultiPhraseQuery(slots, slop=slop)
+            res = {}
+            for vec in (True, False):
+                sc = K.Scorer(seg, bm25.BM25Stats(12, 360,
+                                                  dtype=np.float32), gdf)
+                sc.dtype = np.float32
+                sc.sloppy_kterm_vectorized = vec
+                d, f = sc._multi_phrase_freqs(q)
+                res[vec] = dict(zip(d.tolist(), f.tolist()))
+            assert res[True] == res[False], (slots, slop, res)
