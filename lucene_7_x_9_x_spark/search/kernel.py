@@ -1409,6 +1409,138 @@ class Scorer:
             return ()
         return self.seg.positions(term)[i]
 
+    interval_kterm_vectorized = True  # term-leaf shapes, no per-doc Python
+
+    def _interval_counts_vec(self, src, cand: np.ndarray):
+        """Vectorized minimal-interval evaluation for the all-term-leaf
+        shapes (ordered / unordered / phrase, optionally under one
+        maxgaps/maxwidth filter) — zero per-doc Python. Returns None when
+        the shape isn't covered (per-doc algebra runs instead).
+
+        Closed forms (differentially proven vs the faithful iterators in
+        test_intervals_vectorized.py):
+
+        ORDERED (OrderedIntervalsSource minimal semantics): the candidate
+        for each first-term position a is the strict chain
+        c_i = first pos_i > c_{i-1}; chain ends are monotone in a, so the
+        minimal set is exactly the candidates whose SUCCESSOR (next valid a
+        in the doc) lands on a strictly larger chain end — equal ends mean
+        the later, shorter interval contains out the earlier one.
+
+        UNORDERED (UnorderedIntervalsSource pq + right-extreme): with term
+        leaves, positions are distinct, so at emission every sub sits at its
+        first position >= the window start a, the window end is
+        W(a) = max_j (first pos_j >= a), W is monotone in a, and the same
+        successor dedup yields the minimal set (the pq's skipped `continue`
+        iterations are exactly the equal-W candidates).
+
+        Both have gaps = length - k (positions distinct), so a maxgaps g
+        filter is length <= g + k and maxwidth w is length <= w, applied to
+        the minimal set AFTER dedup (IntervalFilter wraps the minimizing
+        iterator). PHRASE (BlockIntervalsSource): fixed-length adjacency ==
+        the exact-phrase intersect chain; every match is minimal.
+
+        freq = sum over emitted intervals (ascending start) of
+        1/max(length - minExtent + 1, 1), folded in the scoring dtype
+        exactly like the per-doc path (IntervalScorer.ensureFreq)."""
+        sh = self._POS_SHIFT
+        acc_dt = (np.float32 if self.dtype == np.float32 else np.float64)
+        mext = IV.min_extent(src)
+        inner, gcap, wcap = src, None, None
+        if isinstance(inner, Q.IMaxGaps):
+            gcap, inner = inner.gaps, inner.source
+        elif isinstance(inner, Q.IMaxWidth):
+            wcap, inner = inner.width, inner.source
+        if not (isinstance(inner, (Q.IOrdered, Q.IUnordered, Q.IPhrase))
+                and all(isinstance(s, Q.ITerm) for s in inner.sources)):
+            return None
+        terms = [s.term for s in inner.sources]
+        k = len(terms)
+        if k < 2:
+            return None
+
+        if isinstance(inner, Q.IPhrase):
+            # fixed length k: weight = 1/max(k - mext + 1, 1) per match
+            if (gcap is not None and gcap < 0) or (
+                    wcap is not None and wcap < k):
+                z = np.zeros(0, dtype=np.int64)
+                return z, z.astype(np.float64)
+            flats = [self.seg.flat_positions(t) for t in terms]
+            docs, counts = self._exact_phrase_counts(flats)
+            m = np.isin(docs, cand)
+            docs, counts = docs[m], counts[m]
+            w = 1.0 / max(k - mext + 1, 1)
+            # per-doc fold of a constant double into the acc dtype
+            acc = np.zeros(docs.size, dtype=acc_dt)
+            np.add.at(acc, np.repeat(np.arange(docs.size),
+                                     counts.astype(np.int64)), w)
+            return docs, acc.astype(np.float64)
+
+        if len(set(terms)) != k:
+            return None  # repeated terms: shared streams, keep per-doc
+
+        def _flat_in(term):
+            d, p = self.seg.flat_positions(term)
+            i = np.searchsorted(cand, d)
+            m = (i < cand.size) & (cand[np.minimum(i, cand.size - 1)] == d)
+            return d[m], (d[m] << sh) + p[m]
+
+        flats = [_flat_in(t) for t in terms]
+        if isinstance(inner, Q.IOrdered):
+            dA, kA = flats[0]
+            ok = np.ones(kA.size, dtype=bool)
+            prev = kA
+            for ci in range(1, k):
+                kc = flats[ci][1]
+                r = np.searchsorted(kc, prev + 1, side="left")
+                a = r < kc.size
+                sv = kc[np.minimum(r, kc.size - 1)]
+                a &= (sv >> sh) == (kA >> sh)
+                ok &= a
+                prev = sv
+            starts, ends, dd = kA[ok], prev[ok], dA[ok]
+        else:  # IUnordered
+            dd = np.concatenate([f[0] for f in flats])
+            aa = np.concatenate([f[1] for f in flats])
+            order = np.argsort(aa, kind="stable")
+            dd, aa = dd[order], aa[order]
+            ok = np.ones(aa.size, dtype=bool)
+            ww = np.zeros(aa.size, dtype=np.int64)
+            for j in range(k):
+                kj = flats[j][1]
+                r = np.searchsorted(kj, aa, side="left")
+                a = r < kj.size
+                mv = kj[np.minimum(r, kj.size - 1)]
+                a &= (mv >> sh) == (aa >> sh)
+                ok &= a
+                ww = np.maximum(ww, mv)
+            starts, ends, dd = aa[ok], ww[ok], dd[ok]
+        if starts.size == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.astype(np.float64)
+        # minimal-set dedup: drop a candidate whose successor (same doc,
+        # next valid start) has an EQUAL end — rows are (doc, start)-sorted
+        # and invalid rows form a per-doc suffix, so adjacency is preserved
+        keep = np.ones(starts.size, dtype=bool)
+        same_doc = dd[:-1] == dd[1:]
+        keep[:-1] = ~same_doc | (ends[1:] > ends[:-1])
+        starts, ends, dd = starts[keep], ends[keep], dd[keep]
+        length = ends - starts + 1
+        fmask = np.ones(length.size, dtype=bool)
+        if gcap is not None:
+            fmask &= (length - k) <= gcap
+        if wcap is not None:
+            fmask &= length <= wcap
+        starts, length, dd = starts[fmask], length[fmask], dd[fmask]
+        if dd.size == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.astype(np.float64)
+        w = 1.0 / np.maximum(length - mext + 1, 1).astype(np.float64)
+        acc = np.zeros(self.seg.max_doc, dtype=acc_dt)
+        np.add.at(acc, dd, w)  # rows ascend by (doc, start): fold order kept
+        docs = np.flatnonzero(acc > 0)
+        return docs, acc[docs].astype(np.float64)
+
     def eval_intervals(self, q: "Q.IntervalQuery"):
         """(docids asc, interval freqs) over the segment. freq = sum over
         minimal intervals of 1/max(length - minExtent + 1, 1), accumulated in
@@ -1416,6 +1548,10 @@ class Scorer:
         src = q.source
         cand = self._interval_candidates(src)
         cand = self._interval_window_cut(src, cand)
+        if cand.size and self.interval_kterm_vectorized:
+            out = self._interval_counts_vec(src, cand)
+            if out is not None:
+                return out
         acc_dt = (np.float32 if self.dtype == np.float32 else np.float64)
         mext = IV.min_extent(src)
         docs, freqs = [], []
