@@ -622,6 +622,22 @@ class Scorer:
         docs, counts = np.unique(keys >> sh, return_counts=True)
         return docs, counts.astype(np.float64)
 
+    def _exact_phrase_keys(self, slot_flats):
+        """Composite (doc<<32)+start keys of every exact-phrase match —
+        the intersect chain of _exact_phrase_counts without the count fold."""
+        sh = self._POS_SHIFT
+        keys = None
+        for j, (dd, pp) in enumerate(slot_flats):
+            if j:
+                m = pp >= j
+                dd, pp = dd[m], pp[m]
+            kj = (dd << sh) + (pp - j)
+            keys = kj if keys is None else np.intersect1d(
+                keys, kj, assume_unique=True)
+            if keys.size == 0:
+                break
+        return (np.zeros(0, dtype=np.int64) if keys is None else keys)
+
     def _sloppy_counts(self, cand, slot_maps, terms_per_pp, slop: int):
         """SloppyPhraseMatcher path: per candidate doc (conjunction-filtered,
         the rare slop>0 case), run the faithful matcher; freq is the float
@@ -1440,44 +1456,74 @@ class Scorer:
         iterator). PHRASE (BlockIntervalsSource): fixed-length adjacency ==
         the exact-phrase intersect chain; every match is minimal.
 
+        CONTAINING / CONTAINED_BY: minimal sets are non-nested, so both
+        starts AND ends ascend per doc; the FilteringIntervalIterator's
+        monotone partner pointer is then one searchsorted — containing: the
+        first small with ss >= bs or se >= be is the only candidate (skipped
+        smalls fit no later big); contained_by: the first big with be >= se
+        is the only candidate (earlier bigs end too soon, later ones start
+        no earlier).
+
         freq = sum over emitted intervals (ascending start) of
         1/max(length - minExtent + 1, 1), folded in the scoring dtype
         exactly like the per-doc path (IntervalScorer.ensureFreq)."""
         sh = self._POS_SHIFT
         acc_dt = (np.float32 if self.dtype == np.float32 else np.float64)
         mext = IV.min_extent(src)
-        inner, gcap, wcap = src, None, None
-        if isinstance(inner, Q.IMaxGaps):
-            gcap, inner = inner.gaps, inner.source
-        elif isinstance(inner, Q.IMaxWidth):
-            wcap, inner = inner.width, inner.source
-        if not (isinstance(inner, (Q.IOrdered, Q.IUnordered, Q.IPhrase))
-                and all(isinstance(s, Q.ITerm) for s in inner.sources)):
-            return None
-        terms = [s.term for s in inner.sources]
-        k = len(terms)
-        if k < 2:
-            return None
-
-        if isinstance(inner, Q.IPhrase):
-            # fixed length k: weight = 1/max(k - mext + 1, 1) per match
-            if (gcap is not None and gcap < 0) or (
-                    wcap is not None and wcap < k):
+        if isinstance(src, (Q.IContaining, Q.IContainedBy)):
+            big = self._minimal_set_vec(src.big, cand)
+            small = self._minimal_set_vec(src.small, cand)
+            if big is None or small is None:
+                return None
+            bd, bsk, bek = big
+            sd, ssk, sek = small
+            if bd.size == 0 or sd.size == 0:
                 z = np.zeros(0, dtype=np.int64)
                 return z, z.astype(np.float64)
-            flats = [self.seg.flat_positions(t) for t in terms]
-            docs, counts = self._exact_phrase_counts(flats)
-            m = np.isin(docs, cand)
-            docs, counts = docs[m], counts[m]
-            w = 1.0 / max(k - mext + 1, 1)
-            # per-doc fold of a constant double into the acc dtype
-            acc = np.zeros(docs.size, dtype=acc_dt)
-            np.add.at(acc, np.repeat(np.arange(docs.size),
-                                     counts.astype(np.int64)), w)
-            return docs, acc.astype(np.float64)
+            if isinstance(src, Q.IContaining):
+                # FilteringIntervalIterator: smalls advance while
+                # (ss < bs and se < be); the stop index is the first small
+                # with ss >= bs OR se >= be (skipped smalls can contain no
+                # later big either); emit the big iff that small fits inside
+                iA = np.searchsorted(ssk, bsk, side="left")
+                iB = np.searchsorted(sek, bek, side="left")
+                idx = np.minimum(iA, iB)
+                ok = idx < sd.size
+                ix = np.minimum(idx, max(sd.size - 1, 0))
+                ok &= sd.size > 0
+                ok = ok & (sd[ix] == bd) & (ssk[ix] >= bsk) & (sek[ix] <= bek)
+                dd, starts, ends = bd[ok], bsk[ok], bek[ok]
+            else:
+                # emit the small iff the first big with be >= se starts at
+                # or before it (ends ascend, so earlier bigs end too soon
+                # and later bigs start no earlier)
+                iB = np.searchsorted(bek, sek, side="left")
+                ok = iB < bd.size
+                ix = np.minimum(iB, max(bd.size - 1, 0))
+                ok &= bd.size > 0
+                ok = ok & (bd[ix] == sd) & (bsk[ix] <= ssk)
+                dd, starts, ends = sd[ok], ssk[ok], sek[ok]
+        else:
+            ms = self._minimal_set_vec(src, cand)
+            if ms is None:
+                return None
+            dd, starts, ends = ms
+        if dd.size == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.astype(np.float64)
+        length = (ends - starts) + 1  # same doc: high bits cancel
+        w = 1.0 / np.maximum(length - mext + 1, 1).astype(np.float64)
+        acc = np.zeros(self.seg.max_doc, dtype=acc_dt)
+        np.add.at(acc, dd, w)  # rows ascend by (doc, start): fold order kept
+        docs = np.flatnonzero(acc > 0)
+        return docs, acc[docs].astype(np.float64)
 
-        if len(set(terms)) != k:
-            return None  # repeated terms: shared streams, keep per-doc
+    def _minimal_set_vec(self, src, cand: np.ndarray):
+        """(docids, start keys, end keys) of src's minimal intervals over
+        cand docs — rows sorted by (doc, start) with per-doc STRICTLY
+        ascending starts and ends (minimal sets are non-nested), keys
+        composite (doc<<32)+pos. None when the shape isn't covered."""
+        sh = self._POS_SHIFT
 
         def _flat_in(term):
             d, p = self.seg.flat_positions(term)
@@ -1485,8 +1531,45 @@ class Scorer:
             m = (i < cand.size) & (cand[np.minimum(i, cand.size - 1)] == d)
             return d[m], (d[m] << sh) + p[m]
 
+        if isinstance(src, Q.ITerm):
+            d, kk = _flat_in(src.term)
+            return d, kk, kk
+        if isinstance(src, (Q.IMaxGaps, Q.IMaxWidth)):
+            inner = src.source
+            ms = self._minimal_set_vec(inner, cand)
+            if ms is None:
+                return None
+            dd, starts, ends = ms
+            length = (ends - starts) + 1
+            if isinstance(src, Q.IMaxWidth):
+                keep = length <= src.width
+            else:
+                # gaps = length - minExtent for all-term-leaf sources
+                # (positions of distinct leaves are distinct in this index)
+                def leaves_ok(s):
+                    return isinstance(s, Q.ITerm) or (
+                        isinstance(s, (Q.IOrdered, Q.IUnordered, Q.IPhrase))
+                        and all(isinstance(c, Q.ITerm) for c in s.sources))
+                if not leaves_ok(inner):
+                    return None
+                keep = (length - IV.min_extent(inner)) <= src.gaps
+            return dd[keep], starts[keep], ends[keep]
+        if not (isinstance(src, (Q.IOrdered, Q.IUnordered, Q.IPhrase))
+                and all(isinstance(s, Q.ITerm) for s in src.sources)):
+            return None
+        terms = [s.term for s in src.sources]
+        k = len(terms)
+        if isinstance(src, Q.IPhrase):
+            flats = [self.seg.flat_positions(t) for t in terms]
+            keys = self._exact_phrase_keys(flats)
+            dd = keys >> sh
+            m = np.isin(dd, cand)
+            keys, dd = keys[m], dd[m]
+            return dd, keys, keys + (k - 1)
+        if k < 2 or len(set(terms)) != k:
+            return None  # repeated terms: shared streams, keep per-doc
         flats = [_flat_in(t) for t in terms]
-        if isinstance(inner, Q.IOrdered):
+        if isinstance(src, Q.IOrdered):
             dA, kA = flats[0]
             ok = np.ones(kA.size, dtype=bool)
             prev = kA
@@ -1516,30 +1599,14 @@ class Scorer:
                 ww = np.maximum(ww, mv)
             starts, ends, dd = aa[ok], ww[ok], dd[ok]
         if starts.size == 0:
-            z = np.zeros(0, dtype=np.int64)
-            return z, z.astype(np.float64)
+            return starts, starts, starts
         # minimal-set dedup: drop a candidate whose successor (same doc,
         # next valid start) has an EQUAL end — rows are (doc, start)-sorted
         # and invalid rows form a per-doc suffix, so adjacency is preserved
         keep = np.ones(starts.size, dtype=bool)
         same_doc = dd[:-1] == dd[1:]
         keep[:-1] = ~same_doc | (ends[1:] > ends[:-1])
-        starts, ends, dd = starts[keep], ends[keep], dd[keep]
-        length = ends - starts + 1
-        fmask = np.ones(length.size, dtype=bool)
-        if gcap is not None:
-            fmask &= (length - k) <= gcap
-        if wcap is not None:
-            fmask &= length <= wcap
-        starts, length, dd = starts[fmask], length[fmask], dd[fmask]
-        if dd.size == 0:
-            z = np.zeros(0, dtype=np.int64)
-            return z, z.astype(np.float64)
-        w = 1.0 / np.maximum(length - mext + 1, 1).astype(np.float64)
-        acc = np.zeros(self.seg.max_doc, dtype=acc_dt)
-        np.add.at(acc, dd, w)  # rows ascend by (doc, start): fold order kept
-        docs = np.flatnonzero(acc > 0)
-        return docs, acc[docs].astype(np.float64)
+        return dd[keep], starts[keep], ends[keep]
 
     def eval_intervals(self, q: "Q.IntervalQuery"):
         """(docids asc, interval freqs) over the segment. freq = sum over

@@ -149,3 +149,50 @@ def test_uncovered_shapes_fall_through():
     nested = Q.IOrdered((Q.ITerm("a"),
                          Q.IUnordered((Q.ITerm("b"), Q.ITerm("c")))))
     _check(docs, nested)
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_containing_randomized(dtype):
+    big = Q.IOrdered((Q.ITerm("a"), Q.ITerm("c")))
+    for small in (Q.ITerm("b"), Q.IUnordered((Q.ITerm("b"), Q.ITerm("d")))):
+        src = Q.IContaining(big, small)
+        for docs in _corpora(70, 50, 4):
+            _check(docs, src, dtype)
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_contained_by_randomized(dtype):
+    small = Q.IOrdered((Q.ITerm("a"), Q.ITerm("b")))
+    for big in (Q.IUnordered((Q.ITerm("c"), Q.ITerm("d"))),
+                Q.IMaxGaps(6, Q.IOrdered((Q.ITerm("c"), Q.ITerm("d"))))):
+        src = Q.IContainedBy(small, big)
+        for docs in _corpora(80, 50, 4):
+            _check(docs, src, dtype)
+
+
+def test_containment_golden():
+    def doc(text):
+        return {0: text.split()}
+
+    # big a..c containing b
+    src = Q.IContaining(Q.IOrdered((Q.ITerm("a"), Q.ITerm("c"))),
+                        Q.ITerm("b"))
+    _check(doc("a b c"), src)
+    _check(doc("a c b"), src)
+    _check(doc("a x c b a b c"), src)
+    # small a..b inside big c..d
+    src2 = Q.IContainedBy(Q.IOrdered((Q.ITerm("a"), Q.ITerm("b"))),
+                          Q.IUnordered((Q.ITerm("c"), Q.ITerm("d"))))
+    _check(doc("c a b d"), src2)
+    _check(doc("a b c d"), src2)
+    _check(doc("c a b d a b"), src2)
+
+
+def test_filtered_phrase_and_nested_filters():
+    def doc(text):
+        return {0: text.split()}
+    ph = Q.IMaxWidth(2, Q.IPhrase((Q.ITerm("a"), Q.ITerm("b"))))
+    _check(doc("a b x a b"), ph)
+    nested = Q.IMaxGaps(2, Q.IOrdered((Q.ITerm("a"), Q.ITerm("b"))))
+    for docs in _corpora(90, 20, 2):
+        _check(docs, Q.IMaxWidth(5, nested.source), np.float32)
