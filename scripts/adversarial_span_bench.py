@@ -44,7 +44,10 @@ DOC_LEN = 60
 REPS = int(os.environ.get("SPAN_BENCH_REPS", "3"))
 
 
-def _segment(docs_tokens):
+def _encode(docs_tokens):
+    """Encode once per corpus; per-rep segments re-wrap the same rows (the
+    SegmentIndex decode memo is per-instance, so a fresh wrap == cold cache
+    without paying the posting-list encode 3x per variant)."""
     postings = {}
     norms = {}
     for docid, toks in docs_tokens.items():
@@ -64,7 +67,7 @@ def _segment(docs_tokens):
         rows[t] = {"df": int(d.size), "ttf": int(f.sum()),
                    "blocks": encode_posting_list(d, f, nb, ps)}
         gdf[t] = int(d.size)
-    return K.SegmentIndex(rows, max(docs_tokens) + 1), gdf
+    return rows, gdf, max(docs_tokens) + 1
 
 
 def make_corpus(kind: str, n: int) -> dict:
@@ -94,6 +97,7 @@ def make_corpus(kind: str, n: int) -> dict:
 
 def run(kind: str):
     docs = make_corpus(kind, N_DOCS)
+    rows, gdf, max_doc = _encode(docs)
     stats = bm25.BM25Stats(N_DOCS, N_DOCS * DOC_LEN, dtype=np.float64)
     out = {}
     shapes = {
@@ -133,7 +137,7 @@ def run(kind: str):
             walls = []
             try:
                 for _ in range(REPS):
-                    seg, gdf = _segment(docs)  # fresh decode caches
+                    seg = K.SegmentIndex(rows, max_doc)  # fresh decode cache
                     sc = K.Scorer(seg, stats, gdf)
                     sc.span_prefilter = cut
                     sc.sloppy_2term_vectorized = use_vec
