@@ -1113,9 +1113,27 @@ class Scorer:
 
     span_near_2term_vectorized = True  # closed-form walk, no per-doc Python
 
-    def _near_2term_counts(self, cand: np.ndarray, tA: str, tB: str,
+    _EMPTY_STREAM = (np.zeros(0, dtype=np.int64),) * 4
+
+    def _fold_span_stream(self, docs: np.ndarray, widths: np.ndarray):
+        """SpanScorer.setFreqCurrentDoc fold over an emission stream: freq
+        += 1/(1 + width) per span, in emission order, into the scoring-dtype
+        accumulator (float32 in Lucene-parity mode). NOTE the weight stays
+        float64 even in float32 mode: the SpanScorer fold adds a DOUBLE
+        1/(1+width) to the float accumulator (unlike SloppyPhraseMatcher,
+        which pre-rounds the weight to float) — the mixed-dtype unbuffered
+        np.add.at reproduces f32(f64(acc) + w) per emission."""
+        acc_dt = (np.float32 if self.dtype == np.float32 else np.float64)
+        acc = np.zeros(self.seg.max_doc, dtype=acc_dt)
+        np.add.at(acc, docs, 1.0 / (1.0 + widths.astype(np.float64)))
+        out = np.flatnonzero(acc > 0)
+        return out, acc[out].astype(np.float64)
+
+    def _near_2term_stream(self, cand: np.ndarray, tA: str, tB: str,
                            slop: int, in_order: bool):
-        """Vectorized NearSpans for the dominant 2-distinct-term shape.
+        """Vectorized NearSpans emissions (docs, starts, ends, widths) for
+        the dominant 2-distinct-term shape, in the faithful matchers'
+        per-doc emission order, docs ascending.
 
         Both per-doc algorithms collapse to closed forms over the two sorted
         position streams (proof: exhaustive + randomized differential tests
@@ -1124,32 +1142,31 @@ class Scorer:
         ORDERED (NearSpansOrdered.java:60-121): the later clause's pointer is
         monotone and the constraint start >= a+1 is monotone in a, so each
         first-clause position a independently matches b* = first B-position
-        >= a+1 with width b* - a - 1, emitting iff width <= slop; exhaustion
-        only removes a's that could never match.
+        >= a+1 with width b* - a - 1, emitting (a, b*+1, width) iff width <=
+        slop; exhaustion only removes a's that could never match.
 
         UNORDERED (NearSpansUnordered window queue): the queue pops the
         merged (position, clause-ord) order; an A-pop at a sees partner
         first b >= a (gap b - a), a B-pop at b sees partner first a > b
-        (the tie pops A first), each emitting iff gap <= slop + 1 with span
-        width gap + 1; a pop with no partner ends the doc, which removes
-        only matchless pops.
+        (the tie pops A first), each emitting (pop, pop + gap + 1, gap + 1)
+        iff gap <= slop + 1; a pop with no partner ends the doc, which
+        removes only matchless pops.
 
         One searchsorted per direction over composite (doc<<32)+pos keys for
-        ALL candidate docs at once; emissions are accumulated in merged-pop
-        order so the float32 freq fold (SpanScorer.setFreqCurrentDoc) is
-        reproduced bit-exactly via an unbuffered np.add.at."""
+        ALL candidate docs at once; emissions come out in merged-pop order
+        so the float32 freq fold (_fold_span_stream) is bit-exact."""
         sh = self._POS_SHIFT
-        acc_dt = (np.float32 if self.dtype == np.float32 else np.float64)
 
         def _flat_in(term):
             d, p = self.seg.flat_positions(term)
             i = np.searchsorted(cand, d)
             m = (i < cand.size) & (cand[np.minimum(i, cand.size - 1)] == d)
-            return d[m], (d[m] << sh) + p[m]
+            return d[m], p[m], (d[m] << sh) + p[m]
 
-        dA, kA = _flat_in(tA)
-        dB, kB = _flat_in(tB)
-        acc = np.zeros(self.seg.max_doc, dtype=acc_dt)
+        dA, pA, kA = _flat_in(tA)
+        dB, pB, kB = _flat_in(tB)
+        if kA.size == 0 or kB.size == 0:
+            return self._EMPTY_STREAM
 
         def _partner(keys_from, keys_to, target):
             j = np.searchsorted(keys_to, target, side="left")
@@ -1158,39 +1175,34 @@ class Scorer:
             ok &= (pk >> sh) == (keys_from >> sh)
             return ok, pk
 
-        # NOTE the weight stays float64 even in float32 mode: the SpanScorer
-        # fold adds a DOUBLE 1/(1+width) to the float accumulator (unlike
-        # SloppyPhraseMatcher, which pre-rounds the weight to float) — the
-        # mixed-dtype np.add.at reproduces f32(f64(acc) + w) per emission.
         if in_order:
             ok, bk = _partner(kA, kB, kA + 1)
             width = bk - kA - 1
             emit = ok & (width <= slop)
-            # kA is (doc, pos)-sorted == emission order
-            w = 1.0 / (1.0 + width[emit].astype(np.float64))
-            np.add.at(acc, dA[emit], w)
-        else:
-            oka, bk = _partner(kA, kB, kA)       # first b >= a (tie: b == a)
-            ga = bk - kA
-            ea = oka & (ga <= slop + 1)
-            okb, ak = _partner(kB, kA, kB + 1)   # first a > b (tie pops A)
-            gb = ak - kB
-            eb = okb & (gb <= slop + 1)
-            # merged pop order: by key, A before B on ties (clause ord)
-            keys = np.concatenate([kA[ea] * 2, kB[eb] * 2 + 1])
-            docs_e = np.concatenate([dA[ea], dB[eb]])
-            widths = np.concatenate([ga[ea], gb[eb]]) + 1
-            order = np.argsort(keys, kind="stable")
-            w = 1.0 / (1.0 + widths[order].astype(np.float64))
-            np.add.at(acc, docs_e[order], w)
-        docs = np.flatnonzero(acc > 0)
-        return docs, acc[docs].astype(np.float64)
+            # kA is (doc, pos)-sorted == emission order; span end = b*+1
+            w = width[emit]
+            return dA[emit], pA[emit], pA[emit] + w + 2, w
+        oka, bk = _partner(kA, kB, kA)       # first b >= a (tie: b == a)
+        ga = bk - kA
+        ea = oka & (ga <= slop + 1)
+        okb, ak = _partner(kB, kA, kB + 1)   # first a > b (tie pops A)
+        gb = ak - kB
+        eb = okb & (gb <= slop + 1)
+        # merged pop order: by key, A before B on ties (clause ord)
+        keys = np.concatenate([kA[ea] * 2, kB[eb] * 2 + 1])
+        docs_e = np.concatenate([dA[ea], dB[eb]])
+        starts_e = np.concatenate([pA[ea], pB[eb]])
+        widths = np.concatenate([ga[ea], gb[eb]]) + 1
+        order = np.argsort(keys, kind="stable")
+        return (docs_e[order], starts_e[order], (starts_e + widths)[order],
+                widths[order])
 
     span_near_kterm_vectorized = True  # k>=3 term clauses, no per-doc Python
 
-    def _near_kterm_counts(self, cand: np.ndarray, terms, slop: int,
+    def _near_kterm_stream(self, cand: np.ndarray, terms, slop: int,
                            in_order: bool):
-        """Vectorized NearSpans for k >= 3 distinct single-term clauses.
+        """Vectorized NearSpans emissions (docs, starts, ends, widths) for
+        k >= 3 distinct single-term clauses, per-doc emission order.
 
         ORDERED (NearSpansOrdered.java:60-121): the later clauses' pointers
         are monotone and every per-clause constraint start >= prev_end is
@@ -1218,24 +1230,24 @@ class Scorer:
         test_span_near_kterm_vectorized.py."""
         sh = self._POS_SHIFT
         k = len(terms)
-        acc_dt = (np.float32 if self.dtype == np.float32 else np.float64)
 
         def _flat_in(term):
             d, p = self.seg.flat_positions(term)
             i = np.searchsorted(cand, d)
             m = (i < cand.size) & (cand[np.minimum(i, cand.size - 1)] == d)
-            return d[m], (d[m] << sh) + p[m]
+            return d[m], p[m], (d[m] << sh) + p[m]
 
         flats = [_flat_in(t) for t in terms]
-        acc = np.zeros(self.seg.max_doc, dtype=acc_dt)
+        if any(f[2].size == 0 for f in flats):
+            return self._EMPTY_STREAM
 
         if in_order:
-            dA, kA = flats[0]
+            dA, pA, kA = flats[0]
             ok = np.ones(kA.size, dtype=bool)
             prev_end = kA + 1
             width = np.zeros(kA.size, dtype=np.int64)
             for ci in range(1, k):
-                kc = flats[ci][1]
+                kc = flats[ci][2]
                 r = np.searchsorted(kc, prev_end, side="left")
                 a = r < kc.size
                 sv = kc[np.minimum(r, kc.size - 1)]
@@ -1244,84 +1256,199 @@ class Scorer:
                 width = np.where(ok, width + sv - prev_end, width)
                 prev_end = sv + 1
             emit = ok & (width <= slop)
-            # kA is (doc, pos)-sorted == emission order; double weight into
-            # the float accumulator (SpanScorer fold, see 2-term NOTE above)
-            w = 1.0 / (1.0 + width[emit].astype(np.float64))
-            np.add.at(acc, dA[emit], w)
-        else:
-            # earliest exhaustion event per doc: E = min_j (last_j, j)
-            ekey = np.full(cand.size, np.iinfo(np.int64).max, dtype=np.int64)
-            starts = []
+            # kA is (doc, pos)-sorted == emission order; end = last chain
+            # landing spot + 1
+            ends = (prev_end - (dA << sh))[emit]
+            return dA[emit], pA[emit], ends, width[emit]
+        # earliest exhaustion event per doc: E = min_j (last_j, j)
+        ekey = np.full(cand.size, np.iinfo(np.int64).max, dtype=np.int64)
+        for j in range(k):
+            kj = flats[j][2]
+            lo = np.searchsorted(kj, cand << sh)
+            hi = np.searchsorted(kj, (cand + 1) << sh)
+            has = hi > lo
+            last = np.where(has, kj[np.maximum(hi, 1) - 1], 0)
+            ej = np.where(has, last * k + j, -1)
+            # docs missing a clause never pop at all
+            ekey = np.where(has, np.minimum(ekey, ej), -1)
+        em_keys, em_docs, em_starts, em_width = [], [], [], []
+        for ti in range(k):
+            dt_, pt_, kt = flats[ti]
+            di = np.searchsorted(cand, dt_)
+            popkey = kt * k + ti
+            valid = popkey <= ekey[di]
+            mmax = np.zeros(kt.size, dtype=np.int64)
             for j in range(k):
-                dj, kj = flats[j]
-                lo = np.searchsorted(kj, cand << sh)
-                hi = np.searchsorted(kj, (cand + 1) << sh)
-                has = hi > lo
-                last = np.where(has, kj[np.maximum(hi, 1) - 1], 0)
-                ej = np.where(has, last * k + j, -1)
-                # docs missing a clause never pop at all
-                ekey = np.where(has, np.minimum(ekey, ej), -1)
-                starts.append(lo)
-            em_keys, em_docs, em_width = [], [], []
-            for ti in range(k):
-                dt_, kt = flats[ti]
-                di = np.searchsorted(cand, dt_)
-                popkey = kt * k + ti
-                valid = popkey <= ekey[di]
-                mmax = np.zeros(kt.size, dtype=np.int64)
-                for j in range(k):
-                    if j == ti:
-                        continue
-                    kj = flats[j][1]
-                    tgt = kt + (1 if j < ti else 0)
-                    r = np.searchsorted(kj, tgt, side="left")
-                    a = r < kj.size
-                    mv = kj[np.minimum(r, kj.size - 1)]
-                    a &= (mv >> sh) == (kt >> sh)
-                    valid &= a
-                    mmax = np.maximum(mmax, mv)
-                wid = np.maximum(mmax, kt) + 1 - kt
-                emit = valid & (wid - k <= slop)
-                em_keys.append(popkey[emit])
-                em_docs.append(dt_[emit])
-                em_width.append(wid[emit])
-            keys_e = np.concatenate(em_keys)
-            docs_e = np.concatenate(em_docs)
-            wid_e = np.concatenate(em_width)
-            order = np.argsort(keys_e, kind="stable")  # merged pop order
-            w = 1.0 / (1.0 + wid_e[order].astype(np.float64))
-            np.add.at(acc, docs_e[order], w)
-        docs = np.flatnonzero(acc > 0)
-        return docs, acc[docs].astype(np.float64)
+                if j == ti:
+                    continue
+                kj = flats[j][2]
+                tgt = kt + (1 if j < ti else 0)
+                r = np.searchsorted(kj, tgt, side="left")
+                a = r < kj.size
+                mv = kj[np.minimum(r, kj.size - 1)]
+                a &= (mv >> sh) == (kt >> sh)
+                valid &= a
+                mmax = np.maximum(mmax, mv)
+            wid = np.maximum(mmax, kt) + 1 - kt
+            emit = valid & (wid - k <= slop)
+            em_keys.append(popkey[emit])
+            em_docs.append(dt_[emit])
+            em_starts.append(pt_[emit])
+            em_width.append(wid[emit])
+        keys_e = np.concatenate(em_keys)
+        docs_e = np.concatenate(em_docs)
+        starts_e = np.concatenate(em_starts)
+        wid_e = np.concatenate(em_width)
+        order = np.argsort(keys_e, kind="stable")  # merged pop order
+        return (docs_e[order], starts_e[order], (starts_e + wid_e)[order],
+                wid_e[order])
+
+    span_combinators_vectorized = True  # Or/Not/First/Range/Contain/Within
+
+    def _span_vec_ok(self, q: Q.SpanQuery) -> bool:
+        """True when the whole span tree evaluates through the vectorized
+        stream algebra: term leaves, Near over >= 2 DISTINCT term leaves
+        (gated by the Near flags so differential tests can force the
+        faithful per-doc matchers), and every span combinator recursing."""
+        if isinstance(q, Q.SpanTermQuery):
+            return True
+        if isinstance(q, Q.SpanNearQuery):
+            flag = (self.span_near_2term_vectorized if len(q.clauses) == 2
+                    else self.span_near_kterm_vectorized)
+            return (flag and len(q.clauses) >= 2
+                    and all(isinstance(c, Q.SpanTermQuery)
+                            for c in q.clauses)
+                    and len({c.term for c in q.clauses}) == len(q.clauses))
+        if isinstance(q, Q.SpanOrQuery):
+            return all(self._span_vec_ok(c) for c in q.clauses)
+        if isinstance(q, Q.SpanNotQuery):
+            return (self._span_vec_ok(q.include)
+                    and self._span_vec_ok(q.exclude))
+        if isinstance(q, (Q.SpanFirstQuery, Q.SpanPositionRangeQuery)):
+            return self._span_vec_ok(q.match)
+        if isinstance(q, (Q.SpanContainingQuery, Q.SpanWithinQuery)):
+            return self._span_vec_ok(q.big) and self._span_vec_ok(q.little)
+        if isinstance(q, Q.FieldMaskingSpanQuery):
+            return self._span_vec_ok(q.query)
+        return False
+
+    def _span_streams_vec(self, q: Q.SpanQuery, cand: np.ndarray):
+        """(docs, starts, ends, widths) emission stream of q restricted to
+        candidate docs — global order: docs ascending, per-doc order: the
+        faithful _doc_spans emission order (which is (start, end)-sorted at
+        every node: term starts are distinct per doc, Or sorts, filters and
+        the big/little pointers preserve order).
+
+        Each combinator is the closed form of its per-doc pointer loop over
+        composite (doc << 32) + position keys: doc-dominance makes one
+        global searchsorted (or running max) equal the per-doc monotone
+        pointer in every doc at once. The Within pointer skips bigs with
+        end < little.end and never rewinds, so after any prefix of littles
+        it sits at the first big whose end reaches the RUNNING MAX of
+        little ends seen so far (induction: a smaller target can't move a
+        pointer that already cleared a larger one) — one searchsorted over
+        the running max of big composite ends. SpanNot's overlap test is a
+        prefix query: excludes with start < include.end form a composite
+        prefix, and overlap exists iff that prefix's running-max end passes
+        include.start (earlier docs' maxima sit below doc << 32 and can
+        never trigger). Reference behavior contracts: SpanNotQuery.java,
+        SpanContainingQuery.java:70-90, SpanWithinQuery.java:80-100,
+        SpanPositionRangeQuery.java:41-48. Differential proof:
+        test_span_streams_vectorized.py."""
+        sh = self._POS_SHIFT
+        if isinstance(q, Q.SpanTermQuery):
+            d, p = self.seg.flat_positions(q.term)
+            i = np.searchsorted(cand, d)
+            m = (i < cand.size) & (cand[np.minimum(i, cand.size - 1)] == d)
+            d, p = d[m], p[m]
+            return d, p, p + 1, np.zeros(p.size, dtype=np.int64)
+        if isinstance(q, Q.SpanNearQuery):
+            terms = [c.term for c in q.clauses]
+            sub = cand
+            if self.span_prefilter and len(terms) >= 3:
+                flats = [self.seg.flat_positions(t) for t in terms]
+                if q.in_order:
+                    sub = self._pair_window_cut(sub, flats, 1, 1 + q.slop)
+                else:
+                    sub = self._pair_window_cut(sub, flats, -1 - q.slop,
+                                                1 + q.slop)
+            if sub.size == 0:
+                return self._EMPTY_STREAM
+            if len(terms) == 2:
+                return self._near_2term_stream(sub, terms[0], terms[1],
+                                               q.slop, q.in_order)
+            return self._near_kterm_stream(sub, terms, q.slop, q.in_order)
+        if isinstance(q, Q.SpanOrQuery):
+            parts = [self._span_streams_vec(c, cand) for c in q.clauses]
+            d = np.concatenate([x[0] for x in parts])
+            s = np.concatenate([x[1] for x in parts])
+            e = np.concatenate([x[2] for x in parts])
+            w = np.concatenate([x[3] for x in parts])
+            # per-doc stable sort by (start, end); ties keep clause order
+            # (the disjunction queue pops equal spans in clause order)
+            order = np.lexsort((e, s, d))
+            return d[order], s[order], e[order], w[order]
+        if isinstance(q, Q.SpanFirstQuery):
+            d, s, e, w = self._span_streams_vec(q.match, cand)
+            m = (s < q.end) & (e <= q.end)
+            return d[m], s[m], e[m], w[m]
+        if isinstance(q, Q.SpanPositionRangeQuery):
+            d, s, e, w = self._span_streams_vec(q.match, cand)
+            m = (s < q.end) & (s >= q.start) & (e <= q.end)
+            return d[m], s[m], e[m], w[m]
+        if isinstance(q, Q.SpanNotQuery):
+            d, s, e, w = self._span_streams_vec(q.include, cand)
+            xd, xs, xe, _xw = self._span_streams_vec(q.exclude, cand)
+            if xd.size == 0 or d.size == 0:
+                return d, s, e, w
+            xcs = (xd << sh) + xs
+            xrm = np.maximum.accumulate((xd << sh) + xe)
+            j = np.searchsorted(xcs, (d << sh) + e, side="left")
+            keep = (j == 0) | (xrm[np.maximum(j, 1) - 1] <= (d << sh) + s)
+            return d[keep], s[keep], e[keep], w[keep]
+        if isinstance(q, Q.SpanContainingQuery):
+            bd, bs, be, bw = self._span_streams_vec(q.big, cand)
+            ld, ls, le, _lw = self._span_streams_vec(q.little, cand)
+            if bd.size == 0 or ld.size == 0:
+                return self._EMPTY_STREAM
+            # per big span: partner little = first with start >= big.start
+            # (the per-doc pointer is monotone in the sorted big starts);
+            # emit big when that little ends inside it
+            lcs = (ld << sh) + ls
+            j = np.searchsorted(lcs, (bd << sh) + bs, side="left")
+            ok = j < lcs.size
+            jj = np.minimum(j, lcs.size - 1)
+            ok &= ld[jj] == bd
+            ok &= ((ld[jj] << sh) + le[jj]) <= ((bd << sh) + be)
+            return bd[ok], bs[ok], be[ok], bw[ok]
+        if isinstance(q, Q.SpanWithinQuery):
+            bd, bs, be, _bw = self._span_streams_vec(q.big, cand)
+            ld, ls, le, lw = self._span_streams_vec(q.little, cand)
+            if bd.size == 0 or ld.size == 0:
+                return self._EMPTY_STREAM
+            brm = np.maximum.accumulate((bd << sh) + be)
+            tgt = np.maximum.accumulate((ld << sh) + le)
+            j = np.searchsorted(brm, tgt, side="left")
+            ok = j < brm.size
+            jj = np.minimum(j, brm.size - 1)
+            ok &= bd[jj] == ld
+            ok &= bs[jj] <= ls
+            return ld[ok], ls[ok], le[ok], lw[ok]
+        if isinstance(q, Q.FieldMaskingSpanQuery):
+            # positions come from the REAL field's postings; only scoring
+            # sees the mask (_span_stats_term)
+            return self._span_streams_vec(q.query, cand)
+        raise TypeError(type(q))
 
     def eval_spans(self, q: Q.SpanQuery):
         """(docids asc, sloppy freqs) over the segment. freq = sum over spans
         of 1/(1 + width), accumulated in the scoring dtype exactly like
         SpanScorer.setFreqCurrentDoc (float32 in Lucene-parity mode)."""
         cand = self._span_candidates(q)
-        if (cand.size and self.span_near_2term_vectorized
-                and isinstance(q, Q.SpanNearQuery) and len(q.clauses) == 2
-                and all(isinstance(c, Q.SpanTermQuery) for c in q.clauses)
-                and q.clauses[0].term != q.clauses[1].term):
-            return self._near_2term_counts(
-                cand, q.clauses[0].term, q.clauses[1].term, q.slop,
-                q.in_order)
-        if (cand.size and self.span_near_kterm_vectorized
-                and isinstance(q, Q.SpanNearQuery) and len(q.clauses) >= 3
-                and all(isinstance(c, Q.SpanTermQuery) for c in q.clauses)
-                and len({c.term for c in q.clauses}) == len(q.clauses)):
-            terms = [c.term for c in q.clauses]
-            if self.span_prefilter:
-                flats = [self.seg.flat_positions(t) for t in terms]
-                if q.in_order:
-                    cand = self._pair_window_cut(cand, flats, 1, 1 + q.slop)
-                else:
-                    cand = self._pair_window_cut(cand, flats, -1 - q.slop,
-                                                 1 + q.slop)
-            if cand.size == 0:
-                return (np.zeros(0, dtype=np.int64),
-                        np.zeros(0, dtype=np.float64))
-            return self._near_kterm_counts(cand, terms, q.slop, q.in_order)
+        if (cand.size and self.span_combinators_vectorized
+                and self._span_vec_ok(q)):
+            d, _s, _e, w = self._span_streams_vec(q, cand)
+            return self._fold_span_stream(d, w)
         if (cand.size and self.span_prefilter
                 and isinstance(q, Q.SpanNearQuery) and len(q.clauses) > 1
                 and all(isinstance(c, Q.SpanTermQuery) for c in q.clauses)):
@@ -1554,6 +1681,41 @@ class Scorer:
                     return None
                 keep = (length - IV.min_extent(inner)) <= src.gaps
             return dd[keep], starts[keep], ends[keep]
+        if isinstance(src, Q.IOr):
+            parts = [self._minimal_set_vec(s, cand) for s in src.sources]
+            if any(p is None for p in parts):
+                return None
+            dd = np.concatenate([p[0] for p in parts])
+            ss = np.concatenate([p[1] for p in parts])
+            ee = np.concatenate([p[2] for p in parts])
+            if dd.size == 0:
+                return dd, ss, ee
+            order = np.lexsort((ee, ss))  # composite keys: doc-dominant
+            dd, ss, ee = dd[order], ss[order], ee[order]
+            # the same interval surfacing from two subs emits once
+            # (the queue pops the second as containing the first)
+            dup = np.zeros(ss.size, dtype=bool)
+            dup[1:] = (ss[1:] == ss[:-1]) & (ee[1:] == ee[:-1])
+            dd, ss, ee = dd[~dup], ss[~dup], ee[~dup]
+            # DisjunctionIntervalsSource (queue by end asc, start desc,
+            # suppressing intervals that contain the last emission) emits
+            # exactly the containment-minimal antichain of the union: the
+            # lazy last-emission check is complete because emission starts
+            # and ends both strictly ascend, so containing ANY earlier
+            # emission implies containing the last (intervals.py:273-332).
+            # In (start, end)-sorted distinct rows, X strictly contains a
+            # LATER row iff some suffix end <= X.end (equal starts sort
+            # ascending ends, so their suffix ends exceed X's), and an
+            # EARLIER row iff one shares X's start; later-doc suffix ends
+            # sit above doc<<32 and never trigger.
+            first = np.ones(ss.size, dtype=bool)
+            first[1:] = ss[1:] != ss[:-1]
+            sufmin = np.empty(ee.size, dtype=np.int64)
+            sufmin[-1] = np.iinfo(np.int64).max
+            if ee.size > 1:
+                sufmin[:-1] = np.minimum.accumulate(ee[::-1])[::-1][1:]
+            keep = first & (sufmin > ee)
+            return dd[keep], ss[keep], ee[keep]
         if not (isinstance(src, (Q.IOrdered, Q.IUnordered, Q.IPhrase))
                 and all(isinstance(s, Q.ITerm) for s in src.sources)):
             return None
@@ -1569,6 +1731,9 @@ class Scorer:
         if k < 2 or len(set(terms)) != k:
             return None  # repeated terms: shared streams, keep per-doc
         flats = [_flat_in(t) for t in terms]
+        if any(f[1].size == 0 for f in flats):
+            z = np.zeros(0, dtype=np.int64)  # a clause absent from cand:
+            return z, z.copy(), z.copy()     # no intervals anywhere
         if isinstance(src, Q.IOrdered):
             dA, kA = flats[0]
             ok = np.ones(kA.size, dtype=bool)

@@ -196,3 +196,66 @@ def test_filtered_phrase_and_nested_filters():
     nested = Q.IMaxGaps(2, Q.IOrdered((Q.ITerm("a"), Q.ITerm("b"))))
     for docs in _corpora(90, 20, 2):
         _check(docs, Q.IMaxWidth(5, nested.source), np.float32)
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_disjunction_randomized(dtype):
+    """IOr over mixed term-leaf shapes: the vectorized antichain (suffix-min
+    ends + first-of-start-group after exact-dup collapse) must equal the
+    per-doc DisjunctionIntervalsSource queue semantics."""
+    srcs = (
+        Q.IOr((Q.ITerm("a"), Q.IOrdered((Q.ITerm("b"), Q.ITerm("c"))))),
+        Q.IOr((Q.IOrdered((Q.ITerm("a"), Q.ITerm("b"))),
+               Q.IUnordered((Q.ITerm("c"), Q.ITerm("d"))))),
+        Q.IOr((Q.ITerm("a"), Q.ITerm("b"), Q.ITerm("c"))),
+        Q.IOr((Q.IUnordered((Q.ITerm("a"), Q.ITerm("b"))),
+               Q.IOrdered((Q.ITerm("a"), Q.ITerm("b"))))),
+    )
+    for src in srcs:
+        for docs in _corpora(110, 40, 4):
+            _check(docs, src, dtype)
+
+
+def test_disjunction_golden_containment():
+    """Directed suppression cases: a term interval inside an ordered pair
+    starting at the same position kills the pair's interval (containment-
+    minimal antichain), duplicate intervals from two subs emit once."""
+    def doc(text):
+        return {0: text.split()}
+
+    # (a..b) intervals always contain the 'a' term interval at their start
+    src = Q.IOr((Q.ITerm("a"), Q.IOrdered((Q.ITerm("a"), Q.ITerm("b")))))
+    _check(doc("a b"), src)
+    _check(doc("a x b a"), src)
+    # identical intervals from two subs (ordered a..b == phrase a b)
+    dup = Q.IOr((Q.IOrdered((Q.ITerm("a"), Q.ITerm("b"))),
+                 Q.IPhrase((Q.ITerm("a"), Q.ITerm("b")))))
+    _check(doc("a b x a b"), dup)
+    # nested IOr
+    nested = Q.IOr((Q.IOr((Q.ITerm("a"), Q.ITerm("b"))), Q.ITerm("c")))
+    _check(doc("a b c a"), nested)
+
+
+def test_disjunction_under_filters_and_containment():
+    """IMaxWidth composes over IOr (filter after minimization); IMaxGaps
+    over IOr keeps the per-doc path (per-row gaps depend on the emitting
+    sub); IOr sides inside containment stay covered antichains."""
+    def doc(text):
+        return {0: text.split()}
+
+    w = Q.IMaxWidth(3, Q.IOr((Q.ITerm("a"),
+                              Q.IOrdered((Q.ITerm("b"), Q.ITerm("c"))))))
+    _check(doc("b x c a b c"), w)
+    g = Q.IMaxGaps(1, Q.IOr((Q.IOrdered((Q.ITerm("a"), Q.ITerm("b"))),
+                             Q.IOrdered((Q.ITerm("c"), Q.ITerm("d"))))))
+    _check(doc("a x b c d a b"), g)  # falls through; both paths agree
+    big_or = Q.IContaining(
+        Q.IOr((Q.IOrdered((Q.ITerm("a"), Q.ITerm("c"))),
+               Q.IUnordered((Q.ITerm("a"), Q.ITerm("d"))))), Q.ITerm("b"))
+    for docs in _corpora(120, 30, 4):
+        _check(docs, big_or)
+    small_or = Q.IContainedBy(
+        Q.IOr((Q.ITerm("b"), Q.IOrdered((Q.ITerm("b"), Q.ITerm("d"))))),
+        Q.IUnordered((Q.ITerm("a"), Q.ITerm("c"))))
+    for docs in _corpora(130, 30, 4):
+        _check(docs, small_or)

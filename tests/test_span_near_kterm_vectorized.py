@@ -1,6 +1,6 @@
 """Differential proof: vectorized k-term NearSpans == faithful matchers.
 
-kernel._near_kterm_counts claims NearSpansOrdered collapses, for k >= 3
+kernel._near_kterm_stream claims NearSpansOrdered collapses, for k >= 3
 distinct single-term clauses, to a chained first-landing-spot searchsorted
 (monotone pointers == independent per-start chains), and the unordered
 window queue to merged-pop-order emissions cut at the doc's earliest clause

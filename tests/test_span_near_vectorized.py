@@ -1,6 +1,6 @@
 """Differential proof: vectorized 2-term NearSpans == faithful matchers.
 
-kernel._near_2term_counts claims both NearSpansOrdered and the unordered
+kernel._near_2term_stream claims both NearSpansOrdered and the unordered
 window queue collapse, for two distinct single-term clauses, to closed forms
 over the two position streams. Exhaustive small-universe + randomized
 corpora, ordered and unordered, float64 and float32, through the full
