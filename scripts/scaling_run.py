@@ -78,17 +78,47 @@ def _sync() -> None:
     time.sleep(2)
 
 
+def _read_steal() -> float:
+    """Hypervisor steal time in CPU-seconds since boot (/proc/stat field 9,
+    USER_HZ=100). On this shared sandbox VM, co-tenant bursts steal up to
+    ~6 of the 32 vCPUs for tens of seconds; a local[8] pass loses
+    proportionally more to a burst than a local[2] pass, so steal biases the
+    measured N->4N ratio DOWN. Recording per-pass steal makes contamination
+    adjudicable from the result itself."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8]) / 100.0
+    except Exception:
+        return 0.0
+
+
 def run_level(cores: int, n_docs: int) -> dict:
     script = CHILD.format(repo=REPO)
     _sync()
+    steal0 = _read_steal()
     out = subprocess.run(
         [sys.executable, "-c", script, str(cores), str(n_docs)],
         capture_output=True, text=True, timeout=3600)
     for line in out.stdout.splitlines():
         if line.startswith("SCALING_RESULT "):
-            return json.loads(line[len("SCALING_RESULT "):])
+            r = json.loads(line[len("SCALING_RESULT "):])
+            steal = _read_steal() - steal0
+            r["steal_cpu_s"] = round(steal, 1)
+            # fraction of this pass's OWN cpu budget lost to the hypervisor
+            r["steal_frac"] = round(steal / (r["wall_s"] * cores), 4)
+            print(f"  pass local[{cores}]: wall {r['wall_s']:.1f}s, "
+                  f"steal {steal:.0f} cpu-s ({100 * r['steal_frac']:.1f}% "
+                  f"of the pass budget)", flush=True)
+            return r
     raise RuntimeError(f"no result from cores={cores}:\n{out.stdout[-2000:]}\n"
                        f"{out.stderr[-2000:]}")
+
+
+# A pair is counted as steal-contaminated when either pass lost more than
+# this fraction of its own cpu budget to the hypervisor. The threshold is
+# fixed here (pre-registered), not tuned per run; contaminated pairs stay in
+# the output with their steal numbers — nothing is dropped silently.
+STEAL_CLEAN_FRAC = 0.02
 
 
 def run_interleaved(n: int, n_docs: int, reps: int):
@@ -99,16 +129,20 @@ def run_interleaved(n: int, n_docs: int, reps: int):
     estimates can sample different host states. Adjacent lo/hi pairs see the
     same host state, so the per-pair speedup ratio cancels the drift; the
     reported efficiency is the median of per-pair ratios (plus the min-of-reps
-    estimator, the standard least-interference choice on shared VMs)."""
-    lo_runs, hi_runs, ratios = [], [], []
-    for _ in range(reps):
+    estimator, the standard least-interference choice on shared VMs). Each
+    pass also records hypervisor steal (see _read_steal); the summary
+    separates steal-clean pairs from contaminated ones."""
+    lo_runs, hi_runs, ratios, pair_steal = [], [], [], []
+    for i in range(reps):
+        print(f"pair {i + 1}/{reps}:", flush=True)
         lo = run_level(n, n_docs)
         hi = run_level(4 * n, n_docs)
         lo_runs.append(lo)
         hi_runs.append(hi)
         ratios.append(lo["wall_s"] / hi["wall_s"])
-    ratios.sort()
-    med_ratio = ratios[len(ratios) // 2]
+        pair_steal.append(max(lo["steal_frac"], hi["steal_frac"]))
+    order = sorted(range(reps), key=lambda i: ratios[i])
+    med_ratio = ratios[order[len(order) // 2]]
 
     def summarize(runs, cores):
         ws = sorted(r["wall_s"] for r in runs)
@@ -117,9 +151,22 @@ def run_interleaved(n: int, n_docs: int, reps: int):
                 "docs_per_sec": n_docs / med,
                 "all_wall_s": [round(w, 2) for w in
                                (r["wall_s"] for r in runs)],
+                "all_steal_frac": [r["steal_frac"] for r in runs],
                 "min_wall_s": round(ws[0], 2)}
+    clean = [ratios[i] for i in range(reps)
+             if pair_steal[i] <= STEAL_CLEAN_FRAC]
+    clean_stats = None
+    if clean:
+        cs = sorted(clean)
+        clean_stats = {
+            "n_pairs": len(cs),
+            "speedup_median": round(cs[len(cs) // 2], 3),
+            "efficiency_median": round(cs[len(cs) // 2] / 4.0, 3),
+            "threshold_steal_frac": STEAL_CLEAN_FRAC,
+        }
     return (summarize(lo_runs, n), summarize(hi_runs, 4 * n),
-            med_ratio, [round(r, 3) for r in ratios])
+            med_ratio, [round(r, 3) for r in ratios],
+            [round(s, 4) for s in pair_steal], clean_stats)
 
 
 def main() -> None:
@@ -133,13 +180,19 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_SCALING_REPS", "3"))
     # warm-up pass (corpus generation + page cache), then interleaved pairs
     run_level(n, n_docs)
-    lo, hi, med_ratio, ratios = run_interleaved(n, n_docs, reps)
+    lo, hi, med_ratio, ratios, pair_steal, clean_stats = run_interleaved(
+        n, n_docs, reps)
     result = {
         "job": "index build (tokenize -> salted term shuffle -> block encode "
                "-> segment commit)",
         "n_docs": n_docs,
         "low": lo, "high": hi,
         "pair_speedups": ratios,
+        "pair_max_steal_frac": pair_steal,
+        # pairs whose both passes lost <= 2% of their cpu budget to the
+        # hypervisor (pre-registered threshold, see STEAL_CLEAN_FRAC); the
+        # raw all-pairs numbers below are never replaced by this
+        "steal_clean_pairs": clean_stats,
         "speedup_median": round(med_ratio, 3),
         "efficiency_median": round(med_ratio / 4.0, 3),
         # min-of-reps: the standard estimator on noisy shared-host VMs (least
@@ -186,6 +239,8 @@ def main() -> None:
         "protocol": f"interleaved pairs x{reps}",
         "lo_all": lo["all_wall_s"], "hi_all": hi["all_wall_s"],
         "pair_speedups": ratios,
+        "pair_max_steal_frac": pair_steal,
+        "steal_clean_pairs": clean_stats,
         "efficiency_median": result["efficiency_median"],
         "efficiency_min": result["efficiency_min"],
     })
