@@ -209,6 +209,55 @@ def _synonym_expand(pairs: List[Tuple[str, int]],
     return out
 
 
+# American Soundex letter codes (the commons-codec US_ENGLISH table that
+# Lucene's analysis/phonetic/PhoneticFilter.java delegates to): vowels + Y
+# code '' (they separate duplicate codes), H/W are skipped WITHOUT separating
+# (the Ashcraft rule), consonant groups code 1-6.
+_SOUNDEX_CODES = {}
+for _letters, _digit in (("BFPV", "1"), ("CGJKQSXZ", "2"), ("DT", "3"),
+                         ("L", "4"), ("MN", "5"), ("R", "6")):
+    for _c in _letters:
+        _SOUNDEX_CODES[_c] = _digit
+
+
+def soundex(word: str) -> str:
+    """American Soundex (commons-codec Soundex.US_ENGLISH behavior): first
+    letter + 3 digits, adjacent duplicate codes collapsed, H/W transparent
+    to collapsing, vowels/Y reset it. Classic vectors: Robert/Rupert -> R163,
+    Ashcraft -> A261, Tymczak -> T522, Pfister -> P236, Honeyman -> H555.
+    Tokens without an ASCII letter come back unchanged."""
+    letters = [c for c in word.upper() if "A" <= c <= "Z"]
+    if not letters:
+        return word
+    out = [letters[0]]
+    last = _SOUNDEX_CODES.get(letters[0], "")
+    for c in letters[1:]:
+        if c in ("H", "W"):
+            continue  # transparent: previous code still guards collapsing
+        code = _SOUNDEX_CODES.get(c, "")
+        if code and code != last:
+            out.append(code)
+            if len(out) == 4:
+                break
+        last = code
+    return "".join(out).ljust(4, "0")
+
+
+def _phonetic_expand(pairs: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
+    """PhoneticFilter analog (analysis/phonetic/PhoneticFilter.java,
+    inject=true, Soundex encoder): each token additionally emits its phonetic
+    code AT THE SAME POSITION (posIncrement 0 — an overlap token discounted
+    from the norm), so exact and sounds-like queries both match and phrase
+    positions stay aligned. Codes are lowercased into the term dictionary."""
+    out: List[Tuple[str, int]] = []
+    for term, pos in pairs:
+        out.append((term, pos))
+        code = soundex(term).lower()
+        if code != term:
+            out.append((code, pos))
+    return out
+
+
 def _edge_expand(pairs: List[Tuple[str, int]], lo: int,
                  hi: int) -> List[Tuple[str, int]]:
     """EdgeNGramTokenFilter analog (analysis/common/.../ngram/
@@ -243,7 +292,11 @@ class Analyzer:
                  ascii_folding: bool = False, shingles: bool = False,
                  edge_ngrams: Optional[Tuple[int, int]] = None,
                  synonyms: Optional[dict] = None,
-                 cjk_dict: Optional[frozenset] = None):
+                 cjk_dict: Optional[frozenset] = None,
+                 phonetic: Optional[str] = None):
+        if phonetic is not None and phonetic != "soundex":
+            raise ValueError(f"unknown phonetic encoder: {phonetic!r} "
+                             "(supported: 'soundex')")
         if cjk_dict and cjk_bigrams:
             raise ValueError("cjk_dict and cjk_bigrams are alternative "
                              "segmentation routes; pick one")
@@ -268,6 +321,7 @@ class Analyzer:
         self.cjk_dict = frozenset(cjk_dict) if cjk_dict else None
         self._cjk_dict_maxlen = (max(len(w) for w in self.cjk_dict)
                                  if self.cjk_dict else 0)
+        self.phonetic = phonetic
 
     def _strip_poss(self, tok: str) -> str:
         # EnglishPossessiveFilter.java:53-58: drop a trailing 's / ’s
@@ -310,6 +364,8 @@ class Analyzer:
         out = self._base_pairs(text)
         if self.synonyms:
             out = _synonym_expand(out, self.synonyms)
+        if self.phonetic:
+            out = _phonetic_expand(out)
         if self.shingles:
             out = _shingle_fold(out)
         if self.edge_ngrams:
@@ -325,7 +381,7 @@ class Analyzer:
         if not text:
             return [], 0
         if (self.stem or self.strip_possessive or self.cjk_bigrams
-                or self.cjk_dict
+                or self.cjk_dict or self.phonetic
                 or self.shingles or self.edge_ngrams or self.synonyms
                 or (self.ascii_folding and not text.isascii())):
             # filter-chain path: per-token transforms, Zipfian-memoized
@@ -339,6 +395,8 @@ class Analyzer:
             total = len(base)
             pairs = (_synonym_expand(base, self.synonyms)
                      if self.synonyms else base)
+            if self.phonetic:
+                pairs = _phonetic_expand(pairs)
             if self.shingles:
                 pairs = _shingle_fold(pairs)
             if self.edge_ngrams:

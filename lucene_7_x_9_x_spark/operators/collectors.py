@@ -29,7 +29,8 @@ from pyspark.sql.window import Window
 
 __all__ = ["top_docs_per_group", "facet_counts", "hierarchical_facet_counts",
            "distinct_values", "more_like_this_terms", "drill_sideways",
-           "range_facet_counts", "diversity_top_k"]
+           "range_facet_counts", "diversity_top_k",
+           "sorted_set_facet_counts", "grouping_search"]
 
 
 def top_docs_per_group(scored: DataFrame, group_col: str, k: int,
@@ -96,6 +97,53 @@ def hierarchical_facet_counts(matched: DataFrame,
 def distinct_values(matched: DataFrame, col: str) -> DataFrame:
     """Distinct field values of the match set (DistinctValueCollector analog)."""
     return matched.select(col).distinct()
+
+
+def sorted_set_facet_counts(matched: DataFrame, array_col: str) -> DataFrame:
+    """Multi-valued (SortedSetDocValues) facet counts: each doc contributes
+    once per DISTINCT value in its array column — SortedSetDocValuesFacetCounts
+    counts set-valued ords per doc, not repeated occurrences (facet/sortedset/
+    SortedSetDocValuesFacetCounts.java; demos SortedSetDocValuesFacetsTest.java
+    / StringValueFacetTest.java / TestSortedSetDocValuesCount.java).
+
+    Scale: explode of the (usually short) per-doc value set, then one
+    (value, count) partial-agg shuffle — no per-value rescan of the match set."""
+    return (matched
+            .select(F.explode(F.array_distinct(F.col(array_col)))
+                    .alias("value"))
+            .groupBy("value").agg(F.count("*").alias("cnt")))
+
+
+def grouping_search(scored: DataFrame, group_col: str, n_groups: int,
+                    docs_per_group: int, id_col: str = "doc_id",
+                    score_col: str = "score") -> DataFrame:
+    """GroupingSearch full shape (grouping module TopGroupsCollector +
+    AllGroupsCollector; demo lucene/grouping/GroupingSearchTest.java): the
+    top ``n_groups`` groups ordered by their head (best-doc) score, each with
+    its top ``docs_per_group`` docs, each row also carrying the group's total
+    hit count and the collection-wide total group count
+    (GroupingSearch.setAllGroups(true)).
+
+    One shuffle on group_col computes within-group ranks, per-group size and
+    head score in a single window pass; the total-group-count is a broadcast
+    one-row cross join (AllGroupsCollector's distinct-count). Returns
+    (group, doc ids..., rnk, group_size, total_groups) ordered by
+    (head score desc, group asc, rnk)."""
+    w = Window.partitionBy(group_col).orderBy(F.desc(score_col), F.asc(id_col))
+    wg = Window.partitionBy(group_col)
+    ranked = (scored
+              .withColumn("rnk", F.row_number().over(w))
+              .withColumn("group_size", F.count("*").over(wg))
+              .withColumn("head_score", F.max(score_col).over(wg))
+              .where(F.col("rnk") <= docs_per_group))
+    total = scored.select(
+        F.countDistinct(group_col).alias("total_groups"))
+    heads = (ranked.where(F.col("rnk") == 1)
+             .orderBy(F.desc("head_score"), F.asc(group_col))
+             .limit(n_groups).select(group_col))
+    return (ranked.join(heads, group_col)
+            .crossJoin(F.broadcast(total))
+            .orderBy(F.desc("head_score"), F.asc(group_col), F.asc("rnk")))
 
 
 def drill_sideways(matched: DataFrame, drill_downs: dict) -> DataFrame:

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["function_score"]
+__all__ = ["function_score", "expression_sort"]
 
 
 def function_score(scores: DataFrame, features: DataFrame, expr: str,
@@ -27,3 +27,21 @@ def function_score(scores: DataFrame, features: DataFrame, expr: str,
     FunctionScoreQuery's requirement that the values source advances."""
     return (scores.join(features, list(key_cols))
             .withColumn("score", F.expr(expr)))
+
+
+def expression_sort(scores: DataFrame, features: DataFrame, expr: str, k: int,
+                    key_cols: tuple = ("doc_id",),
+                    id_col: str = "doc_id") -> DataFrame:
+    """Expressions-module analog (expressions/src/java/org/apache/lucene/
+    expressions/Expression.java getSortField + js/JavascriptCompiler): compile
+    an arithmetic expression over `_score` and doc-value bindings into a
+    SortField and take the top k.
+
+    The "compiled expression" is a Catalyst expression string referencing the
+    base `score` column and any feature column — parsed, codegen'd and
+    whole-stage-compiled by Spark (the JVM bytecode role JavascriptCompiler
+    plays). Sort is (expression desc, id asc), executed as a
+    TakeOrderedAndProject: per-partition partial top-k, k rows to the driver."""
+    joined = (scores.join(features, list(key_cols))
+              .withColumn("sort_value", F.expr(expr)))
+    return joined.orderBy(F.desc("sort_value"), F.asc(id_col)).limit(k)
