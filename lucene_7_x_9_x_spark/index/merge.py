@@ -198,13 +198,23 @@ def _score(candidate, hit_too_large: bool, merge_factor: int,
 # ---------------------------------------------------------------------------
 
 def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
-                  term_shards: int = 32) -> int:
+                  term_shards: int = 32,
+                  soft_retention: "DataFrame | None" = None) -> int:
     """Merge the given segments into one new segment; returns new segment_id.
 
     Deleted docs are dropped and surviving docids compacted exactly as
     DocIDMerger re-bases (DocIDMerger.java:34,93,139): within each input
     segment the new docid is old - |deleted below old|, plus the cumulative
-    surviving-doc offset of the preceding segments (segment order)."""
+    surviving-doc offset of the preceding segments (segment order).
+
+    ``soft_retention`` is the SoftDeletesRetentionMergePolicy retention query
+    resolved to its (segment_id, docid) match set (SoftDeletesRetentionMerge
+    Policy.java:100-141 wraps the retention query in a scorer over each merging
+    reader; demo softDeletes/HistoryRetention.java keeps the last 24h of
+    history). Soft-deleted docs IN the set survive the merge still soft-marked;
+    soft-deleted docs OUTSIDE it are dropped like hard deletes. None keeps
+    every soft-deleted doc (the keep-all default of the plain soft-deletes
+    path). Live docs are never affected."""
     t0 = time.time()
     cat = IndexCatalog(index_dir)
     from .builder import load_index_codec
@@ -225,12 +235,42 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
     del_gens = tuple(cat.delete_gens())
     del_segs = frozenset(s["segment_id"] for s in parts
                          if s.get("del_count", 0) > 0)
+
+    # Retention drops: soft-deleted docs the retention query does NOT match
+    # become hard deletes of THIS merge. They are staged distributed as a
+    # per-segment parquet sidecar under merge_retention_drops/gen=<new_id>
+    # (read task-locally exactly like a .liv gen, never collected), and the
+    # staging dir is removed after the merge commit.
+    drop_segs = frozenset()
+    drop_df = None
+    if soft_retention is not None and cat.soft_delete_gens():
+        soft_src = deletes_df(spark, index_dir, set(segment_ids),
+                              kind="soft_deletes")
+        if soft_src is not None:
+            drop_df = (soft_src.select("segment_id", "docid").distinct()
+                       .join(soft_retention.select("segment_id", "docid"),
+                             ["segment_id", "docid"], "left_anti"))
+
     del_counts: dict[int, int] = {}
-    if del_segs:
-        ddf = deletes_df(spark, index_dir, set(segment_ids), gens=del_gens)
+    if del_segs or drop_df is not None:
+        ddf = (deletes_df(spark, index_dir, set(segment_ids), gens=del_gens)
+               if del_segs else None)
+        if drop_df is not None:
+            drop_counts = {int(r["segment_id"]): int(r["cnt"]) for r in
+                           drop_df.groupBy("segment_id")
+                           .agg(F.count("*").alias("cnt")).collect()}
+            drop_segs = frozenset(drop_counts)
+            if drop_segs:
+                (drop_df.repartition(1).write.mode("overwrite")
+                 .partitionBy("segment_id")
+                 .parquet(os.path.join(index_dir, "merge_retention_drops",
+                                       f"gen={new_id}")))
+                ddf = (ddf.select("segment_id", "docid").union(drop_df)
+                       .distinct() if ddf is not None else drop_df)
         if ddf is not None:
             del_counts = {int(r["segment_id"]): int(r["cnt"]) for r in
-                          ddf.groupBy("segment_id")
+                          ddf.select("segment_id", "docid").distinct()
+                          .groupBy("segment_id")
                           .agg(F.count("*").alias("cnt")).collect()}
 
     # surviving-doc re-base offsets, in segment order (DocIDMerger.java:34,93)
@@ -241,11 +281,21 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
         off += s["max_doc"] - del_counts.get(s["segment_id"], 0)
 
     def _deleted(seg_id: int, _cache: dict = {}):
-        """Per-task lazy .liv read of one segment (cached per closure copy)."""
+        """Per-task lazy .liv read of one segment (cached per closure copy):
+        committed hard-delete gens plus this merge's staged retention drops."""
         if seg_id not in _cache:
-            _cache[seg_id] = (
-                read_segment_deletes(index_dir, seg_id, del_gens)
-                if seg_id in del_segs else None)
+            arrs = []
+            if seg_id in del_segs:
+                a = read_segment_deletes(index_dir, seg_id, del_gens)
+                if a is not None:
+                    arrs.append(a)
+            if seg_id in drop_segs:
+                a = read_segment_deletes(index_dir, seg_id, (new_id,),
+                                         kind="merge_retention_drops")
+                if a is not None:
+                    arrs.append(a)
+            _cache[seg_id] = (np.unique(np.concatenate(arrs))
+                              if arrs else None)
         return _cache[seg_id]
 
     def remap(seg_id: int, docids: np.ndarray):
@@ -464,6 +514,17 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
         ("merge", new_id, cat.head() + 1, new_seg["doc_count"], wall_ms,
          "done")])
     cat.commit(remaining + [new_seg], operation="merge", extra=extra)
+    if drop_segs:
+        # the staged retention drops only ever addressed the now-dead input
+        # segments; remove the sidecar so nothing orphans on disk
+        import shutil
+        stage = os.path.join(index_dir, "merge_retention_drops")
+        shutil.rmtree(os.path.join(stage, f"gen={new_id}"),
+                      ignore_errors=True)
+        try:
+            os.rmdir(stage)  # drop the parent too once no gen remains
+        except OSError:
+            pass
     return new_id
 
 
@@ -488,7 +549,8 @@ def maybe_merge(spark: SparkSession, index_dir: str,
 
 def force_merge(spark: SparkSession, index_dir: str, max_segments: int = 1,
                 max_merge_at_once_explicit: int = 30,
-                term_shards: int = 32) -> list[list[int]]:
+                term_shards: int = 32,
+                soft_retention: "DataFrame | None" = None) -> list[list[int]]:
     """IndexWriter.forceMerge analog (TieredMergePolicy.findForcedMerges):
     merge until at most ``max_segments`` live segments remain, cascading in
     waves of ``maxMergeAtOnceExplicit`` (TieredMergePolicy.java default 30),
@@ -512,6 +574,11 @@ def force_merge(spark: SparkSession, index_dir: str, max_segments: int = 1,
             if not with_dels:
                 break
             ids = with_dels[:max_merge_at_once_explicit]
-        execute_merge(spark, index_dir, ids, term_shards=term_shards)
+        # Lucene's retention query is a Supplier<Query> re-resolved for every
+        # merge (SoftDeletesRetentionMergePolicy.java:54); a callable is
+        # re-invoked per round so cascaded merges see fresh segment ids
+        ret = soft_retention() if callable(soft_retention) else soft_retention
+        execute_merge(spark, index_dir, ids, term_shards=term_shards,
+                      soft_retention=ret)
         executed.append(ids)
     return executed

@@ -511,9 +511,26 @@ class IndexWriter:
         return [s["segment_id"] for s in segs]
 
     # --- forced merges ------------------------------------------------------
-    def force_merge(self, max_segments: int = 1) -> list[list[int]]:
+    def force_merge(self, max_segments: int = 1,
+                    retention_query=None) -> list[list[int]]:
         """IndexWriter.forceMerge(maxNumSegments): merge down to at most
-        max_segments live segments, expunging deletes."""
+        max_segments live segments, expunging deletes.
+
+        ``retention_query`` is the SoftDeletesRetentionMergePolicy retention
+        query (SoftDeletesRetentionMergePolicy.java; demo softDeletes/
+        HistoryRetention.java sets a creation-date range so merges keep 24h of
+        update history): soft-deleted docs matching it survive the merge
+        still soft-marked, the rest are expunged like hard deletes. It is
+        re-resolved against a fresh soft-deletes-inclusive reader before
+        every merge round, the Supplier<Query> contract."""
         from .merge import force_merge
+        soft_retention = None
+        if retention_query is not None:
+            def soft_retention():
+                from ..search.searcher import IndexSearcher
+                s = IndexSearcher(self.spark, self.index_dir,
+                                  include_soft_deleted=True)
+                return s.matches_df(retention_query)
         return force_merge(self.spark, self.index_dir, max_segments,
-                           term_shards=self.term_shards)
+                           term_shards=self.term_shards,
+                           soft_retention=soft_retention)

@@ -98,3 +98,54 @@ def test_rollback_restores_soft_view(spark, idx):
     assert IndexSearcher(spark, idx).count(Q.TermQuery("doc1")) == 0
     cat.rollback(snap_before)
     assert IndexSearcher(spark, idx).count(Q.TermQuery("doc1")) == 1
+
+
+def test_history_retention_merge_policy(spark, tmp_path):
+    """HistoryRetention.java end-to-end: five versions of one doc via
+    softUpdateDocument, forceMerge(1) under a SoftDeletesRetentionMergePolicy
+    whose retention query keeps the last 24 hours — the merged segment holds
+    the live version plus exactly the soft-deleted versions inside the
+    window (numDocs==1, maxDoc==3, versions {3,4,5}), older history expunged
+    like hard deletes."""
+    d = str(tmp_path / "retained")
+    filler = [(i, f"doc{i} filler text") for i in range(10, 20)]
+    base = [(1, "id1 v1 d28")] + filler  # v1 created 28h ago
+    df = spark.createDataFrame(base, "doc_id long, text string")
+    build_index(spark, df, "doc_id", "text", d, docs_per_segment=6,
+                int_keys=True, term_shards=4)
+    w = IndexWriter(spark, d, docs_per_segment=6, int_keys=True,
+                    term_shards=4)
+    for ver, age in (("v2", "d26"), ("v3", "d23"), ("v4", "d12"),
+                     ("v5", "d00")):
+        upd = spark.createDataFrame([(1, f"id1 {ver} {age}")],
+                                    "doc_id long, text string")
+        w.soft_update_documents(upd, "doc_id", "text")
+
+    history = IndexSearcher(spark, d, include_soft_deleted=True)
+    assert history.count(Q.TermQuery("id1")) == 5  # full history pre-merge
+
+    # retention: creation_date within the last 24 hours (d00..d23 tokens)
+    w.force_merge(1, retention_query=Q.TermRangeQuery("d00", "d24"))
+
+    default = IndexSearcher(spark, d)
+    history = IndexSearcher(spark, d, include_soft_deleted=True)
+    assert len(default.segments) == 1
+    # numDocs == 1: only the live newest version for the default reader
+    assert _keys(default, Q.TermQuery("id1")) == ["1"]
+    assert _keys(default, Q.TermQuery("v5")) == ["1"]
+    assert default.count(Q.TermQuery("v4")) == 0
+    # maxDoc analog == 3: versions {3,4,5} survive for the history reader
+    assert history.count(Q.TermQuery("id1")) == 3
+    for kept in ("v3", "v4", "v5"):
+        assert _keys(history, Q.TermQuery(kept)) == ["1"]
+    # versions 1-2 fell outside retention: gone for BOTH readers
+    for dropped in ("v1", "v2"):
+        assert history.count(Q.TermQuery(dropped)) == 0
+        assert default.count(Q.TermQuery(dropped)) == 0
+    # filler docs untouched
+    assert default.count(Q.TermQuery("filler")) == 10
+    seg = default.segments[0]
+    assert seg.get("soft_del_count") == 2 and seg.get("del_count", 0) == 0
+    # staging sidecar cleaned up after commit
+    import os
+    assert not os.path.exists(os.path.join(d, "merge_retention_drops"))
