@@ -179,6 +179,11 @@ def main() -> None:
                 "efficiency_median_across_runs":
                     blk.get("median_of_runs_at_this_size"),
                 "efficiency_best_run": blk.get("best_efficiency_median"),
+                # hypervisor-steal adjudication (scaling_run.py records
+                # per-pass /proc/stat steal; pairs with <=2% steal are the
+                # trustworthy ones on this shared-VM host)
+                "pair_max_steal_frac": run.get("pair_max_steal_frac"),
+                "steal_clean_pairs": run.get("steal_clean_pairs"),
                 "latest_run_ts": run.get("ts"),
                 "criterion": ">= 0.8 from N to 4N",
             }
