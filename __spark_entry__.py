@@ -1276,6 +1276,64 @@ def q_geo_distance_matches(spark, sf_dir):
                       _micro_col("distance_m").alias("distance_micro"))
 
 
+def _range_docs(spark, sf_dir):
+    """documents + deterministic synthetic 2-dim range field derived from
+    doc_id (IntRange('level', min[], max[]) analog — the testdata has no range
+    columns; integer arithmetic is reproduced exactly by the SQL oracle)."""
+    d = _documents(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    return d.select(
+        "doc_id",
+        (did * 7919 % 100).alias("min1"),
+        (did * 7919 % 100 + did * 104729 % 25).alias("max1"),
+        (did * 1299709 % 100).alias("min2"),
+        (did * 1299709 % 100 + did * 15485863 % 25).alias("max2"))
+
+
+def q_range_field_relation_counts(spark, sf_dir):
+    """RangeFieldQuery: all four relations (INTERSECTS/WITHIN/CONTAINS/
+    CROSSES, RangeFieldQuery.java:77-230; demo IntRangeTest.java) of a 2-dim
+    IntRange field against the query box [20,60]x[30,70], counted in ONE scan
+    (each relation is a pure Catalyst conjunction over the min/max columns)."""
+    from lucene_7_x_9_x_spark.operators.rangefield import (
+        RELATIONS, range_relation_predicate)
+    dims = [("min1", "max1", 20, 60), ("min2", "max2", 30, 70)]
+    # CONTAINS gets its own small box (doc ranges are <=24 wide, so a box
+    # narrower than the docs is what a contains query looks like in practice)
+    small = [("min1", "max1", 40, 42), ("min2", "max2", 50, 52)]
+    return _range_docs(spark, sf_dir).agg(*[
+        F.sum(range_relation_predicate(
+            rel, small if rel == "contains" else dims).cast("long"))
+        .alias(f"n_{rel}") for rel in RELATIONS])
+
+
+def _docsonly_searcher(spark, sf_dir):
+    """Index built with IndexOptions.DOCS (no freqs, no positions — demo
+    IndexOptionTest.java): scoring sees tf=1 for every matching doc."""
+    key = (os.path.abspath(sf_dir), "docsonly")
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    idx = _index_dir(sf_dir) + "_docsonly"
+    if IndexCatalog(idx).head() < 0:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        build_index(
+            spark, docs, key_col="doc_id", text_col="text", index_dir=idx,
+            docs_per_segment=_DOCS_PER_SEGMENT, int_keys=True, resume=True,
+            index_options="docs",
+        )
+    s = IndexSearcher(spark, idx, dtype=np.float64)
+    _SEARCHERS[key] = s
+    return s
+
+
+def q_docs_only_topk(spark, sf_dir):
+    """TermQuery over an IndexOptions.DOCS index: BM25 with tf=1 — ranking is
+    by quantized doc length alone (norm shortest first), the exact scoring
+    Lucene's TermScorer produces on a freq-less field."""
+    return _topk_df(spark, sf_dir, Q.TermQuery(T1),
+                    searcher=_docsonly_searcher(spark, sf_dir))
+
+
 def q_field_term_topk(spark, sf_dir):
     """Per-field search: title:spark scored with the TITLE field's BM25 stats
     (df/N/avgdl of the title stream only — multi-field indexing)."""
@@ -1541,7 +1599,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is deliberate: the driver oracle-checks the first 50
-    # entries. Round-5 window = (a) the 17 entries new this round (7 surface
+    # entries. Round-5 window = (a) the 19 entries new this round (RangeField
+    # relation counts + IndexOptions.DOCS tf=1 scoring lead; then 7 surface
     # closers: QueryBuilder, phonetic/Soundex filter, SortedSet facets,
     # SortedNumeric set query, GroupingSearch full shape, expressions-module
     # sort, string-ordinal sort; plus in-place DocValues updates, diversity
@@ -1550,7 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries span_or/span_not/interval_or pinning the round-5 vectorized
     # span-stream + interval-disjunction algebra) plus the 5 span-combinator
     # entries rerouted through that new algebra (first/containing/within/
-    # position-range/unordered) + (b) 28 of the 48 entries that were
+    # position-range/unordered) + (b) 26 of the 48 entries that were
     # judge-only in round 4. New/rerouted entries take window priority over
     # union coverage: everything after the window's end routes through NO
     # r5-changed path (pure map/groupBy pipelines frozen since r2,
@@ -1565,6 +1624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-green in CORRECTNESS_r04 on this code line.
     return {
         # (a) new in round 5
+        "range_field_relation_counts": q_range_field_relation_counts,
+        "docs_only_topk": q_docs_only_topk,
         "querybuilder_topk": q_querybuilder_topk,
         "phonetic_topk": q_phonetic_topk,
         "sorted_set_facet_counts": q_sorted_set_facet_counts,
@@ -1613,18 +1674,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_term": q_count_term,
         "search_after_page2": q_search_after_page2,
         "knn_hnsw_topk": q_knn_hnsw_topk,
-        "line_dedup": q_line_dedup,
-        "repetition_signals": q_repetition_signals,
         "interval_ordered_topk": q_interval_ordered_topk,
         "interval_phrase_topk": q_interval_phrase_topk,
         "interval_maxgaps_count": q_interval_maxgaps_count,
         "interval_unordered_count": q_interval_unordered_count,
         "interval_containedby_count": q_interval_containedby_count,
         "facet_hierarchy": q_facet_hierarchy,
+        # ---- entries 51+: outside the r5 window ----
+        # (line_dedup/repetition_signals displaced by the IndexOptions/
+        # RangeField entries: both are frozen pure-map webtext pipelines,
+        # pytest-covered and driver-green in r4 on this code line)
+        "line_dedup": q_line_dedup,
+        "repetition_signals": q_repetition_signals,
         "queryparser_topk": q_queryparser_topk,
         "highlight_topk": q_highlight_topk,
         "embedding_near_dups": q_embedding_near_dups,
-        # ---- entries 51+: outside the r5 window ----
         # untouched pure-pipeline entries (pytest-covered, no r5 path;
         # the first 8 were displaced from the window by the rerouted span
         # entries and were check_oracle-green this round)
@@ -1775,6 +1839,41 @@ def oracle_sql() -> dict[str, str]:
     out["term_topk"] = _topk_sql([s1], f"""
 SELECT doc_id, {_micro('s')} AS score_micro FROM s1
 ORDER BY s DESC, doc_id LIMIT 10""")
+
+    # IndexOptions.DOCS: freq not indexed -> BM25 with tf=1 for every match
+    # (demo IndexOptionTest.java; TermScorer on a freq-less field)
+    w1 = _w(T1)
+    out["docs_only_topk"] = _topk_sql([f"""
+sd AS (SELECT tf.doc_id AS doc_id,
+       ({w1} - {w1}/(1e0 + 1e0*{_NI})) AS s
+       FROM tf JOIN qd ON tf.doc_id = qd.doc_id
+       WHERE tf.term = '{T1}')""".strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM sd
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    # RangeFieldQuery relations over the synthetic 2-dim IntRange analog
+    # (RangeFieldQuery.java per-dim predicates; crosses = intersects && !within)
+    _rd = """
+rd AS (SELECT doc_id,
+       (CAST(doc_id AS BIGINT)*7919) % 100 AS min1,
+       (CAST(doc_id AS BIGINT)*7919) % 100
+         + (CAST(doc_id AS BIGINT)*104729) % 25 AS max1,
+       (CAST(doc_id AS BIGINT)*1299709) % 100 AS min2,
+       (CAST(doc_id AS BIGINT)*1299709) % 100
+         + (CAST(doc_id AS BIGINT)*15485863) % 25 AS max2
+       FROM documents)""".strip()
+    _isect = "(min1 <= 60 AND max1 >= 20 AND min2 <= 70 AND max2 >= 30)"
+    _within = "(min1 >= 20 AND max1 <= 60 AND min2 >= 30 AND max2 <= 70)"
+    _contains = "(min1 <= 40 AND max1 >= 42 AND min2 <= 50 AND max2 >= 52)"
+    out["range_field_relation_counts"] = f"""
+WITH {_rd}
+SELECT
+  CAST(SUM(CASE WHEN {_isect} THEN 1 ELSE 0 END) AS BIGINT) AS n_intersects,
+  CAST(SUM(CASE WHEN {_within} THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+  CAST(SUM(CASE WHEN {_contains} THEN 1 ELSE 0 END) AS BIGINT) AS n_contains,
+  CAST(SUM(CASE WHEN {_isect} AND NOT {_within} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_crosses
+FROM rd"""
 
     out["term_scores_all"] = _topk_sql([_tscore_cte("sx", T3)], f"""
 SELECT doc_id, {_micro('s')} AS score_micro FROM sx""")

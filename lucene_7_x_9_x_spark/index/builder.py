@@ -128,7 +128,8 @@ def _norm_byte_udf(doclen: pd.Series) -> pd.Series:
 
 
 def _encode_partition(pdf: pd.DataFrame, store_positions: bool,
-                      codec: Codec = DEFAULT_CODEC) -> pd.DataFrame:
+                      codec: Codec = DEFAULT_CODEC,
+                      omit_freqs: bool = False) -> pd.DataFrame:
     """Encode every (term) posting list in one (segment, shard[, salt]) group.
 
     One pandas call covers many terms, grouped by a single lexsort over
@@ -139,6 +140,12 @@ def _encode_partition(pdf: pd.DataFrame, store_positions: bool,
     term_codes, uniq_terms = pd.factorize(pdf["term"].values, sort=False)
     docids = pdf["docid"].values.astype(np.int64)
     freqs = pdf["freq"].values.astype(np.int64)
+    if omit_freqs:
+        # IndexOptions.DOCS (FieldType.setIndexOptions; demo IndexOptionTest
+        # .java): term frequency is not indexed — every stored freq is 1 and
+        # totalTermFreq == docFreq. The all-1s freq block is the cheapest the
+        # codec encodes (Lucene's ForDeltaUtil.java:57-70 all-equal escape).
+        freqs = np.ones_like(freqs)
     norms = pdf["norm_byte"].values.astype(np.uint8)
     pos_col = pdf["positions"].values if store_positions else None
     pay_col = (pdf["payloads"].values
@@ -247,8 +254,16 @@ def index_wave(
     codec: "Codec | str" = DEFAULT_CODEC,
     analyzer_by_lang: dict | None = None,
     store_term_vectors: bool = False,
+    omit_freqs: bool = False,
+    omit_norms: bool = False,
 ) -> list[dict]:
     """Index one wave: src(key, text, segment_id) -> docs+postings partitions.
+
+    ``omit_freqs``: IndexOptions.DOCS — freq is not indexed (stored as 1,
+    ttf==df, scoring sees tf=1). ``omit_norms``: FieldType.setOmitNorms(true)
+    (StringField.java:46-47 default) — every norm byte is 1, so BM25's decoded
+    length is the constant 1 for every doc, exactly LeafSimScorer's
+    getNormValue()==1L when the field has no norms.
 
     ``store_term_vectors``: also persist each doc's (term, freq, positions)
     vector to a tvd/ sidecar keyed by (segment_id, docid) — the .tvd/.tvx
@@ -352,11 +367,15 @@ def index_wave(
     # moves only (key, doclen, tvh) rows; key_dups (docs sharing this key in
     # the segment) rides the same sort as a peers-frame count
     dl_cols = [f"dl_{f}" for f in (fields or [])]
+    def _norm_of(col):
+        return (F.lit(1).cast("int") if omit_norms
+                else _norm_byte_udf(col))
+
     docs = (
         part.select("segment_id", "key", "doclen", "tvh", *dl_cols)
         .withColumn("docid", (F.row_number().over(w_seg) - 1).cast("int"))
         .withColumn("key_dups", F.count("*").over(w_peers).cast("int"))
-        .withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
+        .withColumn("norm_byte", _norm_of(F.col("doclen")))
     )
     if fields:
         # per-field lengths ride the docs table (FieldInfos + per-field norms
@@ -419,7 +438,7 @@ def index_wave(
                 keyed.where(F.col(f"dl_{f}") > 0)
                 .select(
                     "segment_id", "docid",
-                    _norm_byte_udf(F.col(f"dl_{f}")).alias("norm_byte"),
+                    _norm_of(F.col(f"dl_{f}")).alias("norm_byte"),
                     F.explode(F.col(f"tv_{f}")).alias("p"),
                 )
                 .select(
@@ -437,7 +456,7 @@ def index_wave(
         pay_cols = ([F.col("p.payloads").alias("payloads")]
                     if has_payloads else [])
         exploded = (
-            keyed.withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
+            keyed.withColumn("norm_byte", _norm_of(F.col("doclen")))
             .select(
                 "segment_id", "docid", "norm_byte",
                 F.explode("tv").alias("p"),
@@ -457,13 +476,13 @@ def index_wave(
     codec = get_codec(codec)
 
     def _enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _encode_partition(pdf, store_positions, codec)
+        return _encode_partition(pdf, store_positions, codec, omit_freqs)
 
     if salt_bucket_docs and salt_bucket_docs < docs_per_segment:
         salted_schema = S.POSTINGS_SCHEMA.add("salt", T.IntegerType())
 
         def _enc_salted(pdf: pd.DataFrame) -> pd.DataFrame:
-            out = _encode_partition(pdf, store_positions, codec)
+            out = _encode_partition(pdf, store_positions, codec, omit_freqs)
             out["salt"] = int(pdf["salt"].iloc[0])
             return out
 
@@ -557,6 +576,8 @@ def build_index(
     analyzer_by_lang: dict | None = None,
     lang_col: str = "lang",
     store_term_vectors: bool = False,
+    index_options: str | None = None,
+    omit_norms: bool = False,
     _crash_point: tuple | None = None,  # (wave, "after_docs"|"after_commit") — test hook
 ) -> IndexCatalog:
     """Build (or resume building) the inverted index for df[key_col, text_col].
@@ -576,7 +597,23 @@ def build_index(
     analyzer_by_lang={"zh": CJK, ...} routes each row's analysis by its
     ``lang_col`` value (CJKAnalyzer-per-language, the smartcn/kuromoji-module
     role at the routing level); unmatched langs use ``analyzer``.
+
+    index_options: "docs" | "freqs" | "positions" — the FieldType
+    .setIndexOptions ladder (o.a.l/index/IndexOptions.java; demo
+    IndexOptionTest.java). "docs" stores neither freqs nor positions (tf
+    scored as 1, ttf==df); "freqs" stores freqs only; "positions" (default)
+    stores both. Recorded in the catalog so readers refuse positional queries
+    on a positions-less index the way Lucene throws IllegalStateException.
+    omit_norms: FieldType.setOmitNorms(true) / StringField.java:46-47 — no
+    length normalization (every norm byte 1 => decoded length 1).
     """
+    if index_options is None:
+        index_options = "positions" if store_positions else "freqs"
+    if index_options not in ("docs", "freqs", "positions"):
+        raise ValueError(f"index_options must be docs|freqs|positions, "
+                         f"got {index_options!r}")
+    store_positions = index_options == "positions"
+    omit_freqs = index_options == "docs"
     cat = IndexCatalog(index_dir)
     if not resume and cat.head() >= 0:
         raise ValueError(f"index already exists at {index_dir}; pass resume=True")
@@ -613,6 +650,25 @@ def build_index(
         with open(tmp, "w") as fh:
             json.dump({"name": codec.name}, fh)
         os.rename(tmp, codec_path)
+
+    # IndexOptions/omitNorms are immutable per index (FieldInfo.java:150
+    # update-and-check): recorded once, an existing recording wins on resume.
+    io_path = os.path.join(cat.catalog_dir, "indexoptions.json")
+    if os.path.exists(io_path):
+        import json
+        with open(io_path) as fh:
+            rec = json.load(fh)
+        index_options = rec["index_options"]
+        omit_norms = rec["omit_norms"]
+        store_positions = index_options == "positions"
+        omit_freqs = index_options == "docs"
+    elif index_options != "positions" or omit_norms:
+        import json
+        tmp = io_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"index_options": index_options,
+                       "omit_norms": omit_norms}, fh)
+        os.rename(tmp, io_path)
 
     key_s = F.col(key_col).cast("string")
     if fields:
@@ -682,7 +738,8 @@ def build_index(
                        salt_bucket_docs=salt_bucket_docs,
                        docs_per_segment=docs_per_segment, fields=fields,
                        codec=codec, analyzer_by_lang=analyzer_by_lang,
-                       store_term_vectors=store_term_vectors)
+                       store_term_vectors=store_term_vectors,
+                       omit_freqs=omit_freqs, omit_norms=omit_norms)
             shutil.rmtree(os.path.join(index_dir, "postings", f"wave={wave}"),
                           ignore_errors=True)
             raise RuntimeError("injected crash: after_docs")
@@ -695,7 +752,8 @@ def build_index(
                 docs_per_segment=docs_per_segment,
                 coalesce_postings=coalesce_postings, fields=fields,
                 codec=codec, analyzer_by_lang=analyzer_by_lang,
-                store_term_vectors=store_term_vectors)
+                store_term_vectors=store_term_vectors,
+                omit_freqs=omit_freqs, omit_norms=omit_norms)
             if s["segment_id"] not in done_segs
         ]
         wall_ms = int((time.time() - t0) * 1000)

@@ -21,7 +21,68 @@ import time
 import uuid
 from typing import Optional
 
-__all__ = ["IndexCatalog", "append_lineage", "read_live_partitions"]
+__all__ = ["IndexCatalog", "append_lineage", "read_live_partitions",
+           "WriteLock", "LockObtainFailedError"]
+
+
+class LockObtainFailedError(RuntimeError):
+    """A second IndexWriter tried to open the same index
+    (o.a.l/store/LockObtainFailedException; IndexWriter.java obtains
+    write.lock in its constructor and holds it until close)."""
+
+
+class WriteLock:
+    """NativeFSLockFactory analog (o.a.l/store/NativeFSLockFactory.java; demo
+    LuceneDemo/.../io/NativeFSLockFactory.java, LockStree.java): an OS-level
+    advisory lock on _catalog/write.lock, obtained with the non-blocking
+    equivalent of FileChannel.tryLock. Like the reference's native lock it
+    releases automatically when the holding process dies, so a crashed writer
+    never wedges the index (the failure mode SimpleFSLockFactory has and
+    NativeFSLockFactory was built to avoid).
+
+    Single-host scope, exactly like the reference: on a shared filesystem /
+    object store, writer exclusion belongs to the catalog's atomic commit
+    (tmp+rename snapshot publish), which this lock complements rather than
+    replaces."""
+
+    def __init__(self, index_dir: str):
+        self.path = os.path.join(index_dir, "_catalog", "write.lock")
+        self._fd: int | None = None
+
+    def acquire(self) -> "WriteLock":
+        import fcntl
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        fd = os.open(self.path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            os.close(fd)
+            raise LockObtainFailedError(
+                f"write.lock held by another IndexWriter: {self.path}")
+        os.truncate(fd, 0)
+        os.write(fd, f"pid={os.getpid()} ts={time.time()}\n".encode())
+        self._fd = fd
+        return self
+
+    def release(self) -> None:
+        if self._fd is not None:
+            import fcntl
+            fcntl.flock(self._fd, fcntl.LOCK_UN)
+            os.close(self._fd)
+            self._fd = None
+
+    @property
+    def held(self) -> bool:
+        return self._fd is not None
+
+    def __enter__(self) -> "WriteLock":
+        return self.acquire()
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+    def __del__(self):  # refcount release keeps sequential writers cheap
+        self.release()
 
 
 def read_live_partitions(spark, index_dir: str, root: str, segments):

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..analysis.tokenizer import Analyzer, STANDARD
 from .builder import index_wave
-from .catalog import IndexCatalog, append_lineage
+from .catalog import IndexCatalog, WriteLock, append_lineage
 from . import schema as S
 
 __all__ = ["IndexWriter", "load_deletes", "deletes_df", "dv_updates_df"]
@@ -124,18 +124,46 @@ class IndexWriter:
     def __init__(self, spark: SparkSession, index_dir: str, *,
                  analyzer: Analyzer = STANDARD, docs_per_segment: int = 4096,
                  term_shards: int = 32, store_positions: bool = True,
-                 int_keys: bool = False):
+                 int_keys: bool = False, acquire_lock: bool = True):
         self.spark = spark
         self.index_dir = index_dir
         self.cat = IndexCatalog(index_dir)
+        # IndexWriter.java obtains write.lock in its constructor; a second
+        # concurrent writer raises LockObtainFailedException. Released by
+        # close() / `with` exit / garbage collection.
+        self._lock = WriteLock(index_dir).acquire() if acquire_lock else None
         self.analyzer = analyzer
         self.docs_per_segment = docs_per_segment
         self.term_shards = term_shards
         self.store_positions = store_positions
+        self.omit_freqs = False
+        self.omit_norms = False
         self.int_keys = int_keys
         # Codec.forName: new waves honor the codec recorded at build time
         from .builder import load_index_codec
         self.codec = load_index_codec(index_dir)
+        # IndexOptions/omitNorms recorded at build time win (FieldInfo.java:150
+        # update-and-check: a field's index options never change mid-index)
+        io_path = os.path.join(self.cat.catalog_dir, "indexoptions.json")
+        if os.path.exists(io_path):
+            import json
+            with open(io_path) as fh:
+                rec = json.load(fh)
+            self.store_positions = rec["index_options"] == "positions"
+            self.omit_freqs = rec["index_options"] == "docs"
+            self.omit_norms = bool(rec["omit_norms"])
+
+    # --- lifecycle ------------------------------------------------------------
+    def close(self) -> None:
+        """Release write.lock (IndexWriter.close; idempotent)."""
+        if self._lock is not None:
+            self._lock.release()
+
+    def __enter__(self) -> "IndexWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     # --- adds ---------------------------------------------------------------
     def add_documents(self, df: DataFrame, key_col: str,
@@ -166,7 +194,8 @@ class IndexWriter:
             self.spark, src, self.index_dir, next_wave,
             analyzer=self.analyzer, store_positions=self.store_positions,
             int_keys=self.int_keys, term_shards=self.term_shards,
-            docs_per_segment=self.docs_per_segment, codec=self.codec)
+            docs_per_segment=self.docs_per_segment, codec=self.codec,
+            omit_freqs=self.omit_freqs, omit_norms=self.omit_norms)
         wall_ms = int((time.time() - t0) * 1000)
         append_lineage(self.index_dir, [
             ("add_wave", s["segment_id"], self.cat.head() + 1, s["doc_count"],
@@ -396,7 +425,8 @@ class IndexWriter:
                 analyzer=self.analyzer, store_positions=self.store_positions,
                 int_keys=self.int_keys, term_shards=self.term_shards,
                 docs_per_segment=self.docs_per_segment,
-                codec=self.codec)
+                codec=self.codec,
+                omit_freqs=self.omit_freqs, omit_norms=self.omit_norms)
             wall_ms = int((time.time() - t0) * 1000)
             append_lineage(self.index_dir, [
                 ("soft_update_wave", s["segment_id"], self.cat.head() + 1,
@@ -499,7 +529,8 @@ class IndexWriter:
                 analyzer=self.analyzer, store_positions=self.store_positions,
                 int_keys=self.int_keys, term_shards=self.term_shards,
                 docs_per_segment=self.docs_per_segment,
-                codec=self.codec)
+                codec=self.codec,
+                omit_freqs=self.omit_freqs, omit_norms=self.omit_norms)
             wall_ms = int((time.time() - t0) * 1000)
             append_lineage(self.index_dir, [
                 ("update_wave", s["segment_id"], self.cat.head() + 1,

@@ -464,6 +464,27 @@ def collect_terms(q: Query) -> set:
     return set()
 
 
+def requires_positions(q: Query) -> bool:
+    """True when evaluating q needs the positions channel. Mirrors the set of
+    queries whose scorers call PostingsEnum.nextPosition: Phrase/MultiPhrase
+    (ExactPhraseMatcher/SloppyPhraseMatcher), the Spans family, and interval
+    queries. Lucene throws IllegalStateException('field \"f\" was indexed
+    without position data') when such a query meets an IndexOptions.DOCS[_AND
+    _FREQS] field (PhraseQuery.java / ExactPhraseMatcher); the searcher raises
+    the analog before planning a doomed scan."""
+    if isinstance(q, (PhraseQuery, MultiPhraseQuery, SpanQuery,
+                      IntervalQuery)):
+        return True
+    if isinstance(q, BooleanQuery):
+        return any(requires_positions(sub) for sub in
+                   q.must + q.should + q.must_not + q.filter)
+    if isinstance(q, DisjunctionMaxQuery):
+        return any(requires_positions(sub) for sub in q.queries)
+    if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+        return requires_positions(q.query)
+    return False
+
+
 def collect_predicates(q: Query) -> list:
     """All TermPredicateQuery nodes of a (rewritten) query — their predicates
     must be OR-ed into the postings scan filter."""

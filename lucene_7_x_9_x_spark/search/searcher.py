@@ -182,6 +182,16 @@ class IndexSearcher:
         if os.path.exists(fi_path):
             with open(fi_path) as fh:
                 self.fieldinfos = json.load(fh)
+        # IndexOptions gate (FieldInfo.getIndexOptions): positional queries
+        # are refused when the index stores no positions
+        io_path = os.path.join(index_dir, "_catalog", "indexoptions.json")
+        self.index_options = "positions"
+        self.omit_norms = False
+        if os.path.exists(io_path):
+            with open(io_path) as fh:
+                rec = json.load(fh)
+            self.index_options = rec["index_options"]
+            self.omit_norms = bool(rec["omit_norms"])
         self.multi_field = bool(self.fieldinfos)
         self.default_field = (self.fieldinfos or {}).get(
             "default_field", "text")
@@ -317,7 +327,9 @@ class IndexSearcher:
 
     def _expand_query(self, q: Q.Query) -> Q.Query:
         """Field-qualify leaf terms and rewrite MultiTermQuery nodes
-        (MultiTermQuery.java:66-100):
+        (MultiTermQuery.java:66-100). Also the IndexOptions gate: a positional
+        query against a DOCS/DOCS_AND_FREQS index fails here the way Lucene's
+        ExactPhraseMatcher throws IllegalStateException.
 
         Every leaf's terms become '<field>\\x1fterm'-encoded here (per-field
         postings/stats resolution downstream is driven by the term string
@@ -328,6 +340,13 @@ class IndexSearcher:
         guard). Scored rewrites (fuzzy) expand driver-side but capped at
         maxExpansions by descending docFreq (TopTermsRewrite.java), so the
         collect is bounded at 50 rows regardless of dictionary size."""
+        if self.index_options != "positions" and Q.requires_positions(q):
+            raise ValueError(
+                f"cannot run {type(q).__name__}: index was built with "
+                f"index_options={self.index_options!r} (no position data); "
+                "Lucene: IllegalStateException 'field was indexed without "
+                "position data'")
+
         def expand(node):
             if isinstance(node, Q.TermQuery):
                 pfx = self._field_prefix(node.field)

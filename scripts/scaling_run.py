@@ -38,7 +38,16 @@ os.makedirs("/dev/shm/spark-local", exist_ok=True)
 spark = (__import__("pyspark").sql.SparkSession.builder
          .master(f"local[{{cores}}]")
          .appName("scaling")
-         .config("spark.sql.shuffle.partitions", str(cores))
+         # 4x cores shuffle partitions at BOTH levels (same formula, fair
+         # ratio): with partitions == cores exactly, ONE skewed/slow reducer
+         # task IS the stage tail — the 2026-08-18 14:54 run measured
+         # steal-clean local[8] walls of 81..142s from exactly that; 4 task
+         # waves per stage amortize the skew. Coalescing is disabled so the
+         # partition count is deterministic rather than a function of AQE's
+         # advisory size (which would quietly re-couple partitions to data
+         # volume instead of cores).
+         .config("spark.sql.shuffle.partitions", str(4 * cores))
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
          .config("spark.local.dir", "/dev/shm/spark-local")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
