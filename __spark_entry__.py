@@ -804,6 +804,48 @@ def q_rescore_topk(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id long, score_micro long")
 
 
+def _srt_searcher(spark, sf_dir) -> IndexSearcher:
+    """Index-sorted index (IndexWriterConfig.setIndexSort analog): docids
+    within each segment follow n_chars ascending — demos IndexSortTest.java /
+    SegmentInnerSort.java; sorted top-k early-terminates per segment
+    (TestEarlyTerminal.java, NumericDocValuesTopNOptimization.java)."""
+    key = (os.path.abspath(sf_dir), "srt")
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    idx = _index_dir(sf_dir) + "_srt"
+    if IndexCatalog(idx).head() < 0:
+        build_index(
+            spark, _documents(spark, sf_dir), key_col="doc_id",
+            text_col="text", index_dir=idx,
+            docs_per_segment=_DOCS_PER_SEGMENT, int_keys=True, resume=True,
+            index_sort=("n_chars", True))
+    s = IndexSearcher(spark, idx, dtype=np.float64)
+    _SEARCHERS[key] = s
+    return s
+
+
+def q_index_sort_topk(spark, sf_dir):
+    """Early-terminating match-all sorted top-k over an index-sorted index:
+    per segment only the first k docids are read (a PUSHED `docid < k`
+    parquet predicate over docid-sorted files), then a ≤k·n_segments merge —
+    TopFieldCollector.canEarlyTerminate + TopDocs.merge."""
+    s = _srt_searcher(spark, sf_dir)
+    return (s.sorted_index_topk(10)
+            .select(F.col("key").alias("doc_id"),
+                    F.col("sort_value").cast("long").alias("n_chars")))
+
+
+def q_index_sort_query_topk(spark, sf_dir):
+    """Filtered sorted search with per-leaf early stop: a term query's match
+    set capped to its k EARLIEST docids per segment (docid order == sort
+    order), then merged by sort value — no global value sort of the full
+    match set ever happens."""
+    s = _srt_searcher(spark, sf_dir)
+    return (s.sorted_index_topk(10, query=Q.TermQuery(T1))
+            .select(F.col("key").alias("doc_id"),
+                    F.col("sort_value").cast("long").alias("n_chars")))
+
+
 def q_sorted_by_field(spark, sf_dir):
     """Sort/SortField analog: matches ordered by a doc-values column."""
     m = _matches_with_meta(spark, sf_dir, Q.TermQuery(T1))
@@ -1599,7 +1641,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is deliberate: the driver oracle-checks the first 50
-    # entries. Round-5 window = (a) the 19 entries new this round (RangeField
+    # entries. Round-5 window = (a) the entries new this round (index sort +
+    # early-terminating sorted top-k lead; then RangeField
     # relation counts + IndexOptions.DOCS tf=1 scoring lead; then 7 surface
     # closers: QueryBuilder, phonetic/Soundex filter, SortedSet facets,
     # SortedNumeric set query, GroupingSearch full shape, expressions-module
@@ -1624,6 +1667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-green in CORRECTNESS_r04 on this code line.
     return {
         # (a) new in round 5
+        "index_sort_topk": q_index_sort_topk,
+        "index_sort_query_topk": q_index_sort_query_topk,
         "range_field_relation_counts": q_range_field_relation_counts,
         "docs_only_topk": q_docs_only_topk,
         "querybuilder_topk": q_querybuilder_topk,
@@ -2337,6 +2382,15 @@ resc AS (SELECT win.doc_id AS doc_id,
          FROM win LEFT JOIN s3 ON s3.doc_id = win.doc_id)""".strip()], f"""
 SELECT doc_id, {_micro('s')} AS score_micro FROM resc
 ORDER BY s DESC, doc_id LIMIT 10""")
+
+    out["index_sort_topk"] = ("SELECT doc_id, n_chars FROM documents "
+                              "ORDER BY n_chars ASC, doc_id ASC LIMIT 10")
+
+    out["index_sort_query_topk"] = _topk_sql([], f"""
+SELECT d.doc_id AS doc_id, d.n_chars AS n_chars
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = '{T1}')
+ORDER BY d.n_chars ASC, d.doc_id ASC LIMIT 10""")
 
     out["sorted_by_field"] = _topk_sql([], f"""
 SELECT d.doc_id AS doc_id, d.n_chars AS n_chars

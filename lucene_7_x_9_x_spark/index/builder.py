@@ -256,8 +256,18 @@ def index_wave(
     store_term_vectors: bool = False,
     omit_freqs: bool = False,
     omit_norms: bool = False,
+    index_sort: tuple[str, bool] | None = None,
 ) -> list[dict]:
     """Index one wave: src(key, text, segment_id) -> docs+postings partitions.
+
+    ``index_sort=(col, ascending)``: IndexWriterConfig.setIndexSort analog
+    (demos IndexSortTest.java / SegmentInnerSort.java / ValidateIndexSort.java)
+    — docids within each segment are assigned in the order of the ``sortv``
+    column src carries (ascending or descending, key as the deterministic
+    tiebreak), and the docs table stores it as ``sort_value``. Sorted-by-that-
+    field queries can then early-terminate: per segment the first k live
+    docids ARE the segment's top-k (TopFieldCollector canEarlyTerminate;
+    demos TestEarlyTerminal.java, NumericDocValuesTopNOptimization.java).
 
     ``omit_freqs``: IndexOptions.DOCS — freq is not indexed (stored as 1,
     ttf==df, scoring sees tf=1). ``omit_norms``: FieldType.setOmitNorms(true)
@@ -318,12 +328,13 @@ def index_wave(
     # per wave) -- the Python-heavy analyzer stage is core-bound, not
     # segment-bound. tvh (a JVM-side deterministic hash of the term vector)
     # tiebreaks duplicate keys identically everywhere docids are derived.
+    sort_cols = ["sortv"] if index_sort else []
     if fields:
         t = src
         for f in fields:
             t = t.withColumn(f"_t_{f}", tok_udf(F.col(f"f_{f}")))
         tokenized = t.select(
-            "segment_id", "key",
+            "segment_id", "key", *sort_cols,
             *[F.col(f"_t_{f}.tv").alias(f"tv_{f}") for f in fields],
             *[F.col(f"_t_{f}.doclen").alias(f"dl_{f}") for f in fields],
         )
@@ -339,7 +350,7 @@ def index_wave(
             src.withColumn("_t", tok_udf(F.col("text"), F.col("lang"))
                            if analyzer_by_lang else tok_udf(F.col("text")))
             .select(
-                "segment_id", "key",
+                "segment_id", "key", *sort_cols,
                 F.col("_t.tv").alias("tv"),
                 F.col("_t.doclen").alias("doclen"),
             )
@@ -358,8 +369,13 @@ def index_wave(
     part = tokenized.repartition("segment_id").persist()
 
     order_key = F.col("key").cast("long") if int_keys else F.col("key")
+    # index sort: the sort field leads the per-segment docid window (key/
+    # doclen/tvh stay as the deterministic tiebreak) — docid order within a
+    # segment then IS the sort order (MultiSorter.java at flush time)
+    sort_first = ([F.col("sortv").asc() if index_sort[1]
+                   else F.col("sortv").desc()] if index_sort else [])
     w_seg = Window.partitionBy("segment_id").orderBy(
-        order_key, F.col("doclen"), F.col("tvh"))
+        *sort_first, order_key, F.col("doclen"), F.col("tvh"))
     w_peers = (Window.partitionBy("segment_id").orderBy(order_key)
                .rangeBetween(Window.currentRow, Window.currentRow))
 
@@ -372,11 +388,13 @@ def index_wave(
                 else _norm_byte_udf(col))
 
     docs = (
-        part.select("segment_id", "key", "doclen", "tvh", *dl_cols)
+        part.select("segment_id", "key", "doclen", "tvh", *dl_cols,
+                    *sort_cols)
         .withColumn("docid", (F.row_number().over(w_seg) - 1).cast("int"))
         .withColumn("key_dups", F.count("*").over(w_peers).cast("int"))
         .withColumn("norm_byte", _norm_of(F.col("doclen")))
     )
+    sort_out = ([F.col("sortv").alias("sort_value")] if index_sort else [])
     if fields:
         # per-field lengths ride the docs table (FieldInfos + per-field norms
         # source for stats); the scalar doclen stays the cross-field total
@@ -386,16 +404,20 @@ def index_wave(
                 F.array(*[F.lit(f) for f in fields]),
                 F.array(*[F.col(f"dl_{f}") for f in fields])))
         docs = docs.select("segment_id", "docid", "key", "doclen",
-                           "norm_byte", "key_dups", "field_lens")
+                           "norm_byte", "key_dups", "field_lens", *sort_out)
     else:
         docs = docs.select("segment_id", "docid", "key", "doclen",
-                           "norm_byte", "key_dups")
+                           "norm_byte", "key_dups", *sort_out)
     (
         # cluster by segment before the partitioned write: one file per
         # segment instead of (tasks x segments) — the commit protocol's
         # driver-side rename loop is serial, so file count is a direct
-        # Amdahl term (and a small-file problem on object stores)
+        # Amdahl term (and a small-file problem on object stores).
+        # Files are docid-sorted so parquet row-group min/max stats prune
+        # docid-bounded reads (stored-field doc(id) lookups; the sorted-index
+        # early-termination prefix read).
         docs.repartition(F.col("segment_id"))
+        .sortWithinPartitions("segment_id", "docid")
         .withColumn("wave", F.lit(wave))
         .write.mode("append")
         .partitionBy("wave", "segment_id")
@@ -409,7 +431,8 @@ def index_wave(
         # the docs pass without any join (TermVectorsWriter parity: one .tvd
         # row per doc, addressed by docid)
         (
-            part.select("segment_id", "key", "doclen", "tvh", "tv")
+            part.select("segment_id", "key", "doclen", "tvh", "tv",
+                        *sort_cols)
             .withColumn("docid", (F.row_number().over(w_seg) - 1).cast("int"))
             .select("segment_id", "docid", "tv")
             .repartition(F.col("segment_id"))
@@ -578,6 +601,7 @@ def build_index(
     store_term_vectors: bool = False,
     index_options: str | None = None,
     omit_norms: bool = False,
+    index_sort: tuple[str, bool] | None = None,
     _crash_point: tuple | None = None,  # (wave, "after_docs"|"after_commit") — test hook
 ) -> IndexCatalog:
     """Build (or resume building) the inverted index for df[key_col, text_col].
@@ -606,6 +630,13 @@ def build_index(
     on a positions-less index the way Lucene throws IllegalStateException.
     omit_norms: FieldType.setOmitNorms(true) / StringField.java:46-47 — no
     length normalization (every norm byte 1 => decoded length 1).
+
+    index_sort=("col", ascending): IndexWriterConfig.setIndexSort analog —
+    docids within each segment follow df["col"]'s order (demo
+    IndexSortTest.java / SegmentInnerSort.java); sorted-by-that-field queries
+    early-terminate per segment (demo TestEarlyTerminal.java). Immutable per
+    index (Lucene rejects sort changes across sessions); recorded in
+    _catalog/indexsort.json, an existing recording wins on resume.
     """
     if index_options is None:
         index_options = "positions" if store_positions else "freqs"
@@ -670,6 +701,24 @@ def build_index(
                        "omit_norms": omit_norms}, fh)
         os.rename(tmp, io_path)
 
+    # Index sort is immutable per index (IndexWriterConfig.setIndexSort —
+    # Lucene refuses to open an index with a different sort): recorded once,
+    # an existing recording wins on resume.
+    is_path = os.path.join(cat.catalog_dir, "indexsort.json")
+    if os.path.exists(is_path):
+        import json
+        with open(is_path) as fh:
+            rec = json.load(fh)
+        index_sort = (rec["col"], rec["ascending"])
+    elif index_sort is not None:
+        import json
+        col, asc = index_sort
+        index_sort = (str(col), bool(asc))
+        tmp = is_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"col": index_sort[0], "ascending": index_sort[1]}, fh)
+        os.rename(tmp, is_path)
+
     key_s = F.col(key_col).cast("string")
     if fields:
         text_sel = [F.col(field_cols[f]).alias(f"f_{f}") for f in fields]
@@ -682,6 +731,9 @@ def build_index(
             raise ValueError("analyzer_by_lang supports single-field mode only")
         text_sel.append(F.col(lang_col).alias("lang"))
         text_names.append("lang")
+    if index_sort is not None:
+        text_sel.append(F.col(index_sort[0]).alias("sortv"))
+        text_names.append("sortv")
     if int_keys:
         seg_expr = (F.col(key_col).cast("long") / docs_per_segment).cast("int")
         n_segments = (
@@ -739,7 +791,8 @@ def build_index(
                        docs_per_segment=docs_per_segment, fields=fields,
                        codec=codec, analyzer_by_lang=analyzer_by_lang,
                        store_term_vectors=store_term_vectors,
-                       omit_freqs=omit_freqs, omit_norms=omit_norms)
+                       omit_freqs=omit_freqs, omit_norms=omit_norms,
+                       index_sort=index_sort)
             shutil.rmtree(os.path.join(index_dir, "postings", f"wave={wave}"),
                           ignore_errors=True)
             raise RuntimeError("injected crash: after_docs")
@@ -753,7 +806,8 @@ def build_index(
                 coalesce_postings=coalesce_postings, fields=fields,
                 codec=codec, analyzer_by_lang=analyzer_by_lang,
                 store_term_vectors=store_term_vectors,
-                omit_freqs=omit_freqs, omit_norms=omit_norms)
+                omit_freqs=omit_freqs, omit_norms=omit_norms,
+                index_sort=index_sort)
             if s["segment_id"] not in done_segs
         ]
         wall_ms = int((time.time() - t0) * 1000)

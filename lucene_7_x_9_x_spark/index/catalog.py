@@ -82,7 +82,12 @@ class WriteLock:
         self.release()
 
     def __del__(self):  # refcount release keeps sequential writers cheap
-        self.release()
+        try:
+            self.release()
+        except Exception:
+            # interpreter teardown: the fcntl import inside release can fail
+            # with "sys.meta_path is None"; the OS drops the flock anyway
+            pass
 
 
 def read_live_partitions(spark, index_dir: str, root: str, segments):

@@ -129,6 +129,27 @@ def check_index(spark: SparkSession, index_dir: str) -> list:
                 f"term vectors: {missing} docs missing a vector, "
                 f"{orphans} orphan vectors, {dupes} duplicate rows")
 
+    # index sort (ValidateIndexSort.java / CheckIndex.testSort role): when
+    # the index declares a sort, every segment's docid order must follow the
+    # sort field (key as tiebreak, so equal values are only non-violations).
+    # Distributed lag window — the driver sees one count.
+    is_path = os.path.join(index_dir, "_catalog", "indexsort.json")
+    if os.path.exists(is_path):
+        import json
+        from pyspark.sql.window import Window
+        with open(is_path) as fh:
+            rec = json.load(fh)
+        w = Window.partitionBy("segment_id").orderBy("docid")
+        viol = (F.col("sort_value") < F.col("_prev")) if rec["ascending"] \
+            else (F.col("sort_value") > F.col("_prev"))
+        n_bad = (docs.select("segment_id", "docid", "sort_value")
+                 .withColumn("_prev", F.lag("sort_value").over(w))
+                 .where(F.col("_prev").isNotNull() & viol)
+                 .count())
+        if n_bad:
+            violations.append(
+                f"index sort on {rec['col']!r} violated at {n_bad} docids")
+
     # stats: doc_count/sum_ttf in the snapshot match the docs table
     agg = (
         docs.groupBy("segment_id")

@@ -25,7 +25,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-__all__ = ["read_segment_deletes", "load_segment_field_norms", "DeleteSpec"]
+__all__ = ["read_segment_deletes", "read_segment_docid_map",
+           "load_segment_field_norms", "DeleteSpec"]
 
 
 def _dataset_table(path: str, columns: list[str]):
@@ -64,6 +65,24 @@ def read_segment_deletes(index_dir: str, segment_id: int, gens,
     if not parts:
         return None
     return np.unique(np.concatenate(parts))
+
+
+def read_segment_docid_map(index_dir: str, segment_id: int, gen: int,
+                           kind: str = "merge_sortmap"
+                           ) -> tuple[np.ndarray, np.ndarray] | None:
+    """One segment's (old docid -> new docid) map from a staged merge sidecar
+    (sorted-index merges; MultiSorter.java's per-reader DocMap role). Returned
+    sorted by old docid so lookups are one searchsorted. Task-local like
+    ``read_segment_deletes`` — a remap task reads only ITS segment's rows."""
+    path = os.path.join(index_dir, kind, f"gen={int(gen)}",
+                        f"segment_id={int(segment_id)}")
+    t = _dataset_table(path, ["docid", "new_docid"])
+    if t is None:
+        return None
+    old = t.column("docid").to_numpy(zero_copy_only=False).astype(np.int64)
+    new = t.column("new_docid").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(old)
+    return old[order], new[order]
 
 
 def load_segment_field_norms(index_dir: str, wave: int, segment_id: int,

@@ -219,6 +219,15 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
     cat = IndexCatalog(index_dir)
     from .builder import load_index_codec
     codec = load_index_codec(index_dir)  # Codec.forName for the merged output
+    # index-sorted merges re-sort by the sort field (MultiSorter.java /
+    # SortingCodecReader: Lucene merge-sorts sorted segments' doc streams)
+    import json as _json
+    is_path = os.path.join(index_dir, "_catalog", "indexsort.json")
+    index_sort = None
+    if os.path.exists(is_path):
+        with open(is_path) as fh:
+            _rec = _json.load(fh)
+        index_sort = (_rec["col"], _rec["ascending"])
     live = {s["segment_id"]: s for s in cat.live_segments()}
     parts = [live[sid] for sid in sorted(segment_ids)]
     assert all(sid in live for sid in segment_ids)
@@ -252,6 +261,7 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
                              ["segment_id", "docid"], "left_anti"))
 
     del_counts: dict[int, int] = {}
+    all_dels = None  # (segment_id, docid) of every doc this merge drops
     if del_segs or drop_df is not None:
         ddf = (deletes_df(spark, index_dir, set(segment_ids), gens=del_gens)
                if del_segs else None)
@@ -268,9 +278,9 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
                 ddf = (ddf.select("segment_id", "docid").union(drop_df)
                        .distinct() if ddf is not None else drop_df)
         if ddf is not None:
+            all_dels = ddf.select("segment_id", "docid").distinct()
             del_counts = {int(r["segment_id"]): int(r["cnt"]) for r in
-                          ddf.select("segment_id", "docid").distinct()
-                          .groupBy("segment_id")
+                          all_dels.groupBy("segment_id")
                           .agg(F.count("*").alias("cnt")).collect()}
 
     # surviving-doc re-base offsets, in segment order (DocIDMerger.java:34,93)
@@ -311,6 +321,70 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
     docs = read_live_partitions(spark, index_dir, "docs", parts)
     postings = read_live_partitions(spark, index_dir, "postings", parts)
 
+    # ---- index-sorted merge: docid remap = rank in the merged sort order ---
+    # Lucene's MultiSorter builds a per-reader old->new docid map by merge-
+    # sorting the (already sorted) input segments on the sort field. Here the
+    # map is computed DISTRIBUTED (a two-pass range-partitioned rank — per-
+    # partition counts, <= shuffle-partitions rows, are the only driver
+    # collect) and staged as a per-segment parquet sidecar
+    # (merge_sortmap/gen=<new_id>/segment_id=K) that every remap task reads
+    # TASK-LOCALLY for its own segment, exactly like the .liv gens.
+    if index_sort is not None:
+        from pyspark.sql.window import Window
+        asc = bool(index_sort[1])
+        surv = docs.select("segment_id", "docid", "sort_value")
+        if all_dels is not None:
+            surv = surv.join(all_dels, ["segment_id", "docid"], "left_anti")
+        ord_cols = [F.col("sort_value").asc() if asc
+                    else F.col("sort_value").desc(),
+                    F.col("segment_id").asc(), F.col("docid").asc()]
+        npart = max(1, int(spark.conf.get("spark.sql.shuffle.partitions",
+                                          "32")))
+        # persist: repartitionByRange samples range bounds; the count job and
+        # the sortmap write must see ONE consistent partitioning
+        ranked = (surv.repartitionByRange(npart, *ord_cols)
+                  .withColumn("pid", F.spark_partition_id())
+                  .persist())
+        pid_counts = {int(r["pid"]): int(r["cnt"]) for r in
+                      ranked.groupBy("pid")
+                      .agg(F.count("*").alias("cnt")).collect()}
+        offs, acc = [], 0
+        for pid in sorted(pid_counts):
+            offs.append((pid, acc))
+            acc += pid_counts[pid]
+        offs_df = spark.createDataFrame(offs or [(0, 0)], "pid int, off long")
+        w_pid = Window.partitionBy("pid").orderBy(*ord_cols)
+        sortmap = (ranked
+                   .withColumn("rn", F.row_number().over(w_pid) - 1)
+                   .join(F.broadcast(offs_df), "pid")
+                   .select("segment_id", "docid",
+                           (F.col("off") + F.col("rn")).cast("long")
+                           .alias("new_docid")))
+        (sortmap.repartition(F.col("segment_id"))
+         .sortWithinPartitions("segment_id", "docid")
+         .write.mode("overwrite").partitionBy("segment_id")
+         .parquet(os.path.join(index_dir, "merge_sortmap",
+                               f"gen={new_id}")))
+        ranked.unpersist()
+
+        from .livedocs import read_segment_docid_map
+
+        def remap(seg_id: int, docids: np.ndarray,  # noqa: F811
+                  _cache: dict = {}):
+            """Sorted-index remap: per-task read of this segment's sortmap
+            (survivors only, so deletes fall out via map membership)."""
+            if seg_id not in _cache:
+                _cache[seg_id] = read_segment_docid_map(
+                    index_dir, seg_id, new_id, kind="merge_sortmap")
+            m = _cache[seg_id]
+            if m is None:
+                return np.zeros(docids.size, dtype=bool), docids[:0]
+            old, new = m
+            idx = np.searchsorted(old, docids)
+            idxc = np.minimum(idx, old.size - 1)
+            keep = old[idxc] == docids
+            return keep, new[idxc[keep]]
+
     def remap_docs(batches):
         for pdf in batches:
             out = []
@@ -334,6 +408,8 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
     doc_cols = ["segment_id", "docid", "key", "doclen", "norm_byte"]
     if fields:
         doc_cols.append("field_lens")
+    if index_sort is not None:
+        doc_cols.append("sort_value")
     merged_docs = (
         docs.select(*doc_cols)
         .mapInPandas(remap_docs, docs.select(*doc_cols).schema)
@@ -354,6 +430,7 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
     (
         merged_docs.withColumn("wave", F.lit(new_wave))
         .repartition(1)
+        .sortWithinPartitions("docid")  # docid row-group stats for pushdown
         .write.mode("append").partitionBy("wave", "segment_id")
         .parquet(os.path.join(index_dir, "docs"))
     )
@@ -397,6 +474,15 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
             docids = np.concatenate(ds)
             freqs = np.concatenate(fs)
             norms = np.concatenate(ns)
+            if index_sort is not None:
+                # sorted-merge docids interleave across input segments: one
+                # argsort restores the ascending order block encoding needs
+                order = np.argsort(docids, kind="stable")
+                docids, freqs, norms = (docids[order], freqs[order],
+                                        norms[order])
+                if has_pos:
+                    ps = [ps[i] for i in order]
+                    pays = [pays[i] for i in order] if pays else pays
             positions = ps if has_pos else None
             blocks = encode_posting_list(
                 docids, freqs, norms, positions, codec=codec,
@@ -523,6 +609,16 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
                       ignore_errors=True)
         try:
             os.rmdir(stage)  # drop the parent too once no gen remains
+        except OSError:
+            pass
+    if index_sort is not None:
+        # the sortmap addressed only the now-dead input segments
+        import shutil
+        stage = os.path.join(index_dir, "merge_sortmap")
+        shutil.rmtree(os.path.join(stage, f"gen={new_id}"),
+                      ignore_errors=True)
+        try:
+            os.rmdir(stage)
         except OSError:
             pass
     return new_id

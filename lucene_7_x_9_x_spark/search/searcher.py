@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from ..fields import FIELD_RANGE_END, FIELD_SEP
 from ..functions import bm25
@@ -192,6 +193,14 @@ class IndexSearcher:
                 rec = json.load(fh)
             self.index_options = rec["index_options"]
             self.omit_norms = bool(rec["omit_norms"])
+        # index sort (IndexWriterConfig.setIndexSort): docids within each
+        # segment follow this field's order — sorted search can early-stop
+        is_path = os.path.join(index_dir, "_catalog", "indexsort.json")
+        self.index_sort = None
+        if os.path.exists(is_path):
+            with open(is_path) as fh:
+                rec = json.load(fh)
+            self.index_sort = (rec["col"], bool(rec["ascending"]))
         self.multi_field = bool(self.fieldinfos)
         self.default_field = (self.fieldinfos or {}).get(
             "default_field", "text")
@@ -693,6 +702,54 @@ class IndexSearcher:
                     & (F.col("docid").cast("int") == F.col("dd")),
                     "left_anti")
         return d
+
+    def sorted_index_topk(self, k: int, query=None,
+                          key_as_long: bool = True) -> DataFrame:
+        """Early-terminating sorted search over an index-sorted index —
+        TopFieldCollector's canEarlyTerminate path (TopFieldCollector.java
+        ~`canEarlyTerminate(sort, indexSort)`; demos TestEarlyTerminal.java,
+        IndexSortTest.java, NumericDocValuesTopNOptimization.java).
+
+        Because docids within each segment ARE the sort order, a segment's
+        top-k is its FIRST k live docids:
+          * match-all: the scan reads only `docid < k + max(del_count)` rows
+            per segment — a pushed parquet predicate over docid-sorted files,
+            so row groups past the prefix are never read (the early
+            termination is in the SCAN, not just the collector);
+          * with a filter query: the match set is capped to its k earliest
+            docids per segment before any value sort (the collector stops
+            after k hits per leaf — the scan still iterates matches, exactly
+            as Lucene's filtered sorted search does).
+        The ≤ k·n_segments candidates then merge by (sort_value, key) —
+        TopDocs.merge over pre-sorted leaves. Returns a DataFrame
+        (key, sort_value) of the global top-k in sort order."""
+        if self.index_sort is None:
+            raise ValueError("index was not built with index_sort")
+        _, asc = self.index_sort
+        key_expr = (F.col("key").cast("long") if key_as_long
+                    else F.col("key"))
+        if query is None:
+            # deleted docs occupy docid slots; widening the prefix by the
+            # worst per-segment delete count keeps k live docs reachable
+            bound = k + max((self._hidden_count(s) for s in self.segments),
+                            default=0)
+            cand = (self._live_docs_df()
+                    .where(F.col("docid") < bound)
+                    .select("segment_id", "docid", "key", "sort_value"))
+        else:
+            m = self.matches_df(query).select("segment_id", "docid")
+            cand = m.join(
+                self._docs.select("segment_id", "docid", "key", "sort_value"),
+                ["segment_id", "docid"])
+        w = Window.partitionBy("segment_id").orderBy("docid")
+        per_seg = (cand.withColumn("_rn", F.row_number().over(w))
+                   .where(F.col("_rn") <= k))
+        ordv = (F.col("sort_value").asc() if asc
+                else F.col("sort_value").desc())
+        return (per_seg
+                .orderBy(ordv, key_expr.asc())
+                .limit(k)
+                .select(key_expr.alias("key"), "sort_value"))
 
     def _match_all_top_k(self, q, k, fetch_keys):
         boost = q.boost if hasattr(q, "boost") else 1.0

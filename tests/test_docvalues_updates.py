@@ -108,7 +108,10 @@ def test_merge_folds_updates_and_respects_deletes(spark, setup):
     assert vals[1] == 777  # survived the merge on the new docids
     assert 6 not in vals
     assert vals[7] == 80
-    # post-merge update on the merged segment still works
+    # post-merge update on the merged segment still works (close the first
+    # writer first — two open IndexWriters on one index must be refused by
+    # write.lock, and are)
+    w.close()
     w2 = IndexWriter(spark, d, int_keys=True)
     w2.update_numeric_docvalues(
         spark.createDataFrame([(1, 11)], "doc_id long, v long"),
