@@ -846,6 +846,38 @@ def q_index_sort_query_topk(spark, sf_dir):
                     F.col("sort_value").cast("long").alias("n_chars")))
 
 
+def q_parallel_reader_topk(spark, sf_dir):
+    """ParallelLeafReader analog (core test TestDemoParallelLeafReader.java):
+    a 'toklen' field derived AFTER indexing from the index's own stored
+    doclen (the demo parses the new field out of stored content), written as
+    a per-segment parallel sidecar, then range-filtered and sorted through
+    the leaf-aligned (segment_id, docid) join — no reindex of the main
+    index ever happens."""
+    from lucene_7_x_9_x_spark.index.writer import IndexWriter
+    s = _searcher(spark, sf_dir)
+    idx = _index_dir(sf_dir)
+    if not os.path.isdir(os.path.join(idx, "parallel", "toklen")):
+        w = IndexWriter(spark, idx, int_keys=True)
+        try:
+            w.add_parallel_field(
+                "toklen",
+                s.docs_df().select(
+                    F.col("key").cast("long").alias("doc_id"),
+                    F.col("doclen").alias("v")),
+                "doc_id", "v")
+        finally:
+            w.close()
+    m = s.matches_df(Q.TermQuery(T2))
+    pf = s.parallel_field_df("toklen")
+    keyed = s.docs_df().select("segment_id", "docid",
+                               F.col("key").cast("long").alias("doc_id"))
+    return (m.join(pf, ["segment_id", "docid"])
+            .join(keyed, ["segment_id", "docid"])
+            .where((F.col("value") >= 10) & (F.col("value") <= 60))
+            .orderBy(F.asc("value"), F.asc("doc_id")).limit(10)
+            .select("doc_id", F.col("value").cast("long").alias("toklen")))
+
+
 def q_sorted_by_field(spark, sf_dir):
     """Sort/SortField analog: matches ordered by a doc-values column."""
     m = _matches_with_meta(spark, sf_dir, Q.TermQuery(T1))
@@ -1669,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) new in round 5
         "index_sort_topk": q_index_sort_topk,
         "index_sort_query_topk": q_index_sort_query_topk,
+        "parallel_reader_topk": q_parallel_reader_topk,
         "range_field_relation_counts": q_range_field_relation_counts,
         "docs_only_topk": q_docs_only_topk,
         "querybuilder_topk": q_querybuilder_topk,
@@ -2382,6 +2415,13 @@ resc AS (SELECT win.doc_id AS doc_id,
          FROM win LEFT JOIN s3 ON s3.doc_id = win.doc_id)""".strip()], f"""
 SELECT doc_id, {_micro('s')} AS score_micro FROM resc
 ORDER BY s DESC, doc_id LIMIT 10""")
+
+    out["parallel_reader_topk"] = _topk_sql([], f"""
+SELECT m.doc_id AS doc_id, dl.doclen AS toklen
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{T2}') m
+JOIN dl ON m.doc_id = dl.doc_id
+WHERE dl.doclen BETWEEN 10 AND 60
+ORDER BY dl.doclen ASC, m.doc_id ASC LIMIT 10""")
 
     out["index_sort_topk"] = ("SELECT doc_id, n_chars FROM documents "
                               "ORDER BY n_chars ASC, doc_id ASC LIMIT 10")

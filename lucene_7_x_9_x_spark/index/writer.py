@@ -282,6 +282,64 @@ class IndexWriter:
         self.cat.commit(live + imported, operation="add_indexes")
         return [s["segment_id"] for s in imported]
 
+    # --- parallel fields (ParallelLeafReader demo) ---------------------------
+    def _parallel_dir(self, name: str) -> str:
+        return os.path.join(self.index_dir, "parallel", name)
+
+    def _write_parallel(self, name: str, df: DataFrame, key_col: str,
+                        value_col: str, segments: list[dict]) -> int:
+        """Derive (segment_id, docid, value) rows for the given segments by a
+        distributed key join and write them as per-segment sidecar partitions
+        under parallel/<name>/ — the demo's "private directory next to the
+        main index" per parallel segment."""
+        from .catalog import read_live_partitions
+        if not segments:
+            return 0
+        docs = read_live_partitions(self.spark, self.index_dir, "docs",
+                                    segments)
+        if docs is None:
+            return 0
+        vals = df.select(F.col(key_col).cast("string").alias("key"),
+                         F.col(value_col).alias("value"))
+        rows = (docs.select("segment_id", "docid", "key")
+                .join(vals, "key")
+                .select(F.col("segment_id").cast("int"),
+                        F.col("docid").cast("int"), "value"))
+        (rows.repartition(F.col("segment_id"))
+         .sortWithinPartitions("segment_id", "docid")
+         .write.mode("append").partitionBy("segment_id")
+         .parquet(self._parallel_dir(name)))
+        return len(segments)
+
+    def add_parallel_field(self, name: str, df: DataFrame, key_col: str,
+                           value_col: str) -> int:
+        """ParallelLeafReader analog (core test/demo
+        TestDemoParallelLeafReader.java): attach a NEW per-doc field to an
+        existing index without reindexing — values are derived post-hoc (the
+        demo parses them out of stored fields on reopen) and written as a
+        per-segment parallel sidecar addressed by (segment_id, docid), which
+        readers join leaf-aligned like ParallelLeafReader zips two leaves.
+        Returns the number of segments the field was derived for."""
+        return self._write_parallel(name, df, key_col, value_col,
+                                    self.cat.live_segments())
+
+    def parallel_field_missing(self, name: str) -> list[dict]:
+        """Live segments with NO parallel rows for `name` — segments created
+        by flushes/merges since the field was last derived (the demo rebuilds
+        parallel indices for exactly these on NRT reopen)."""
+        base = self._parallel_dir(name)
+        return [s for s in self.cat.live_segments()
+                if not os.path.isdir(
+                    os.path.join(base, f"segment_id={s['segment_id']}"))]
+
+    def refresh_parallel_field(self, name: str, df: DataFrame, key_col: str,
+                               value_col: str) -> int:
+        """Incremental per-new-segment rebuild (the demo's reopen hook):
+        derive rows ONLY for live segments missing the field. Idempotent —
+        a no-op when every live segment already has its sidecar."""
+        return self._write_parallel(name, df, key_col, value_col,
+                                    self.parallel_field_missing(name))
+
     # --- deletes ------------------------------------------------------------
     def _live_docs(self) -> DataFrame:
         from .catalog import read_live_partitions

@@ -703,6 +703,29 @@ class IndexSearcher:
                     "left_anti")
         return d
 
+    def parallel_field_df(self, name: str) -> DataFrame:
+        """(segment_id, docid, value) rows of a parallel field added AFTER
+        indexing (IndexWriter.add_parallel_field — the ParallelLeafReader
+        demo's per-segment parallel index). Read by direct live-segment
+        partition paths like every other sidecar; joining on
+        (segment_id, docid) is the DataFrame form of ParallelLeafReader
+        zipping two leaf readers doc-by-doc. Raises if any live segment is
+        missing the field (the demo refuses a stale parallel reader — call
+        IndexWriter.refresh_parallel_field for new flush/merge segments)."""
+        base = os.path.join(self._index_dir, "parallel", name)
+        paths, missing = [], []
+        for s in self.segments:
+            p = os.path.join(base, f"segment_id={s['segment_id']}")
+            (paths if os.path.isdir(p) else missing).append(
+                p if os.path.isdir(p) else s["segment_id"])
+        if missing:
+            raise ValueError(
+                f"parallel field {name!r} missing for segments {missing}; "
+                "run IndexWriter.refresh_parallel_field after flush/merge")
+        if not paths:
+            raise ValueError(f"no parallel field {name!r} under {base}")
+        return self.spark.read.option("basePath", base).parquet(*paths)
+
     def sorted_index_topk(self, k: int, query=None,
                           key_as_long: bool = True) -> DataFrame:
         """Early-terminating sorted search over an index-sorted index —
