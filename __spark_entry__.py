@@ -496,6 +496,53 @@ def _dvu_searcher(spark, sf_dir) -> IndexSearcher:
     return s
 
 
+def _dvb_searcher(spark, sf_dir) -> IndexSearcher:
+    """Index with an in-place BINARY DocValues update applied once
+    (IndexWriter.updateBinaryDocValue; demos BinaryDocValuesTest family):
+    docs with doc_id % 10 == 7 get tag = 't' || doc_id % 3, overlaying the
+    base lang payloads."""
+    from lucene_7_x_9_x_spark.index.writer import IndexWriter
+    key = (os.path.abspath(sf_dir), "dvb")
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    idx = _index_dir(sf_dir) + "_dvb"
+    if IndexCatalog(idx).head() < 0:
+        build_index(
+            spark, _documents(spark, sf_dir), key_col="doc_id",
+            text_col="text", index_dir=idx,
+            docs_per_segment=_DOCS_PER_SEGMENT, int_keys=True, resume=True)
+    if not IndexCatalog(idx).dv_gens():
+        w = IndexWriter(spark, idx, int_keys=True)
+        try:
+            upd = (_documents(spark, sf_dir)
+                   .where(F.col("doc_id") % 10 == 7)
+                   .select("doc_id", F.concat(
+                       F.lit("t"), (F.col("doc_id") % 3).cast("string"))
+                       .alias("tag")))
+            w.update_binary_docvalues(upd, "doc_id", "tag", "tag")
+        finally:
+            w.close()
+    s = IndexSearcher(spark, idx, dtype=np.float64)
+    _SEARCHERS[key] = s
+    return s
+
+
+def q_docvalues_binary_tags(spark, sf_dir):
+    """updateBinaryDocValue read path: a term query's matches carrying the
+    opaque per-doc payload through the newest-gen-wins overlay — updated
+    docs show the new tag, untouched docs the base column."""
+    s = _dvb_searcher(spark, sf_dir)
+    dv = s.binary_docvalues(
+        "tag", _documents(spark, sf_dir).select("doc_id", "lang"),
+        "doc_id", "lang")
+    m = s.matches_df(Q.TermQuery(T2))
+    keyed = s.docs_df().select("segment_id", "docid",
+                               F.col("key").cast("long").alias("doc_id"))
+    return (m.join(dv, ["segment_id", "docid"])
+            .join(keyed, ["segment_id", "docid"])
+            .select("doc_id", F.col("value").alias("tag")))
+
+
 def q_docvalues_update_sort(spark, sf_dir):
     """In-place DocValues update, then Sort-by-field through the overlay:
     matches of a term query ordered by the UPDATED numeric field (newest
@@ -1702,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_sort_topk": q_index_sort_topk,
         "index_sort_query_topk": q_index_sort_query_topk,
         "parallel_reader_topk": q_parallel_reader_topk,
+        "docvalues_binary_tags": q_docvalues_binary_tags,
         "range_field_relation_counts": q_range_field_relation_counts,
         "docs_only_topk": q_docs_only_topk,
         "querybuilder_topk": q_querybuilder_topk,
@@ -2415,6 +2463,14 @@ resc AS (SELECT win.doc_id AS doc_id,
          FROM win LEFT JOIN s3 ON s3.doc_id = win.doc_id)""".strip()], f"""
 SELECT doc_id, {_micro('s')} AS score_micro FROM resc
 ORDER BY s DESC, doc_id LIMIT 10""")
+
+    out["docvalues_binary_tags"] = _topk_sql([], f"""
+SELECT m.doc_id AS doc_id,
+       CASE WHEN m.doc_id % 10 = 7
+            THEN 't' || CAST(m.doc_id % 3 AS VARCHAR)
+            ELSE d.lang END AS tag
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{T2}') m
+JOIN documents d ON m.doc_id = d.doc_id""")
 
     out["parallel_reader_topk"] = _topk_sql([], f"""
 SELECT m.doc_id AS doc_id, dl.doclen AS toklen

@@ -580,11 +580,13 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
                                               dtype=np.int32),
                         "docid": new_ids.astype(np.int32),
                         "field": g["field"].values,
-                        "value": g["value"].values})
+                        "value": g["value"].values,
+                        "value_str": g["value_str"].values})
 
         dv_remapped = dv_src.mapInPandas(
             remap_dv,
-            "segment_id int, docid int, field string, value long").persist()
+            "segment_id int, docid int, field string, value long, "
+            "value_str string").persist()
         dv_total = dv_remapped.count()
         if dv_total:
             gen = cat.head() + 1

@@ -63,14 +63,19 @@ def dv_updates_df(spark: SparkSession, index_dir: str,
         return None
     live = spark.createDataFrame(
         [(int(s),) for s in sorted(live_segment_ids)], "segment_id int")
-    return (spark.read.option("basePath", ddir).parquet(*paths)
+    src = spark.read.option("basePath", ddir).parquet(*paths)
+    if "value_str" not in src.columns:  # pre-binary-channel gens
+        src = src.withColumn("value_str", F.lit(None).cast("string"))
+    return (src
             .join(F.broadcast(live), "segment_id", "left_semi")
             .groupBy("segment_id", "docid", "field")
             .agg(F.max(F.struct(
                 F.col("gen").cast("long").alias("gen"),
-                F.col("value").alias("value"))).alias("m"))
+                F.col("value").alias("value"),
+                F.col("value_str").alias("value_str"))).alias("m"))
             .select("segment_id", "docid", "field",
-                    F.col("m.value").alias("value")))
+                    F.col("m.value").alias("value"),
+                    F.col("m.value_str").alias("value_str")))
 
 
 def deletes_df(spark: SparkSession, index_dir: str,
@@ -499,11 +504,18 @@ class IndexWriter:
     # --- in-place DocValues updates (docValuesGen analog) ---------------------
     def _write_dv_files(self, targets: DataFrame) -> int:
         """Write the next dv-update generation (invisible until the commit
-        lists it in dv_gens). targets: (segment_id, docid, field, value)."""
+        lists it in dv_gens). targets: (segment_id, docid, field, value) with
+        value either a long (numeric DV) or already split into the sidecar's
+        two channels (value long / value_str string — the BinaryDocValues
+        BytesRef payload rides value_str)."""
+        if "value_str" not in targets.columns:
+            targets = targets.withColumn(
+                "value_str", F.lit(None).cast("string"))
         targets = targets.select(
             F.col("segment_id").cast("int"), F.col("docid").cast("int"),
             F.col("field").cast("string"),
-            F.col("value").cast("long")).persist()
+            F.col("value").cast("long"),
+            F.col("value_str").cast("string")).persist()
         per_seg = {int(r["segment_id"]): int(r["cnt"])
                    for r in targets.groupBy("segment_id")
                    .agg(F.count("*").alias("cnt")).collect()}
@@ -543,6 +555,24 @@ class IndexWriter:
                    .join(batch, "key")
                    .select("segment_id", "docid",
                            F.lit(field).alias("field"), "value"))
+        return self._write_dv_files(targets)
+
+    def update_binary_docvalues(self, df: DataFrame, key_col: str,
+                                field: str, value_col: str) -> int:
+        """Bulk IndexWriter.updateBinaryDocValue analog (demos
+        BinaryDocValuesTest / UpdateDocValuesTest families): refresh a per-doc
+        OPAQUE payload (Lucene's BytesRef; here a string/UTF-8 column) in
+        place — same dv-generation sidecar as the numeric path, payload
+        riding the value_str channel. No delete, no reindex."""
+        batch = (df.select(F.col(key_col).cast("string").alias("key"),
+                           F.col(value_col).cast("string").alias("value_str"))
+                 .groupBy("key").agg(F.max("value_str").alias("value_str")))
+        targets = (self._live_docs().select("segment_id", "docid", "key")
+                   .join(batch, "key")
+                   .select("segment_id", "docid",
+                           F.lit(field).alias("field"),
+                           F.lit(None).cast("long").alias("value"),
+                           "value_str"))
         return self._write_dv_files(targets)
 
     def update_numeric_docvalue(self, query, field: str, value: int) -> int:

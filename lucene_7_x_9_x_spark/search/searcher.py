@@ -320,6 +320,29 @@ class IndexSearcher:
                 .select("segment_id", "docid",
                         F.coalesce("_upd", "_base").alias("value")))
 
+    def binary_docvalues(self, field: str, base: DataFrame,
+                         key_col: str, value_col: str) -> DataFrame:
+        """(segment_id, docid, value) of a binary/BytesRef doc-values field
+        (demos BinaryDocValuesTest family): base payloads come from a
+        columnar doc-store table joined by key, overlaid with committed
+        in-place updates (IndexWriter.updateBinaryDocValue read path,
+        value_str channel), newest generation winning."""
+        d = self.docs_df().select("segment_id", "docid", "key")
+        b = base.select(F.col(key_col).cast("string").alias("key"),
+                        F.col(value_col).cast("string").alias("_base"))
+        out = d.join(b, "key", "left")
+        upd = self.dv_updates_df()
+        if upd is None:
+            return out.select("segment_id", "docid",
+                              F.col("_base").alias("value"))
+        upd = (upd.where((F.col("field") == field)
+                         & F.col("value_str").isNotNull())
+               .select("segment_id", "docid",
+                       F.col("value_str").alias("_upd")))
+        return (out.join(upd, ["segment_id", "docid"], "left")
+                .select("segment_id", "docid",
+                        F.coalesce("_upd", "_base").alias("value")))
+
     def _field_prefix(self, field: str | None) -> str:
         """The encoded-term prefix of a leaf's field ('' = bare terms).
 

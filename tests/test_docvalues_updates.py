@@ -133,3 +133,47 @@ def test_uncommitted_gen_invisible(spark, setup):
                              "value": pa.array([42], pa.int64())}),
                    os.path.join(gen_dir, "part.parquet"))
     assert _values(spark, d, docs) == {r[0]: r[2] for r in BASE}
+
+
+def _bin_values(spark, d, docs):
+    s = IndexSearcher(spark, d)
+    dv = s.binary_docvalues("tag", docs.select(
+        "doc_id", F.concat(F.lit("base-"), F.col("doc_id")).alias("tag")),
+        "doc_id", "tag")
+    keyed = s.docs_df().select("segment_id", "docid",
+                               F.col("key").cast("long").alias("doc_id"))
+    rows = (dv.join(keyed, ["segment_id", "docid"])
+            .select("doc_id", "value").collect())
+    return {int(r["doc_id"]): r["value"] for r in rows}
+
+
+def test_binary_update_overlays_payloads(spark, setup):
+    """updateBinaryDocValue analog (demo BinaryDocValuesTest family): the
+    BytesRef payload rides the dv sidecar's value_str channel."""
+    d, docs = setup
+    w = IndexWriter(spark, d, int_keys=True)
+    upd = spark.createDataFrame([(1, "hot"), (4, "cold")],
+                                "doc_id long, tag string")
+    assert w.update_binary_docvalues(upd, "doc_id", "tag", "tag") == 2
+    vals = _bin_values(spark, d, docs)
+    assert vals[1] == "hot" and vals[4] == "cold"
+    assert vals[0] == "base-0"  # untouched docs keep base payloads
+    # numeric overlay on a DIFFERENT field is unaffected by the binary gen
+    w.update_numeric_docvalues(
+        spark.createDataFrame([(1, 42)], "doc_id long, v long"),
+        "doc_id", "pop", "v")
+    assert _values(spark, d, docs)[1] == 42
+    assert _bin_values(spark, d, docs)[1] == "hot"
+
+
+def test_binary_update_survives_merge(spark, setup):
+    d, docs = setup
+    w = IndexWriter(spark, d, int_keys=True)
+    w.update_binary_docvalues(
+        spark.createDataFrame([(6, "keep")], "doc_id long, tag string"),
+        "doc_id", "tag", "tag")
+    segs = [s["segment_id"] for s in IndexCatalog(d).live_segments()]
+    execute_merge(spark, d, segs)
+    vals = _bin_values(spark, d, docs)
+    assert vals[6] == "keep"
+    assert vals[3] == "base-3"
