@@ -56,16 +56,20 @@ def stream_index(spark: SparkSession, stream_df: DataFrame, key_col: str,
     Returns the StreamingQuery; callers typically `.awaitTermination()` or
     `.processAllAvailable()`. Readers refresh by constructing a new
     IndexSearcher (snapshot isolation makes this safe mid-stream)."""
-    writer = IndexWriter(
-        spark, index_dir, analyzer=analyzer,
-        docs_per_segment=docs_per_segment, term_shards=term_shards,
-        int_keys=int_keys)
-
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if str(batch_id) in committed_batches(index_dir):
             return  # replayed after restart — wave already committed
-        writer.add_documents(batch_df, key_col, text_col,
-                             commit_extra={"batch_id": int(batch_id)})
+        # write.lock is scoped to the micro-batch: each batch is one atomic
+        # writer session (open -> add wave -> commit -> close), so a later
+        # stream over the same index — or a manual IndexWriter between
+        # batches — never collides with an idle stream's held lock, while
+        # two batches mutating concurrently are still refused
+        with IndexWriter(
+                spark, index_dir, analyzer=analyzer,
+                docs_per_segment=docs_per_segment, term_shards=term_shards,
+                int_keys=int_keys) as writer:
+            writer.add_documents(batch_df, key_col, text_col,
+                                 commit_extra={"batch_id": int(batch_id)})
         if merge_every_batches and (batch_id + 1) % merge_every_batches == 0:
             maybe_merge(spark, index_dir, merge_cfg)
 
