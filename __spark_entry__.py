@@ -1721,7 +1721,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is deliberate: the driver oracle-checks the first 50
     # entries. Round-5 window = (a) the entries new this round (index sort +
-    # early-terminating sorted top-k lead; then RangeField
+    # early-terminating sorted top-k, the ParallelLeafReader post-hoc field,
+    # and the binary DocValues overlay lead; then RangeField
     # relation counts + IndexOptions.DOCS tf=1 scoring lead; then 7 surface
     # closers: QueryBuilder, phonetic/Soundex filter, SortedSet facets,
     # SortedNumeric set query, GroupingSearch full shape, expressions-module

@@ -408,16 +408,22 @@ def index_wave(
     else:
         docs = docs.select("segment_id", "docid", "key", "doclen",
                            "norm_byte", "key_dups", *sort_out)
+    # cluster by segment before the partitioned write: one file per
+    # segment instead of (tasks x segments) — the commit protocol's
+    # driver-side rename loop is serial, so file count is a direct
+    # Amdahl term (and a small-file problem on object stores).
+    docs_out = docs.repartition(F.col("segment_id"))
+    if index_sort:
+        # SORTED indexes additionally write docid-sorted files so the
+        # early-termination prefix read's pushed `docid < k` predicate
+        # prunes at row-group level. Sorted-only: measured on the 600k-doc
+        # scaling corpus, this extra local sort after the exchange costs
+        # ~90 s at local[8] (it defeats the planner's reuse of the cached
+        # tokenize stage), which halved N->4N efficiency when applied to
+        # every build — plain indexes don't need file-order guarantees.
+        docs_out = docs_out.sortWithinPartitions("segment_id", "docid")
     (
-        # cluster by segment before the partitioned write: one file per
-        # segment instead of (tasks x segments) — the commit protocol's
-        # driver-side rename loop is serial, so file count is a direct
-        # Amdahl term (and a small-file problem on object stores).
-        # Files are docid-sorted so parquet row-group min/max stats prune
-        # docid-bounded reads (stored-field doc(id) lookups; the sorted-index
-        # early-termination prefix read).
-        docs.repartition(F.col("segment_id"))
-        .sortWithinPartitions("segment_id", "docid")
+        docs_out
         .withColumn("wave", F.lit(wave))
         .write.mode("append")
         .partitionBy("wave", "segment_id")

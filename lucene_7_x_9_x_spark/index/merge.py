@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import math
 import os
+import threading
 import time
 from dataclasses import dataclass
 
@@ -32,6 +33,11 @@ from pyspark.sql import functions as F
 from ..functions.codecs import decode_blocks, encode_posting_list, split_positions
 from .catalog import IndexCatalog, append_lineage
 from . import schema as S
+
+# serializes the head-dependent commit section of concurrent merges in this
+# process (IndexWriter.commitMerge's synchronized block); cross-process
+# exclusion remains the writer's write.lock
+_COMMIT_LOCK = threading.Lock()
 
 
 @dataclass(frozen=True)
@@ -199,7 +205,8 @@ def _score(candidate, hit_too_large: bool, merge_factor: int,
 
 def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
                   term_shards: int = 32,
-                  soft_retention: "DataFrame | None" = None) -> int:
+                  soft_retention: "DataFrame | None" = None,
+                  _reserved: "tuple[int, int] | None" = None) -> int:
     """Merge the given segments into one new segment; returns new segment_id.
 
     Deleted docs are dropped and surviving docids compacted exactly as
@@ -231,8 +238,11 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
     live = {s["segment_id"]: s for s in cat.live_segments()}
     parts = [live[sid] for sid in sorted(segment_ids)]
     assert all(sid in live for sid in segment_ids)
-    new_id = max(live) + 1
-    new_wave = max(s["wave"] for s in live.values()) + 1
+    # _reserved: (new_id, new_wave) pre-allocated by a concurrent scheduler
+    # (ConcurrentMergeScheduler analog in maybe_merge) so merges of DISJOINT
+    # segment groups can run in parallel without id collisions
+    new_id, new_wave = _reserved or (
+        max(live) + 1, max(s["wave"] for s in live.values()) + 1)
 
     # Deleted docids are read task-locally per segment (.liv analog,
     # livedocs.read_segment_deletes): the remap closure ships only
@@ -430,7 +440,10 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
     (
         merged_docs.withColumn("wave", F.lit(new_wave))
         .repartition(1)
-        .sortWithinPartitions("docid")  # docid row-group stats for pushdown
+        # sorted indexes keep docid-sorted files for the early-termination
+        # prefix read's row-group pruning; plain merges skip the local sort
+        .transform(lambda d: d.sortWithinPartitions("docid")
+                   if index_sort is not None else d)
         .write.mode("append").partitionBy("wave", "segment_id")
         .parquet(os.path.join(index_dir, "docs"))
     )
@@ -551,13 +564,12 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
             remap_soft, "segment_id int, docid int").persist()
         soft_total = remapped.count()
         if soft_total:
-            gen = cat.head() + 1
-            (remapped.repartition(1).write.mode("append")
-             .partitionBy("segment_id")
-             .parquet(os.path.join(index_dir, "soft_deletes", f"gen={gen}")))
             new_seg["soft_del_count"] = int(soft_total)
-            extra = {"soft_delete_gens": cat.soft_delete_gens() + [gen]}
-        remapped.unpersist()
+        else:
+            remapped.unpersist()
+            remapped = None
+    else:
+        remapped = None
     # in-place DocValues updates survive the merge re-based onto the new
     # docids, exactly like Lucene's SegmentMerger folding docValuesGen files
     # into the merged segment's .dvd: collapse newest-gen-wins upstream
@@ -587,21 +599,43 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
             remap_dv,
             "segment_id int, docid int, field string, value long, "
             "value_str string").persist()
-        dv_total = dv_remapped.count()
-        if dv_total:
-            gen = cat.head() + 1
+        if not dv_remapped.count():
+            dv_remapped.unpersist()
+            dv_remapped = None
+    else:
+        dv_remapped = None
+
+    # ---- commit critical section -------------------------------------------
+    # All head-dependent work (gen numbering, the remaining-segment set, the
+    # snapshot commit) re-reads the catalog UNDER a lock so merges of
+    # disjoint groups can run concurrently (ConcurrentMergeScheduler analog):
+    # a merge that committed in between shrinks the live set we subtract
+    # from, and gens never collide. The heavy Spark jobs above all ran
+    # outside the lock — only marker-file writes and the JSON commit are
+    # serialized (the same serialization Lucene's commitMerge synchronized
+    # block provides, IndexWriter.java commitMerge).
+    wall_ms = int((time.time() - t0) * 1000)
+    with _COMMIT_LOCK:
+        cat2 = IndexCatalog(index_dir)
+        gen = cat2.head() + 1
+        if remapped is not None:
+            (remapped.repartition(1).write.mode("append")
+             .partitionBy("segment_id")
+             .parquet(os.path.join(index_dir, "soft_deletes", f"gen={gen}")))
+            extra = {"soft_delete_gens": cat2.soft_delete_gens() + [gen]}
+            remapped.unpersist()
+        if dv_remapped is not None:
             (dv_remapped.repartition(1).write.mode("append")
              .partitionBy("segment_id")
              .parquet(os.path.join(index_dir, "dv_updates", f"gen={gen}")))
             extra = dict(extra or {})
-            extra["dv_gens"] = cat.dv_gens() + [gen]
-        dv_remapped.unpersist()
-    remaining = [s for sid, s in live.items() if sid not in set(segment_ids)]
-    wall_ms = int((time.time() - t0) * 1000)
-    append_lineage(index_dir, [
-        ("merge", new_id, cat.head() + 1, new_seg["doc_count"], wall_ms,
-         "done")])
-    cat.commit(remaining + [new_seg], operation="merge", extra=extra)
+            extra["dv_gens"] = cat2.dv_gens() + [gen]
+            dv_remapped.unpersist()
+        remaining = [s for s in cat2.live_segments()
+                     if s["segment_id"] not in set(segment_ids)]
+        append_lineage(index_dir, [
+            ("merge", new_id, gen, new_seg["doc_count"], wall_ms, "done")])
+        cat2.commit(remaining + [new_seg], operation="merge", extra=extra)
     if drop_segs:
         # the staged retention drops only ever addressed the now-dead input
         # segments; remove the sidecar so nothing orphans on disk
@@ -628,20 +662,42 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
 
 def maybe_merge(spark: SparkSession, index_dir: str,
                 cfg: TieredMergeConfig = TieredMergeConfig(),
-                max_rounds: int = 10) -> list[list[int]]:
+                max_rounds: int = 10,
+                max_concurrent_merges: int = 1) -> list[list[int]]:
     """Driver loop: findMerges -> execute until the policy is satisfied
-    (IndexWriter.maybeMerge analog; sequential rounds replace
-    ConcurrentMergeScheduler's background threads — determinism over
-    concurrency, SURVEY §2.2)."""
+    (IndexWriter.maybeMerge analog).
+
+    max_concurrent_merges > 1 is the ConcurrentMergeScheduler analog
+    (ConcurrentMergeScheduler.java maxMergeCount/maxThreadCount): a round's
+    merges cover DISJOINT segment groups (findMerges' to_be_merged set), so
+    they run as concurrent Spark jobs from a thread pool — each with a
+    pre-reserved (segment_id, wave) so ids never collide — and only the
+    head-dependent commit section serializes (_COMMIT_LOCK). The result set
+    is identical to sequential execution; only wall-clock changes, exactly
+    Lucene's merge-thread trade."""
     executed = []
     for _ in range(max_rounds):
         cat = IndexCatalog(index_dir)
-        merges = find_merges(cat.live_segments(), cfg)
+        live = cat.live_segments()
+        merges = find_merges(live, cfg)
         if not merges:
             break
-        for seg_ids in merges:
-            execute_merge(spark, index_dir, seg_ids)
-            executed.append(seg_ids)
+        if max_concurrent_merges > 1 and len(merges) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            base_id = max(s["segment_id"] for s in live) + 1
+            base_wave = max(s["wave"] for s in live) + 1
+            with ThreadPoolExecutor(max_concurrent_merges) as pool:
+                futs = [
+                    pool.submit(execute_merge, spark, index_dir, seg_ids,
+                                _reserved=(base_id + i, base_wave + i))
+                    for i, seg_ids in enumerate(merges)]
+                for f in futs:
+                    f.result()  # surface the first failure
+            executed.extend(merges)
+        else:
+            for seg_ids in merges:
+                execute_merge(spark, index_dir, seg_ids)
+                executed.append(seg_ids)
     return executed
 
 
