@@ -438,14 +438,21 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
         agg_exprs.append(F.sum(fl).alias(f"st_{f}"))
     stats = merged_docs.agg(*agg_exprs).collect()[0]
     (
-        merged_docs.withColumn("wave", F.lit(new_wave))
+        # write straight into this merge's own leaf partition dir (its
+        # (wave, segment_id) is unique): concurrent merges appending to the
+        # SHARED docs/ root would race on the output committer's _temporary
+        # staging — one job's commit deletes the other's attempt files.
+        # Partition values come from the directory name, exactly as the
+        # builder's partitionBy layout.
+        merged_docs.drop("segment_id")
         .repartition(1)
         # sorted indexes keep docid-sorted files for the early-termination
         # prefix read's row-group pruning; plain merges skip the local sort
         .transform(lambda d: d.sortWithinPartitions("docid")
                    if index_sort is not None else d)
-        .write.mode("append").partitionBy("wave", "segment_id")
-        .parquet(os.path.join(index_dir, "docs"))
+        .write.mode("append")
+        .parquet(os.path.join(index_dir, "docs", f"wave={new_wave}",
+                              f"segment_id={new_id}"))
     )
     merged_docs.unpersist()
 
@@ -514,9 +521,10 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
         .groupBy("shard")
         .applyInPandas(lambda pdf: merge_shard(pdf), S.POSTINGS_SCHEMA)
         .sortWithinPartitions("term")  # row-group term stats for pushdown
-        .withColumn("wave", F.lit(new_wave))
-        .write.mode("append").partitionBy("wave", "segment_id")
-        .parquet(os.path.join(index_dir, "postings"))
+        .drop("segment_id")  # leaf-dir write: see the docs write above
+        .write.mode("append")
+        .parquet(os.path.join(index_dir, "postings", f"wave={new_wave}",
+                              f"segment_id={new_id}"))
     )
 
     from .builder import _dir_size as _hdfs_dir_size
