@@ -87,6 +87,19 @@ def check_index(spark: SparkSession, index_dir: str) -> list:
         if meta and meta["max_doc"] != r["n"]:
             violations.append(f"seg={r['segment_id']}: max_doc mismatch")
 
+    # every live segment must have its docs and postings partitions on disk
+    # (CheckIndex opens every segment's files; a missing file IS the
+    # corruption the demo UnGracefulIndexFilesTest provokes)
+    seen_docs = {int(r["segment_id"]) for r in dense}
+    for s in segs:
+        if s["segment_id"] not in seen_docs:
+            violations.append(f"seg={s['segment_id']}: docs partition missing")
+        pdir = os.path.join(index_dir, "postings", f"wave={s['wave']}",
+                            f"segment_id={s['segment_id']}")
+        if s["doc_count"] > 0 and not os.path.isdir(pdir):
+            violations.append(
+                f"seg={s['segment_id']}: postings partition missing")
+
     # norm quantization: norm_byte == intToByte4(doclen)
     # (BM25Similarity.java:128-139), evaluated DISTRIBUTED via a 256-row
     # broadcast join on the decode table: intToByte4 is monotone round-down,
@@ -162,3 +175,27 @@ def check_index(spark: SparkSession, index_dir: str) -> list:
         if meta and (meta["doc_count"] != r["dc"] or meta["sum_ttf"] != r["ttf"]):
             violations.append(f"seg={r['segment_id']}: snapshot stats mismatch")
     return violations
+
+
+def exorcise(spark: SparkSession, index_dir: str) -> list[int]:
+    """CheckIndex -exorcise analog (CheckIndex.java:86 doc — "write a new
+    segments file, removing reference to problematic segments"; the recovery
+    the demo UnGracefulIndexFilesTest provokes): run the full check, drop
+    every segment a violation attributes to from the catalog in one commit,
+    and return the dropped segment ids. Violations not attributable to a
+    segment (index-level checks) are left for the operator. Like Lucene,
+    this LOSES the dropped segments' documents — it is a last-resort repair.
+    """
+    import re
+
+    viols = check_index(spark, index_dir)
+    bad = sorted({int(m.group(1)) for v in viols
+                  for m in [re.match(r"seg=(\d+)", v)] if m})
+    if not bad:
+        return []
+    cat = IndexCatalog(index_dir)
+    remaining = [s for s in cat.live_segments()
+                 if s["segment_id"] not in set(bad)]
+    cat.commit(remaining, operation="exorcise",
+               extra={"exorcised": bad})
+    return bad

@@ -96,9 +96,17 @@ def deletes_df(spark: SparkSession, index_dir: str,
                 else cat.delete_gens())
     if not gens:
         return None
-    df = spark.read.parquet(ddir)
-    return (df.where(F.col("gen").isin([int(g) for g in gens]))
-            .where(F.col("segment_id").isin([int(s) for s in live_segment_ids]))
+    # committed gens read by direct path; liveness via a broadcast semi-join
+    # against the segment-id list (metadata-scale), never an O(#segments)
+    # literal expression in the plan — same shape as dv_updates_df
+    paths = [os.path.join(ddir, f"gen={int(g)}") for g in gens]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:
+        return None
+    live = spark.createDataFrame(
+        [(int(s),) for s in sorted(live_segment_ids)], "segment_id int")
+    return (spark.read.option("basePath", ddir).parquet(*paths)
+            .join(F.broadcast(live), "segment_id", "left_semi")
             .select("segment_id", "docid").distinct())
 
 
