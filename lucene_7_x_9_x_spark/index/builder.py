@@ -49,6 +49,18 @@ from . import schema as S
 __all__ = ["build_index", "IndexCatalog"]
 
 
+def _infostream(wave: int, phase: str, t0: float) -> float:
+    """IndexWriterConfig.setInfoStream analog (IndexWriter.java infoStream
+    "IW: ..." messages): per-phase wall timings for the write path, printed
+    only when SPARK_GRAFT_INFOSTREAM is set. The serial/parallel split of
+    these phases is what the N->4N scaling protocol measures, so the
+    breakdown is the tuning feedback loop."""
+    now = time.time()
+    if os.environ.get("SPARK_GRAFT_INFOSTREAM"):
+        print(f"IW: wave={wave} {phase}: {now - t0:.2f}s", flush=True)
+    return now
+
+
 def _tokenize_udf(analyzer: Analyzer):
     out_type = T.StructType(
         [
@@ -367,6 +379,13 @@ def index_wave(
     # fast.) Duplicate keys are harmless here: every row keeps ITS OWN term
     # vector, and the (key, doclen, tvh) sort makes docids deterministic.
     part = tokenized.repartition("segment_id").persist()
+    if os.environ.get("SPARK_GRAFT_INFOSTREAM_EAGER"):
+        # diagnosis-only (alters the measured plan: materializes the cache
+        # as its own job instead of inside the docs write) — splits the
+        # docs-write phase timing into tokenize+shuffle+cache vs write
+        _te = time.time()
+        part.count()
+        _infostream(wave, "tokenize+shuffle+cache (eager probe)", _te)
 
     order_key = F.col("key").cast("long") if int_keys else F.col("key")
     # index sort: the sort field leads the per-segment docid window (key/
@@ -412,6 +431,7 @@ def index_wave(
     # segment instead of (tasks x segments) — the commit protocol's
     # driver-side rename loop is serial, so file count is a direct
     # Amdahl term (and a small-file problem on object stores).
+    _t = time.time()
     docs_out = docs.repartition(F.col("segment_id"))
     if index_sort:
         # SORTED indexes additionally write docid-sorted files so the
@@ -429,6 +449,7 @@ def index_wave(
         .partitionBy("wave", "segment_id")
         .parquet(os.path.join(index_dir, "docs"))
     )
+    _t = _infostream(wave, "docs write (tokenize+shuffle+window+commit)", _t)
 
     if store_term_vectors:
         # second window pass over the cached segment partitioning, this time
@@ -542,6 +563,7 @@ def index_wave(
         .partitionBy("wave", "segment_id")
         .parquet(os.path.join(index_dir, "postings"))
     )
+    _t = _infostream(wave, "postings write (explode+shuffle+encode+commit)", _t)
 
     agg_exprs = [
         F.sum(F.when(F.col("doclen") > 0, 1).otherwise(0)).alias("doc_count"),
@@ -555,6 +577,7 @@ def index_wave(
         agg_exprs.append(F.sum(fl).alias(f"st_{f}"))
     stats = docs_wave.groupBy("segment_id").agg(*agg_exprs).collect()
     part.unpersist()
+    _t = _infostream(wave, "segment stats agg", _t)
 
     segs = []
     for r in stats:
@@ -580,6 +603,7 @@ def index_wave(
                          f"segment_id={s['segment_id']}"),
             spark,
         )
+    _infostream(wave, "segment size accounting", _t)
     return segs
 
 

@@ -38,15 +38,23 @@ os.makedirs("/dev/shm/spark-local", exist_ok=True)
 spark = (__import__("pyspark").sql.SparkSession.builder
          .master(f"local[{{cores}}]")
          .appName("scaling")
-         # 4x cores shuffle partitions at BOTH levels (same formula, fair
-         # ratio): with partitions == cores exactly, ONE skewed/slow reducer
-         # task IS the stage tail — the 2026-08-18 14:54 run measured
-         # steal-clean local[8] walls of 81..142s from exactly that; 4 task
-         # waves per stage amortize the skew. Coalescing is disabled so the
-         # partition count is deterministic rather than a function of AQE's
-         # advisory size (which would quietly re-couple partitions to data
-         # volume instead of cores).
-         .config("spark.sql.shuffle.partitions", str(4 * cores))
+         # FIXED shuffle-partition count at BOTH levels (default 64 = 4x the
+         # high level's cores): a real N -> 4N executor scale-up keeps the
+         # DATA partitioning fixed and only adds workers, so the logical job
+         # — including the reducer-task structure — must be identical at
+         # both levels; only scheduling parallelism varies. The earlier
+         # 4*cores formula coupled task granularity to core count, which (a)
+         # is not what happens on a cluster and (b) gave the high level a
+         # WORSE segment-skew tail (147 segments hashed into 32 vs 8
+         # buckets: max/mean load ~2.0 vs ~1.25), biasing the ratio down.
+         # partitions == 4x high-level cores keeps 4+ task waves per stage
+         # at the high level (amortizing per-task skew, see the 2026-08-18
+         # 14:54 run) and 32 waves at the low level (same per-task work,
+         # more waves — exactly like running the same job on fewer
+         # executors). Coalescing is disabled so the partition count is
+         # deterministic rather than a function of AQE's advisory size.
+         .config("spark.sql.shuffle.partitions",
+                 os.environ.get("SPARK_SCALING_SHUFFLE", "64"))
          .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
          .config("spark.local.dir", "/dev/shm/spark-local")
          .config("spark.sql.adaptive.enabled", "true")
@@ -54,6 +62,12 @@ spark = (__import__("pyspark").sql.SparkSession.builder
          .config("spark.driver.memory", "48g")
          .config("spark.sql.files.maxPartitionBytes", "4m")
          .config("spark.sql.files.openCostInBytes", "1m")
+         # task-side (parallel) output commit — the v1 driver rename loop is
+         # O(#files) serial and #files grows with cores (reducer tasks x
+         # segments), so v1 taxes the HIGH level more and biases the measured
+         # N->4N ratio down; see session.py for the safety argument
+         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm"
+                 ".version", "2")
          .config("spark.ui.enabled", "false")
          .config("spark.ui.showConsoleProgress", "false")
          .getOrCreate())
