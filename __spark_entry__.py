@@ -1328,6 +1328,23 @@ def q_term_vector_doc(spark, sf_dir):
         "term string, tf long, first_pos long")
 
 
+def q_high_freq_terms(spark, sf_dir):
+    """HighFreqTerms (misc module): top-10 terms by totalTermFreq with their
+    docFreq, straight off the postings table's per-(segment, term) stats —
+    one partial-agg shuffle, no posting block decoded."""
+    from lucene_7_x_9_x_spark.operators.misc import high_freq_terms
+    return high_freq_terms(_searcher(spark, sf_dir), n=10, order_by="ttf")
+
+
+def q_tv_highlight_topk(spark, sf_dir):
+    """Fast-vector-highlighter role: BM25 top-k with the highlight fragment
+    sourced from STORED term vectors (FieldTermStack), never re-analysis —
+    7-token window around the first match, in-window occurrences tagged."""
+    from lucene_7_x_9_x_spark.operators.misc import tv_highlight_topk
+    return tv_highlight_topk(_tv_searcher(spark, sf_dir),
+                             _documents(spark, sf_dir), T1, k=10, window=3)
+
+
 def q_cjk_bigram_topk(spark, sf_dir):
     """CJKBigramFilter analog over a mixed-language corpus slice: BM25 top-k
     for an ideograph bigram term; stats (N/avgdl) span the whole mixed index
@@ -1395,6 +1412,36 @@ def q_geo_distance_matches(spark, sf_dir):
                          25.0, 10.0, 2_000_000.0)
     return out.select("doc_id",
                       _micro_col("distance_m").alias("distance_micro"))
+
+
+def q_distance_facet_counts(spark, sf_dir):
+    """DistanceFacetsExample: DoubleRange facet counts over the haversine
+    distance from (25, 10) — overlapping ranges, one conditional-sum pass."""
+    from lucene_7_x_9_x_spark.operators.geo import distance_facet_counts
+    return distance_facet_counts(
+        _geo_docs(spark, sf_dir), "lat", "lon", 25.0, 10.0,
+        [("< 1000 km", 0.0, 1_000_000.0),
+         ("< 2500 km", 0.0, 2_500_000.0),
+         ("1000-5000 km", 1_000_000.0, 5_000_000.0),
+         ("< 10000 km", 0.0, 10_000_000.0)])
+
+
+def q_assoc_facet_sums(spark, sf_dir):
+    """AssociationsFacetsExample: per-source SUM of an int association
+    (doc_id % 7 + 1) and a float association ((doc_id % 13)/4) over the docs
+    matching T1 — both channels in one map-side-combined pass."""
+    from lucene_7_x_9_x_spark.operators.collectors import (
+        association_facet_sums)
+    m = _matches_with_meta(spark, sf_dir, Q.TermQuery(T1))
+    did = F.col("doc_id").cast("long")
+    m = m.select("source", (did % 7 + 1).alias("pop"),
+                 (did % 13 / F.lit(4.0)).alias("weight"))
+    out = association_facet_sums(m, "source", int_col="pop",
+                                 float_col="weight")
+    return out.select(
+        "source", "sum_pop",
+        F.floor(F.col("sum_weight") * 1e6 + F.lit(0.5)).cast("long")
+        .alias("sum_weight_micro"))
 
 
 def _range_docs(spark, sf_dir):
@@ -1747,6 +1794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-green in CORRECTNESS_r04 on this code line.
     return {
         # (a) new in round 5
+        "high_freq_terms": q_high_freq_terms,
+        "tv_highlight_topk": q_tv_highlight_topk,
         "index_sort_topk": q_index_sort_topk,
         "index_sort_query_topk": q_index_sort_query_topk,
         "parallel_reader_topk": q_parallel_reader_topk,
@@ -1800,17 +1849,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_matches": q_fuzzy_matches,
         "count_term": q_count_term,
         "search_after_page2": q_search_after_page2,
-        "knn_hnsw_topk": q_knn_hnsw_topk,
         "interval_ordered_topk": q_interval_ordered_topk,
         "interval_phrase_topk": q_interval_phrase_topk,
         "interval_maxgaps_count": q_interval_maxgaps_count,
         "interval_unordered_count": q_interval_unordered_count,
         "interval_containedby_count": q_interval_containedby_count,
-        "facet_hierarchy": q_facet_hierarchy,
         # ---- entries 51+: outside the r5 window ----
-        # (line_dedup/repetition_signals displaced by the IndexOptions/
-        # RangeField entries: both are frozen pure-map webtext pipelines,
-        # pytest-covered and driver-green in r4 on this code line)
+        # (knn_hnsw_topk/facet_hierarchy displaced by the late-round
+        # high_freq_terms/tv_highlight_topk additions: both displaced entries
+        # are frozen non-r5 paths — the HNSW pipeline and the ROLLUP facet
+        # collector — pytest-covered and check_oracle-green on round-5 code,
+        # while both NEW entries ride round-5-new code, operators/misc.py;
+        # line_dedup/repetition_signals are frozen pure-map webtext
+        # pipelines, driver-green in r4 on this code line)
+        # round-5-new facet-example entries (AssociationsFacetsExample /
+        # DistanceFacetsExample): single-pass aggregations over already-
+        # pinned paths (matches_df + the geo haversine column); outside the
+        # window by the displacement rule above, check_oracle-green
+        "assoc_facet_sums": q_assoc_facet_sums,
+        "distance_facet_counts": q_distance_facet_counts,
+        "knn_hnsw_topk": q_knn_hnsw_topk,
+        "facet_hierarchy": q_facet_hierarchy,
         "line_dedup": q_line_dedup,
         "repetition_signals": q_repetition_signals,
         "queryparser_topk": q_queryparser_topk,
@@ -3642,5 +3701,63 @@ phs AS (SELECT ph.doc_id AS doc_id,
         FROM ph JOIN qd ON ph.doc_id = qd.doc_id)""".strip()], f"""
 SELECT doc_id, {_micro('s')} AS score_micro FROM phs
 ORDER BY s DESC, doc_id LIMIT 10""")
+
+    # HighFreqTerms (misc/HighFreqTerms.java TotalTermFreqComparator):
+    # top-10 terms by ttf with df, term-ascending tiebreak
+    out["high_freq_terms"] = _topk_sql([], """
+SELECT tf.term AS term, CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf.tf) AS BIGINT) AS ttf
+FROM tf WHERE tf.term <> ''
+GROUP BY tf.term ORDER BY ttf DESC, term LIMIT 10""")
+
+    # tv_highlight_topk (vectorhighlight/FieldTermStack +
+    # SimpleFragListBuilder): BM25 top-10 for T1, fragment = the 7-token
+    # window around the first match position, in-window matches tagged
+    out["tv_highlight_topk"] = _topk_sql([
+        s1,
+        "topk AS (SELECT doc_id, s FROM s1 ORDER BY s DESC, doc_id LIMIT 10)",
+        f"fp AS (SELECT doc_id, MIN(pos) AS p FROM tok "
+        f"WHERE term = '{T1}' GROUP BY doc_id)",
+    ], f"""
+SELECT t.doc_id AS doc_id, {_micro('t.s')} AS score_micro,
+       CAST(fp.p AS BIGINT) AS first_pos,
+       array_to_string(
+         list_transform(
+           (string_split(d.text, ' '))[GREATEST(fp.p - 3, 0) + 1 :
+              LEAST(fp.p + 3, len(string_split(d.text, ' ')) - 1) + 1],
+           x -> CASE WHEN x = '{T1}' THEN '<b>' || x || '</b>' ELSE x END),
+         ' ') AS snippet
+FROM topk t JOIN fp ON t.doc_id = fp.doc_id
+JOIN documents d ON t.doc_id = d.doc_id""")
+
+    # AssociationsFacetsExample: int + float association sums per category
+    out["assoc_facet_sums"] = _topk_sql([], f"""
+SELECT d.source AS source,
+       CAST(SUM(d.doc_id % 7 + 1) AS BIGINT) AS sum_pop,
+       {_micro('SUM((d.doc_id % 13) / 4.0e0)')} AS sum_weight_micro
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{T1}') m
+JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY d.source""")
+
+    # DistanceFacetsExample: DoubleRange facets over the haversine distance
+    out["distance_facet_counts"] = f"""
+WITH {geo_cte},
+gd AS (SELECT doc_id, {hav} AS dm FROM geo)
+SELECT label, cnt FROM (
+  SELECT '< 1000 km' AS label,
+         CAST(SUM(CASE WHEN dm BETWEEN 0.0 AND 1000000.0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS cnt FROM gd
+  UNION ALL
+  SELECT '< 2500 km',
+         CAST(SUM(CASE WHEN dm BETWEEN 0.0 AND 2500000.0
+                  THEN 1 ELSE 0 END) AS BIGINT) FROM gd
+  UNION ALL
+  SELECT '1000-5000 km',
+         CAST(SUM(CASE WHEN dm BETWEEN 1000000.0 AND 5000000.0
+                  THEN 1 ELSE 0 END) AS BIGINT) FROM gd
+  UNION ALL
+  SELECT '< 10000 km',
+         CAST(SUM(CASE WHEN dm BETWEEN 0.0 AND 10000000.0
+                  THEN 1 ELSE 0 END) AS BIGINT) FROM gd)"""
 
     return out

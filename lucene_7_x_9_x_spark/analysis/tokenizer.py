@@ -209,6 +209,23 @@ def _synonym_expand(pairs: List[Tuple[str, int]],
     return out
 
 
+def _remove_dups(pairs: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
+    """RemoveDuplicatesTokenFilter analog (analysis/common/.../miscellaneous/
+    RemoveDuplicatesTokenFilter.java; demos TestRemoveDuplicatesTokenFilter,
+    RemoveDuplicatesTokenFilterFactory): drop a token when the stream already
+    emitted the SAME term at the SAME position — the stacked-injector (synonym
+    rules re-emitting the original, phonetic code colliding with a synonym)
+    cleanup. Tokens at different positions are never collapsed."""
+    seen = set()
+    out: List[Tuple[str, int]] = []
+    for tp in pairs:
+        if tp in seen:
+            continue
+        seen.add(tp)
+        out.append(tp)
+    return out
+
+
 # American Soundex letter codes (the commons-codec US_ENGLISH table that
 # Lucene's analysis/phonetic/PhoneticFilter.java delegates to): vowels + Y
 # code '' (they separate duplicate codes), H/W are skipped WITHOUT separating
@@ -293,7 +310,8 @@ class Analyzer:
                  edge_ngrams: Optional[Tuple[int, int]] = None,
                  synonyms: Optional[dict] = None,
                  cjk_dict: Optional[frozenset] = None,
-                 phonetic: Optional[str] = None):
+                 phonetic: Optional[str] = None,
+                 remove_duplicates: bool = False):
         if phonetic is not None and phonetic != "soundex":
             raise ValueError(f"unknown phonetic encoder: {phonetic!r} "
                              "(supported: 'soundex')")
@@ -322,6 +340,7 @@ class Analyzer:
         self._cjk_dict_maxlen = (max(len(w) for w in self.cjk_dict)
                                  if self.cjk_dict else 0)
         self.phonetic = phonetic
+        self.remove_duplicates = remove_duplicates
 
     def _strip_poss(self, tok: str) -> str:
         # EnglishPossessiveFilter.java:53-58: drop a trailing 's / ’s
@@ -370,6 +389,8 @@ class Analyzer:
             out = _shingle_fold(out)
         if self.edge_ngrams:
             out = _edge_expand(out, *self.edge_ngrams)
+        if self.remove_duplicates:
+            out = _remove_dups(out)
         return out
 
     def term_freqs(self, text: Optional[str]):
@@ -383,6 +404,7 @@ class Analyzer:
         if (self.stem or self.strip_possessive or self.cjk_bigrams
                 or self.cjk_dict or self.phonetic
                 or self.shingles or self.edge_ngrams or self.synonyms
+                or self.remove_duplicates
                 or (self.ascii_folding and not text.isascii())):
             # filter-chain path: per-token transforms, Zipfian-memoized
             # stemming (porter.py) keeps this near the plain-loop cost.
@@ -401,6 +423,8 @@ class Analyzer:
                 pairs = _shingle_fold(pairs)
             if self.edge_ngrams:
                 pairs = _edge_expand(pairs, *self.edge_ngrams)
+            if self.remove_duplicates:
+                pairs = _remove_dups(pairs)
             for tok, p in pairs:
                 lst = acc.get(tok)
                 if lst is None:

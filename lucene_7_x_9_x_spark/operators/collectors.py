@@ -199,6 +199,24 @@ def range_facet_counts(matched: DataFrame, col: str,
         f"stack({len(ranges)}, {pairs}) AS (label, cnt)")
 
 
+def association_facet_sums(matched: DataFrame, cat_col: str,
+                           int_col: str | None = None,
+                           float_col: str | None = None) -> DataFrame:
+    """TaxonomyFacetSumIntAssociations / TaxonomyFacetSumFloatAssociations
+    (demo AssociationsFacetsExample.java): per-category SUM of each matching
+    doc's association value(s) — the int and float association channels of
+    the demo's 'tags'/'genre' facets. One partial-agg (map-side-combined)
+    shuffle on the category; both channels ride the same pass."""
+    if not int_col and not float_col:
+        raise ValueError("need at least one of int_col/float_col")
+    aggs = []
+    if int_col:
+        aggs.append(F.sum(int_col).cast("long").alias(f"sum_{int_col}"))
+    if float_col:
+        aggs.append(F.sum(float_col).alias(f"sum_{float_col}"))
+    return matched.groupBy(cat_col).agg(*aggs)
+
+
 def more_like_this_terms(term_freqs: dict, global_df: dict, doc_count: int,
                          max_terms: int = 5) -> list:
     """Select the MLT query terms for one source document.

@@ -72,3 +72,18 @@ def distance_query(df: DataFrame, lat_col: str, lon_col: str,
     return (pre.withColumn(dist_col, haversine_meters_col(
                 lat_col, lon_col, center_lat, center_lon))
             .where(F.col(dist_col) <= float(radius_m)))
+
+
+def distance_facet_counts(df: DataFrame, lat_col: str, lon_col: str,
+                          center_lat: float, center_lon: float,
+                          ranges: list) -> DataFrame:
+    """DistanceFacetsExample.java: DoubleRange facet counts over the computed
+    haversine distance — the demo's getDistanceValueSource DoubleValuesSource
+    is a Catalyst expression here, so the whole facet is one codegen'd pass
+    of conditional sums (ranges may overlap, as DoubleRange allows).
+
+    ranges: (label, min_m_incl, max_m_incl) triples in meters."""
+    from .collectors import range_facet_counts
+    d = df.withColumn("_dist_m", haversine_meters_col(
+        lat_col, lon_col, center_lat, center_lon))
+    return range_facet_counts(d, "_dist_m", ranges)
