@@ -224,6 +224,7 @@ def main() -> None:
         "speedup_min": round(lo["min_wall_s"] / hi["min_wall_s"], 3),
         "efficiency_min": round(lo["min_wall_s"] / hi["min_wall_s"] / 4.0, 3),
         "criterion": ">= 0.8 from N to 4N (north rule)",
+        "shuffle_partitions": os.environ.get("SPARK_SCALING_SHUFFLE", "64"),
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     print(json.dumps(result, indent=2))
