@@ -201,8 +201,11 @@ def main() -> None:
     n = int(os.environ.get("SPARK_SCALING_N", "2"))
     n_docs = int(os.environ.get("SPARK_SCALING_DOCS", "200000"))
     reps = int(os.environ.get("SPARK_SCALING_REPS", "3"))
-    # warm-up pass (corpus generation + page cache), then interleaved pairs
-    run_level(n, n_docs)
+    # warm-up pass (corpus generation + page cache), then interleaved pairs;
+    # warming at the HIGH level is equivalent (the warm-up only materializes
+    # the corpus and heats the cache — its wall time is never measured) and
+    # costs ~3x less wall, leaving more budget for measured pairs
+    run_level(4 * n, n_docs)
     lo, hi, med_ratio, ratios, pair_steal, clean_stats = run_interleaved(
         n, n_docs, reps)
     result = {
