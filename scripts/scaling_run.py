@@ -115,9 +115,25 @@ def _read_steal() -> float:
         return 0.0
 
 
+def _host_probe() -> float:
+    """Fixed single-thread CPU+memory workload timed BETWEEN passes (never
+    concurrent with one): a slowdown vs the session's fastest probe flags
+    co-tenant memory-bandwidth/frequency contention that /proc/stat steal
+    does NOT capture (observed 08-19: local[8] passes at 80 s and 180 s
+    within the same hour, both with steal <0.5%)."""
+    import numpy as np
+    a = np.zeros(2 ** 25)  # 256 MB — far beyond LLC, so the loop streams RAM
+    t0 = time.perf_counter()
+    for _ in range(8):
+        a += 1.0  # single-threaded ufunc: pure memory-bandwidth probe
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_level(cores: int, n_docs: int) -> dict:
     script = CHILD.format(repo=REPO)
     _sync()
+    probe_s = _host_probe()
+    loadavg = round(os.getloadavg()[0], 2)
     steal0 = _read_steal()
     out = subprocess.run(
         [sys.executable, "-c", script, str(cores), str(n_docs)],
@@ -129,9 +145,12 @@ def run_level(cores: int, n_docs: int) -> dict:
             r["steal_cpu_s"] = round(steal, 1)
             # fraction of this pass's OWN cpu budget lost to the hypervisor
             r["steal_frac"] = round(steal / (r["wall_s"] * cores), 4)
+            r["probe_s"] = probe_s
+            r["loadavg_at_start"] = loadavg
             print(f"  pass local[{cores}]: wall {r['wall_s']:.1f}s, "
                   f"steal {steal:.0f} cpu-s ({100 * r['steal_frac']:.1f}% "
-                  f"of the pass budget)", flush=True)
+                  f"of the pass budget), probe {probe_s:.2f}s, "
+                  f"load {loadavg}", flush=True)
             return r
     raise RuntimeError(f"no result from cores={cores}:\n{out.stdout[-2000:]}\n"
                        f"{out.stderr[-2000:]}")
@@ -175,6 +194,8 @@ def run_interleaved(n: int, n_docs: int, reps: int):
                 "all_wall_s": [round(w, 2) for w in
                                (r["wall_s"] for r in runs)],
                 "all_steal_frac": [r["steal_frac"] for r in runs],
+                "all_probe_s": [r.get("probe_s") for r in runs],
+                "all_loadavg": [r.get("loadavg_at_start") for r in runs],
                 "min_wall_s": round(ws[0], 2)}
     clean = [ratios[i] for i in range(reps)
              if pair_steal[i] <= STEAL_CLEAN_FRAC]
