@@ -63,8 +63,13 @@ def vbyte_encode(values) -> bytes:
                 x >>= 7
             out.append(x)
         return bytes(out)
+    maxbits = int(v.max()).bit_length()
+    if maxbits <= 7:
+        # every value fits one byte (the dominant case for position deltas
+        # and small doc gaps): the varint IS the value, one cast total
+        return v.astype(np.uint8).tobytes()
     lens = np.ones(v.shape, dtype=np.int64)
-    for shift in range(7, 64, 7):
+    for shift in range(7, maxbits, 7):
         lens += (v >= np.uint64(1 << shift)).astype(np.int64)
     total = int(lens.sum())
     out = np.zeros(total, dtype=np.uint8)
@@ -259,8 +264,11 @@ def encode_posting_list(docids, freqs, norm_bytes, positions=None,
 
     docids: strictly-increasing int array; freqs: int array >= 1; norm_bytes:
     uint8 array (quantized doc length of each posting's doc); positions: optional
-    list of per-doc ascending position arrays; payloads: optional list of
-    per-doc int arrays, one payload per position (the .pay channel,
+    list of per-doc ascending position arrays, OR a single flat 1-D int64
+    array of all positions already concatenated in posting order (freqs give
+    the per-doc split — the zero-copy path _encode_partition uses after its
+    partition-level gather); payloads: optional per-doc int lists or the same
+    flat shape, one payload per position (the .pay channel,
     Lucene84PostingsFormat.java:99-103 — requires positions).
 
     ``codec`` selects the stream encoder for the doc-delta and freq streams of
@@ -275,16 +283,35 @@ def encode_posting_list(docids, freqs, norm_bytes, positions=None,
     if payloads is not None and positions is None:
         raise ValueError("payloads require positions")
     enc = get_codec(codec).encode_stream
+
+    def _split_flat(flat, fl):
+        # one tolist + python slices: np.split's per-slice array views cost
+        # more than they save at <=16 docs
+        vals = flat.tolist()
+        out, o = [], 0
+        for c in fl:
+            c = int(c)
+            out.append(vals[o:o + c])
+            o += c
+        return out
+
     if len(docids) <= 16:
         dl = [int(x) for x in docids]
         assert dl and all(b > a for a, b in zip(dl, dl[1:])), \
             "docids must be strictly increasing"
+        if (isinstance(positions, np.ndarray) and positions.ndim == 1
+                and positions.dtype != object):
+            positions = _split_flat(positions, freqs)
+        elif positions is not None:
+            positions = [[int(x) for x in p] for p in positions]
+        if (isinstance(payloads, np.ndarray) and payloads.ndim == 1
+                and payloads.dtype != object):
+            payloads = _split_flat(payloads, freqs)
+        elif payloads is not None:
+            payloads = [[int(x) for x in p] for p in payloads]
         return _encode_small(
             dl, [int(x) for x in freqs], [int(x) for x in norm_bytes],
-            None if positions is None else
-            [[int(x) for x in p] for p in positions],
-            None if payloads is None else
-            [[int(x) for x in p] for p in payloads])
+            positions, payloads)
 
     docids = np.asarray(docids, dtype=np.int64)
     freqs = np.asarray(freqs, dtype=np.int64)
@@ -299,10 +326,14 @@ def encode_posting_list(docids, freqs, norm_bytes, positions=None,
     pos_offsets = None
     flat_pay = None
     if positions is not None:
-        if positions and not isinstance(positions[0], np.ndarray):
-            positions = [np.asarray(p, dtype=np.int64) for p in positions]
-        flat = (np.concatenate(positions) if positions
-                else np.zeros(0, dtype=np.int64))
+        if (isinstance(positions, np.ndarray) and positions.ndim == 1
+                and positions.dtype != object):
+            flat = positions.astype(np.int64, copy=False)
+        else:
+            if positions and not isinstance(positions[0], np.ndarray):
+                positions = [np.asarray(p, dtype=np.int64) for p in positions]
+            flat = (np.concatenate(positions) if positions
+                    else np.zeros(0, dtype=np.int64))
         counts = freqs  # freq == number of positions per posting
         starts = np.cumsum(counts)[:-1] if n > 1 else np.zeros(0, np.int64)
         flat_dp = np.empty(flat.size, dtype=np.int64)
@@ -312,9 +343,13 @@ def encode_posting_list(docids, freqs, norm_bytes, positions=None,
             flat_dp[starts] = flat[starts]  # reset delta at doc boundaries
         pos_offsets = np.concatenate([[0], np.cumsum(counts)])
         if payloads is not None:
-            flat_pay = (np.concatenate(
-                [np.asarray(p, dtype=np.int64) for p in payloads])
-                if payloads else np.zeros(0, dtype=np.int64))
+            if (isinstance(payloads, np.ndarray) and payloads.ndim == 1
+                and payloads.dtype != object):
+                flat_pay = payloads.astype(np.int64, copy=False)
+            else:
+                flat_pay = (np.concatenate(
+                    [np.asarray(p, dtype=np.int64) for p in payloads])
+                    if payloads else np.zeros(0, dtype=np.int64))
 
     blocks = []
     for start in range(0, n, block_size):
