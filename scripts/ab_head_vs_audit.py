@@ -12,7 +12,7 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
-AUDIT = os.path.join(REPO, ".ab_audit")
+AUDIT = os.environ.get("AB_AUDIT", os.path.join(REPO, ".ab_audit"))
 
 spec = importlib.util.spec_from_file_location(
     "scaling_run", os.path.join(HERE, "scaling_run.py"))
