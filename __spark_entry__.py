@@ -1754,6 +1754,120 @@ def q_url_host_stats(spark, sf_dir):
         F.min("canonical_url").alias("min_url"))
 
 
+# ---- round-5b surface: monitor, classification, queries-module extras -----
+
+def q_monitor_matches(spark, sf_dir):
+    """Monitor / percolator (reference module solr-8.4.0/lucene/monitor):
+    six registered queries matched against the whole corpus in ONE map-only
+    pass — term-filtered presearcher candidates (TermFilteredPresearcher)
+    verified per doc on a MemoryIndex (CandidateMatcher). No shuffle."""
+    from lucene_7_x_9_x_spark.monitor import Monitor, MonitorQuery
+    mon = Monitor(spark)
+    mon.register(
+        MonitorQuery("m_term", Q.TermQuery(T1)),
+        MonitorQuery("m_and", Q.BooleanQuery(
+            must=(Q.TermQuery(T2), Q.TermQuery(T3)))),
+        MonitorQuery("m_or", Q.BooleanQuery(
+            should=(Q.TermQuery(SYNSET[0]), Q.TermQuery(SYNSET[1])))),
+        MonitorQuery("m_phrase", Q.PhraseQuery(PHRASE)),
+        MonitorQuery("m_not", Q.BooleanQuery(
+            must=(Q.TermQuery(T1),), must_not=(Q.TermQuery(T3),))),
+        MonitorQuery("m_msm", Q.BooleanQuery(
+            should=(Q.TermQuery(T1), Q.TermQuery(T2), Q.TermQuery(T3)),
+            minimum_should_match=2)),
+    )
+    out = mon.match(_documents(spark, sf_dir), key_col="doc_id",
+                    text_col="text")
+    return out.select(F.col("key").cast("long").alias("doc_id"), "query_id")
+
+
+def q_knn_classifier_classes(spark, sf_dir):
+    """KNearestNeighborClassifier.getClasses (classification module):
+    MLT top-10 over doc 0's text -> per-class vote score = sum(score/
+    maxScore)/k (buildListFromTopDocs algebra). Ranked (lang, score)."""
+    from lucene_7_x_9_x_spark.classification import knn_classify_df
+    s = _searcher(spark, sf_dir)
+    text = (_documents(spark, sf_dir).where(F.col("doc_id") == 0)
+            .select("text").first()[0])
+    out = knn_classify_df(s, text, _documents(spark, sf_dir),
+                          class_col="lang", key_col="doc_id", k=10,
+                          key_type="long")
+    return out.select(F.col("class").alias("lang"),
+                      _micro_col("score").alias("score_micro"))
+
+
+def q_naive_bayes_classify(spark, sf_dir):
+    """SimpleNaiveBayesClassifier: argmax_c log P(c) + sum_w log P(w|c) with
+    add-one smoothing over (term, class) doc frequencies; classifies the
+    texts of docs 0-2 against the lang labels (ties -> class asc,
+    deterministic where the reference's HashMap order is not)."""
+    from lucene_7_x_9_x_spark.classification import nb_classify_df, nb_train
+    docs = _documents(spark, sf_dir)
+    model = nb_train(spark, docs, "text", "lang")
+    inputs = [(int(r["doc_id"]), r["text"])
+              for r in docs.where(F.col("doc_id") < 3)
+              .select("doc_id", "text").collect()]
+    out = nb_classify_df(spark, model, inputs)
+    return out.select(F.col("src_id").cast("long").alias("src_id"),
+                      F.col("class").alias("lang"))
+
+
+def q_common_terms_topk(spark, sf_dir):
+    """CommonTermsQuery (queries module): terms split by df against
+    ceil(0.3 * maxDoc) — 'dup' (df≈5%) drives matching as the low-freq MUST
+    group, 'spark'/'merge' (df≈77%) only contribute ranking as the
+    high-freq SHOULD group. The oracle mirrors the split these fixture dfs
+    produce (it holds at every shipped sf)."""
+    from lucene_7_x_9_x_spark.search.commonterms import common_terms_query
+    s = _searcher(spark, sf_dir)
+    q = common_terms_query(s, (CTQ_RARE, T1, T3), max_term_frequency=0.3)
+    return _topk_df(spark, sf_dir, q)
+
+
+def q_complex_phrase_topk(spark, sf_dir):
+    """ComplexPhraseQueryParser: '"fast s*"' — the wildcard expands against
+    the term dictionary via the pushed-predicate scan and the phrase runs
+    as a MultiPhraseQuery over the expanded slot."""
+    from lucene_7_x_9_x_spark.search.queryparser import complex_phrase_query
+    s = _searcher(spark, sf_dir)
+    q = complex_phrase_query(s, f"{SYNSET[0]} s*", slop=0)
+    return _topk_df(spark, sf_dir, q)
+
+
+def q_feature_saturation_topk(spark, sf_dir):
+    """FeatureField.newSaturationQuery as a SHOULD clause next to a text
+    query: score = BM25(spark) + 0.7 * n_chars/(n_chars + 80)."""
+    from lucene_7_x_9_x_spark.operators.function_score import (
+        feature_field_score)
+    s = _searcher(spark, sf_dir)
+    sc = s.scores_df(Q.TermQuery(T1))
+    d = s.docs_df().select("segment_id", "docid",
+                           F.col("key").cast("long").alias("doc_id"))
+    base = sc.join(d, ["segment_id", "docid"]).select("doc_id", "score")
+    feats = _documents(spark, sf_dir).select("doc_id", "n_chars")
+    out = feature_field_score(base, feats, "n_chars", fn="saturation",
+                              weight=0.7, pivot=80.0)
+    return (out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+            .select("doc_id", _micro_col("score").alias("score_micro")))
+
+
+# simple pentagon straddling the synthetic lat/lon grid; vertices chosen off
+# the 0.01-degree data lattice so the crossing test never hits an exact tie
+GEO_POLYGON = [(5.37, -20.73), (42.11, -10.31), (38.43, 30.27),
+               (10.93, 44.81), (-8.67, 12.49)]
+CTQ_RARE = "dup"  # df 25/500 at every shipped sf — stays under any cutoff
+
+
+def q_geo_polygon_count(spark, sf_dir):
+    """LatLonShape/LatLonPoint polygon query (Polygon2D.contains even-odd
+    crossing test): bounding box pushed into the scan + one unrolled
+    crossing-number expression per edge, all whole-stage codegen."""
+    from lucene_7_x_9_x_spark.operators.geo import polygon_query
+    n = polygon_query(_geo_docs(spark, sf_dir), "lat", "lon",
+                      GEO_POLYGON).count()
+    return spark.createDataFrame([(int(n),)], "cnt long")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1793,6 +1907,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entry in the window. The remaining r4-window entries trail: all were
     # driver-green in CORRECTNESS_r04 on this code line.
     return {
+        # (a0) newest this round: monitor/percolator, classification module,
+        # CommonTermsQuery, ComplexPhraseQueryParser, FeatureField, polygon
+        "monitor_matches": q_monitor_matches,
+        "knn_classifier_classes": q_knn_classifier_classes,
+        "naive_bayes_classify": q_naive_bayes_classify,
+        "common_terms_topk": q_common_terms_topk,
+        "complex_phrase_topk": q_complex_phrase_topk,
+        "feature_saturation_topk": q_feature_saturation_topk,
+        "geo_polygon_count": q_geo_polygon_count,
         # (a) new in round 5
         "high_freq_terms": q_high_freq_terms,
         "tv_highlight_topk": q_tv_highlight_topk,
@@ -3759,5 +3882,149 @@ SELECT label, cnt FROM (
   SELECT '< 10000 km',
          CAST(SUM(CASE WHEN dm BETWEEN 0.0 AND 10000000.0
                   THEN 1 ELSE 0 END) AS BIGINT) FROM gd)"""
+
+    # ---- round-5b: monitor, classification, queries-module extras ----------
+
+    out["monitor_matches"] = _topk_sql([], f"""
+SELECT doc_id, query_id FROM (
+  SELECT doc_id, 'm_term' AS query_id FROM tf WHERE term = '{T1}'
+  UNION ALL
+  SELECT doc_id, 'm_and' FROM tf WHERE term = '{T2}'
+    AND doc_id IN (SELECT doc_id FROM tf WHERE term = '{T3}')
+  UNION ALL
+  SELECT DISTINCT doc_id, 'm_or' FROM tf
+  WHERE term IN ('{SYNSET[0]}', '{SYNSET[1]}')
+  UNION ALL
+  SELECT DISTINCT a.doc_id, 'm_phrase'
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+  UNION ALL
+  SELECT doc_id, 'm_not' FROM tf WHERE term = '{T1}'
+    AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = '{T3}')
+  UNION ALL
+  SELECT doc_id, 'm_msm' FROM (
+    SELECT doc_id, COUNT(*) AS c FROM tf
+    WHERE term IN ('{T1}', '{T2}', '{T3}') GROUP BY doc_id) WHERE c >= 2
+)""")
+
+    # KNN classifier: MLT selection + BM25 top-10 (doc 0 NOT excluded — the
+    # classifier scores arbitrary input text, self-hits included), then the
+    # buildListFromTopDocs vote: score(c) = sum(s/maxScore)/k, denominator
+    # corrected to sumdoc when fewer than k labelled hits exist.
+    _knn_vote = ("boosts / (CASE WHEN (SELECT SUM(cnt) FROM v) < 10 "
+                 "THEN (SELECT SUM(cnt) FROM v) ELSE 10 END)")
+    out["knn_classifier_classes"] = _topk_sql(["""
+src AS (SELECT term, tf FROM tf WHERE doc_id = 0)""".strip(), """
+mt AS (SELECT term FROM (
+         SELECT s.term AS term,
+                s.tf * (1e0 + ln((CAST((SELECT n FROM st) AS DOUBLE) + 1e0)
+                                 / (dfq.df + 1e0))) AS ts
+         FROM src s JOIN dfq ON dfq.term = s.term)
+       ORDER BY ts DESC, term LIMIT 5)""".strip(), f"""
+ms AS (SELECT tf.doc_id AS doc_id,
+              SUM((ln(1e0 + ((SELECT n FROM st) - dfq.df + 0.5e0)
+                             /(dfq.df + 0.5e0)))
+                  - (ln(1e0 + ((SELECT n FROM st) - dfq.df + 0.5e0)
+                               /(dfq.df + 0.5e0)))
+                    /(1e0 + tf.tf*{_NI})) AS s
+       FROM tf JOIN mt ON tf.term = mt.term
+       JOIN dfq ON dfq.term = tf.term
+       JOIN qd ON qd.doc_id = tf.doc_id
+       GROUP BY tf.doc_id)""".strip(), """
+knn AS (SELECT doc_id, s FROM ms ORDER BY s DESC, doc_id LIMIT 10)""".strip(), """
+v AS (SELECT d.lang AS lang,
+             SUM(k.s / (SELECT MAX(s) FROM knn)) AS boosts,
+             COUNT(*) AS cnt
+      FROM knn k JOIN documents d ON d.doc_id = k.doc_id
+      GROUP BY d.lang)""".strip()], f"""
+SELECT lang, {_micro(_knn_vote)} AS score_micro FROM v""")
+
+    # Naive Bayes: P(w|c) = (df(w,c)+1)/(avgUniqueTermsPerDoc*docCount(c)+N);
+    # prior = ln(docCount(c)/N); argmax per input, ties -> class asc
+    out["naive_bayes_classify"] = _topk_sql(["""
+cc AS (SELECT lang, COUNT(*) AS docs FROM documents GROUP BY lang)""".strip(), """
+ns AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+              (SELECT COUNT(*) FROM tf)
+              / (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS avgu)""".strip(), """
+tcl AS (SELECT tf.term AS term, d.lang AS lang, COUNT(*) AS dfc
+        FROM tf JOIN documents d ON d.doc_id = tf.doc_id
+        GROUP BY tf.term, d.lang)""".strip(), """
+words AS (SELECT doc_id AS src_id, term, COUNT(*) AS mult
+          FROM tok WHERE doc_id < 3 GROUP BY doc_id, term)""".strip(), """
+sc AS (SELECT g.src_id, g.lang,
+              SUM(g.mult * ln((COALESCE(t.dfc, 0) + 1e0)
+                  / ((SELECT avgu FROM ns) * g.docs + (SELECT n FROM ns))))
+              + ln(CAST(MAX(g.docs) AS DOUBLE))
+              - ln((SELECT n FROM ns)) AS s
+       FROM (SELECT w.src_id, w.term, w.mult, c.lang, c.docs
+             FROM words w CROSS JOIN cc c) g
+       LEFT JOIN tcl t ON t.term = g.term AND t.lang = g.lang
+       GROUP BY g.src_id, g.lang)""".strip()], """
+SELECT src_id, lang FROM (
+  SELECT src_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY s DESC, lang) AS rn
+  FROM sc) WHERE rn = 1""")
+
+    # CommonTermsQuery: 'dup' (df 25/500, under ceil(0.3*N)=150) is the
+    # low-freq MUST group; 'spark'/'merge' (~385/500) the high-freq SHOULD
+    # group — the split the fixture dfs produce at every shipped sf
+    out["common_terms_topk"] = _topk_sql([
+        _tscore_cte("sdup", CTQ_RARE), _tscore_cte("cs1", T1),
+        _tscore_cte("cs3", T3), """
+hu AS (SELECT COALESCE(cs1.doc_id, cs3.doc_id) AS doc_id,
+              COALESCE(cs1.s, 0e0) + COALESCE(cs3.s, 0e0) AS s
+       FROM cs1 FULL OUTER JOIN cs3 ON cs1.doc_id = cs3.doc_id)""".strip(), """
+ct AS (SELECT sdup.doc_id AS doc_id, sdup.s + COALESCE(hu.s, 0e0) AS s
+       FROM sdup LEFT JOIN hu ON hu.doc_id = sdup.doc_id)""".strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM ct
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    # ComplexPhrase '"fast s*"': slot 2 = every dictionary term LIKE 's%';
+    # weight = idf summed over ALL slot terms (MultiPhraseQuery semantics)
+    _cpw = (f"({_idf(SYNSET[0])} + (SELECT SUM(ln(1e0 + "
+            f"((SELECT n FROM st) - df + 0.5e0)/(df + 0.5e0))) "
+            f"FROM dfq WHERE term LIKE 's%'))")
+    out["complex_phrase_topk"] = _topk_sql([f"""
+cp AS (SELECT a.doc_id, COUNT(DISTINCT a.pos) AS ptf
+       FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = '{SYNSET[0]}'
+         AND b.term IN (SELECT term FROM dfq WHERE term LIKE 's%')
+       GROUP BY a.doc_id)""".strip(), f"""
+cps AS (SELECT cp.doc_id AS doc_id,
+               ({_cpw} - {_cpw}/(1e0 + cp.ptf*{_NI})) AS s
+        FROM cp JOIN qd ON cp.doc_id = qd.doc_id)""".strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM cps
+ORDER BY s DESC, doc_id LIMIT 10""")
+
+    # FeatureField saturation: BM25 + 0.7 * S/(S + 80), S = n_chars
+    _feat = "(f.s + 0.7e0 * d.n_chars / (d.n_chars + 80.0e0))"
+    out["feature_saturation_topk"] = _topk_sql([_tscore_cte("fs1", T1)], f"""
+SELECT f.doc_id AS doc_id, {_micro(_feat)} AS score_micro
+FROM fs1 f JOIN documents d ON d.doc_id = f.doc_id
+ORDER BY {_feat} DESC, f.doc_id LIMIT 10""")
+
+    # Polygon even-odd crossing test, one CASE term per non-horizontal edge
+    # (edge deltas precomputed in python so both engines use IDENTICAL
+    # double literals and the same (xj-xi)*(y-yi)/(yj-yi)+xi formula shape)
+    _plats = [a for a, _ in GEO_POLYGON]
+    _plons = [b for _, b in GEO_POLYGON]
+    _edges = []
+    _np = len(GEO_POLYGON)
+    for _i in range(_np):
+        _yi, _xi = _plats[_i], _plons[_i]
+        _yj, _xj = _plats[(_i + 1) % _np], _plons[(_i + 1) % _np]
+        if _yi == _yj:
+            continue
+        _edges.append(
+            f"(CASE WHEN (({_yi!r}e0 > lat) <> ({_yj!r}e0 > lat)) AND "
+            f"lon < (({(_xj - _xi)!r}e0) * (lat - {_yi!r}e0) "
+            f"/ ({(_yj - _yi)!r}e0) + {_xi!r}e0) THEN 1 ELSE 0 END)")
+    out["geo_polygon_count"] = f"""
+WITH {geo_cte},
+px AS (SELECT doc_id, lat, lon, {' + '.join(_edges)} AS crossings
+       FROM geo
+       WHERE lat BETWEEN {min(_plats)!r}e0 AND {max(_plats)!r}e0
+         AND lon BETWEEN {min(_plons)!r}e0 AND {max(_plons)!r}e0)
+SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM px WHERE crossings % 2 = 1"""
 
     return out

@@ -33,8 +33,10 @@ from .search.oracle import OracleIndex
 __all__ = ["MemoryIndex"]
 
 # leaves that carry a field and are resolved against a single field's index
+# (the MultiTermQuery family expands against that field's one-doc vocabulary
+# inside OracleIndex — MemoryIndex supports them like Lucene's does)
 _FIELD_LEAVES = (Q.TermQuery, Q.SynonymQuery, Q.PhraseQuery,
-                 Q.TermInSetQuery)
+                 Q.TermInSetQuery) + Q.MULTI_TERM_TYPES
 
 
 class _FieldRoutingOracle(OracleIndex):

@@ -16,7 +16,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["function_score", "expression_sort"]
+__all__ = ["function_score", "expression_sort", "feature_field_score"]
+
+
+def feature_field_score(scores: DataFrame, features: DataFrame,
+                        feature_col: str, fn: str = "saturation",
+                        weight: float = 1.0, pivot: float = 1.0,
+                        exp: float = 1.0, scaling: float = 1.0,
+                        key_cols: tuple = ("doc_id",)) -> DataFrame:
+    """FeatureField analog (core 8.x: document/FeatureField.java — static
+    per-doc relevance signals like pagerank/url-length folded into the
+    score; newLogQuery / newSaturationQuery / newSigmoidQuery:
+
+        log:        weight * ln(scaling + S)
+        saturation: weight * S / (S + pivot)
+        sigmoid:    weight * S^exp / (S^exp + pivot^exp)
+
+    Lucene stores S in the term frequency of a synthetic "feature" term and
+    adds the feature query as a SHOULD clause; here S is a per-doc numeric
+    column and the SHOULD-sum is the join-add below (docs missing the
+    feature contribute 0 — a left join, matching SHOULD semantics). The
+    monotone functions keep block-max pruning sound in the reference; here
+    the whole expression is whole-stage codegen over the joined columns."""
+    s = F.col(feature_col).cast("double")
+    if fn == "log":
+        contrib = F.lit(weight) * F.log(F.lit(scaling) + s)
+    elif fn == "saturation":
+        contrib = F.lit(weight) * s / (s + F.lit(pivot))
+    elif fn == "sigmoid":
+        num = F.pow(s, F.lit(exp))
+        contrib = F.lit(weight) * num / (num + F.lit(pivot ** exp))
+    else:
+        raise ValueError(f"unknown feature function {fn!r}")
+    return (scores.join(features.select(*key_cols, feature_col),
+                        list(key_cols), "left")
+            .withColumn("score",
+                        F.col("score") + F.coalesce(contrib, F.lit(0.0)))
+            .drop(feature_col))
 
 
 def function_score(scores: DataFrame, features: DataFrame, expr: str,

@@ -18,7 +18,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["EARTH_MEAN_RADIUS_M", "haversine_meters_col", "box_query",
-           "distance_query"]
+           "distance_query", "polygon_query"]
+
+
+def polygon_query(df: DataFrame, lat_col: str, lon_col: str,
+                  vertices: list[tuple]) -> DataFrame:
+    """LatLonShape / LatLonPoint.newPolygonQuery analog (o.a.l/geo/
+    Polygon2D.java contains() — the even-odd crossing-number test; Lucene
+    runs it under a BKD bounding-box prefilter).
+
+    `vertices` = [(lat, lon), ...] of a simple (non-self-intersecting)
+    polygon, closing edge implied. The plan: the polygon's bounding box as
+    two pushable BETWEENs (parquet min-max pruning, the BKD role) AND an
+    unrolled crossing-number expression — one CASE term per edge, all
+    whole-stage codegen, no UDF. Boundary points follow raw double
+    comparison semantics; pick vertices off the data grid for exactness."""
+    lats = [float(a) for a, _ in vertices]
+    lons = [float(b) for _, b in vertices]
+    y, x = F.col(lat_col), F.col(lon_col)
+    crossings = F.lit(0)
+    n = len(vertices)
+    for i in range(n):
+        yi, xi = lats[i], lons[i]
+        yj, xj = lats[(i + 1) % n], lons[(i + 1) % n]
+        if yi == yj:
+            continue  # horizontal edge never crosses a horizontal ray test
+        straddles = (F.lit(yi) > y) != (F.lit(yj) > y)
+        x_at_y = (F.lit(xj - xi) * (y - F.lit(yi)) / F.lit(yj - yi)
+                  + F.lit(xi))
+        crossings = crossings + F.when(straddles & (x < x_at_y),
+                                       F.lit(1)).otherwise(F.lit(0))
+    bbox = (y.between(min(lats), max(lats))
+            & x.between(min(lons), max(lons)))
+    return df.where(bbox & (crossings % 2 == 1))
 
 # GeoUtils.EARTH_MEAN_RADIUS (meters) in the reference
 EARTH_MEAN_RADIUS_M = 6371008.7714

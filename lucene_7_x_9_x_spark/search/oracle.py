@@ -20,6 +20,7 @@ import pandas as pd
 from ..analysis.tokenizer import Analyzer, STANDARD
 from ..functions import bm25, smallfloat
 from . import query as Q
+from . import rewrite
 
 
 class OracleIndex:
@@ -112,6 +113,13 @@ class OracleIndex:
                 sm = float(np.sum(np.float64(vals)))
                 out[key] = dt(mx + (sm - mx) * q.tie_breaker)
             return out
+        if isinstance(q, Q.MULTI_TERM_TYPES):
+            # CONSTANT_SCORE rewrite against this index's own vocabulary
+            # (MultiTermQuery.java:66-68) — the one-doc/in-RAM vocab is tiny,
+            # so eager expansion is exactly what MemoryIndex does too.
+            return self._score_tree(
+                rewrite.expand_multi_term(q, sorted(self.postings)),
+                boost_factor)
         if isinstance(q, Q.BooleanQuery):
             must = [self._score_tree(s, boost_factor) for s in q.must]
             should = [self._score_tree(s, boost_factor) for s in q.should]
@@ -171,6 +179,11 @@ class OracleIndex:
             return set()
         if isinstance(q, (Q.BooleanQuery, Q.DisjunctionMaxQuery)):
             return set(self._score_tree(q))
+        if isinstance(q, Q.MULTI_TERM_TYPES):
+            return self._match_set(
+                rewrite.expand_multi_term(q, sorted(self.postings)))
+        if isinstance(q, Q.BoostQuery):
+            return self._match_set(q.query)
         raise TypeError(type(q))
 
     def _phrase_freqs(self, q: Q.PhraseQuery) -> dict:

@@ -240,3 +240,46 @@ def _fold(clauses: list) -> Q.Query:
     should = tuple(c.query for c in clauses if c.occur == "SHOULD")
     must_not = tuple(c.query for c in clauses if c.occur == "MUST_NOT")
     return Q.BooleanQuery(must=must, should=should, must_not=must_not)
+
+
+def complex_phrase_query(searcher, phrase: str, slop: int = 0,
+                         field: str | None = None,
+                         max_expansions: int = 64) -> Q.Query:
+    """ComplexPhraseQueryParser analog (reference: queryparser/src/java/org/
+    apache/lucene/queryparser/complexPhrase/ComplexPhraseQueryParser.java —
+    phrases whose embedded clauses are wildcards/prefixes, e.g.
+    "john smyth*"~2; the reference rewrites each such clause against the
+    index and runs the phrase as spans over the expanded alternatives).
+
+    Here each whitespace token of `phrase` becomes a MultiPhraseQuery slot:
+    a plain token is a single-term slot, a token containing `*`/`?` expands
+    against the term dictionary via the pushed-predicate scan
+    (searcher._matching_terms — the expansion never collects more than
+    `max_expansions` rows, the TopTermsRewrite bound; the reference's
+    rewrite is unbounded, the cap is our documented scale guard). The
+    resulting MultiPhraseQuery runs on the vectorized k-stream positional
+    walk when no term repeats."""
+    import fnmatch
+
+    from ..fields import bare_term
+
+    pfx = searcher._field_prefix(field)
+    slots: list[tuple] = []
+    for tok in phrase.split():
+        tok = tok.lower()
+        if "*" in tok or "?" in tok:
+            import re as _re
+            pat = fnmatch.translate(tok)
+            if pfx:
+                pat = _re.escape(pfx) + pat
+            p = Q.TermPredicateQuery("regex", (pat,))
+            terms = searcher._matching_terms(p, max_expansions)
+            if not terms:
+                return Q.MatchNoDocsQuery()
+            slots.append(tuple(sorted(bare_term(t) if pfx else t
+                                      for t in terms)))
+        else:
+            slots.append((tok,))
+    if not slots:
+        return Q.MatchNoDocsQuery()
+    return Q.MultiPhraseQuery(tuple(slots), slop=slop, field=field)

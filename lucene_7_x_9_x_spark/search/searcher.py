@@ -582,7 +582,13 @@ class IndexSearcher:
         if p.kind == "prefix":
             return c.startswith(p.args[0])
         if p.kind == "regex":
-            return c.rlike(p.args[0])
+            # rlike is find()-semantics (unanchored): pattern 's.*\Z' would
+            # match 'fast' at offset 2. p.matches() uses re.match (start-
+            # anchored) and every produced pattern ends in \Z or $, so the
+            # explicit start anchor makes the scan filter EXACT — required
+            # by _matching_terms, whose df-ordered cap must never be
+            # consumed by false positives.
+            return c.rlike("^(?:" + p.args[0] + ")")
         if p.kind == "range":
             lo, hi, inc_lo, inc_hi = p.args
             cond = F.lit(True)
