@@ -17,6 +17,7 @@ whole split is two manifest-scale copies + two match resolutions.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..search import query as Q
 from .catalog import IndexCatalog
@@ -53,3 +54,61 @@ def split_index(spark: SparkSession, source_dir: str,
                           IndexCatalog(dest).live_segments()) - n_dead)
         w.close()
     return counts[0], counts[1]
+
+
+def multi_pass_split_index(spark: SparkSession, source_dir: str,
+                           dest_dirs: list[str], seq: bool = False,
+                           docs_per_segment: int = 4096) -> list[int]:
+    """MultiPassIndexSplitter analog (lucene/misc/.../index/
+    MultiPassIndexSplitter.java split()): split ``source_dir`` into
+    ``len(dest_dirs)`` parts by GLOBAL doc number — round-robin
+    (doc j lands in part j % numParts) or, with ``seq=True``, contiguous
+    ranges of length maxDoc // numParts with the last part collecting the
+    rounding tail. The reference deletes every out-of-part doc through a
+    FakeDeleteIndexReader and addIndexes the result; here each part is the
+    same file-level addIndexes import plus ONE delete generation whose
+    targets resolve distributed from a broadcast (segment -> docBase) map —
+    no per-doc driver work, deletes-not-rewrites.
+
+    Returns the live doc count per part."""
+    n = len(dest_dirs)
+    if n < 2:
+        raise ValueError("Invalid number of outputs.")
+    src = sorted(IndexCatalog(source_dir).live_segments(),
+                 key=lambda s: s["segment_id"])
+    # global docNum = segment docBase + local docid, in segment order
+    # (the reader's leaves order — docBase accumulation like BaseCompositeReader)
+    bases, acc = [], 0
+    for s in src:
+        bases.append(acc)
+        acc += int(s["max_doc"])
+    max_doc = acc
+    if max_doc < 2:
+        raise ValueError("Not enough documents for splitting")
+    part_len = max_doc // n
+
+    counts: list[int] = []
+    for i, dest in enumerate(dest_dirs):
+        if IndexCatalog(dest).head() >= 0:
+            raise ValueError(f"index already exists at {dest}")
+        w = IndexWriter(spark, dest, docs_per_segment=docs_per_segment)
+        w.add_indexes(source_dir)
+        # add_indexes renumbers the source's segments in segment-id order
+        # starting at 0, so dest segment k carries src[k]'s docBase
+        dst_segs = sorted(IndexCatalog(dest).live_segments(),
+                          key=lambda s: s["segment_id"])
+        base_df = spark.createDataFrame(
+            [(int(d["segment_id"]), int(b))
+             for d, b in zip(dst_segs, bases)], "segment_id int, base long")
+        docs = w._live_docs().join(F.broadcast(base_df), "segment_id")
+        g = F.col("docid").cast("long") + F.col("base")
+        if seq:
+            lo, hi = part_len * i, part_len * (i + 1)
+            keep = (g >= lo) & ((g < hi) if i < n - 1 else F.lit(True))
+        else:
+            keep = F.pmod(g, F.lit(n)) == i
+        n_dead = w._apply_deletes(
+            docs.where(~keep).select("segment_id", "docid"))
+        counts.append(max_doc - n_dead)
+        w.close()
+    return counts

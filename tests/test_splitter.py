@@ -56,3 +56,35 @@ def test_split_refuses_existing_dest(spark, src, tmp_path):
     with pytest.raises(ValueError):
         split_index(spark, src, p, str(tmp_path / "other"),
                     Q.TermQuery("spark"))
+
+
+def test_multi_pass_round_robin(spark, src, tmp_path):
+    from lucene_7_x_9_x_spark.index.splitter import multi_pass_split_index
+    dests = [str(tmp_path / f"mp{i}") for i in range(3)]
+    counts = multi_pass_split_index(spark, src, dests)
+    assert counts == [10, 10, 10]
+    # int_keys => global docNum order == doc_id order, so part i holds
+    # exactly the doc_ids ≡ i (mod 3) (split(): (j + numParts - i) % n == 0)
+    for i, d in enumerate(dests):
+        s = IndexSearcher(spark, d)
+        for j in (0, 1, 2, 4, 29):
+            assert s.count(Q.TermQuery(f"row{j}")) == (1 if j % 3 == i else 0)
+        assert check_index(spark, d) == []
+
+
+def test_multi_pass_sequential_tail(spark, src, tmp_path):
+    from lucene_7_x_9_x_spark.index.splitter import multi_pass_split_index
+    dests = [str(tmp_path / f"sq{i}") for i in range(4)]
+    counts = multi_pass_split_index(spark, src, dests, seq=True)
+    # partLen = 30 // 4 = 7; the LAST part collects the rounding tail
+    assert counts == [7, 7, 7, 9]
+    s_last = IndexSearcher(spark, dests[-1])
+    assert s_last.count(Q.TermQuery("row29")) == 1
+    assert s_last.count(Q.TermQuery("row21")) == 1
+    assert s_last.count(Q.TermQuery("row20")) == 0
+
+
+def test_multi_pass_rejects_single_output(spark, src, tmp_path):
+    from lucene_7_x_9_x_spark.index.splitter import multi_pass_split_index
+    with pytest.raises(ValueError):
+        multi_pass_split_index(spark, src, [str(tmp_path / "only")])
