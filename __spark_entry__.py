@@ -1858,6 +1858,14 @@ GEO_POLYGON = [(5.37, -20.73), (42.11, -10.31), (38.43, 30.27),
 CTQ_RARE = "dup"  # df 25/500 at every shipped sf — stays under any cutoff
 
 
+def q_surround_topk(spark, sf_dir):
+    """Surround query language: 'table 3w merge' — ordered proximity,
+    distance 3 => SpanNearQuery(slop=2, ordered) (surround
+    DistanceQuery.java:106 opDistance-1 mapping)."""
+    from lucene_7_x_9_x_spark.search.surround import parse_surround
+    return _topk_df(spark, sf_dir, parse_surround(f"{T2} 3w {T3}"))
+
+
 def q_geo_polygon_count(spark, sf_dir):
     """LatLonShape/LatLonPoint polygon query (Polygon2D.contains even-odd
     crossing test): bounding box pushed into the scan + one unrolled
@@ -1916,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complex_phrase_topk": q_complex_phrase_topk,
         "feature_saturation_topk": q_feature_saturation_topk,
         "geo_polygon_count": q_geo_polygon_count,
+        "surround_topk": q_surround_topk,
         # (a) new in round 5
         "high_freq_terms": q_high_freq_terms,
         "tv_highlight_topk": q_tv_highlight_topk,
@@ -4002,6 +4011,25 @@ ORDER BY s DESC, doc_id LIMIT 10""")
 SELECT f.doc_id AS doc_id, {_micro(_feat)} AS score_micro
 FROM fs1 f JOIN documents d ON d.doc_id = f.doc_id
 ORDER BY {_feat} DESC, f.doc_id LIMIT 10""")
+
+    # Surround 'table 3w merge' = ordered SpanNear slop=2: per 'table'
+    # occurrence the FIRST 'merge' after it (NearSpansOrdered monotonic
+    # advance), width <= 2, sloppyFreq = sum 1/(1+width)
+    _suw = f"({_idf(T3)} + {_idf(T2)})"
+    out["surround_topk"] = _topk_sql([f"""
+sur AS (SELECT a.doc_id, a.pos AS apos,
+               (SELECT MIN(b.pos) FROM tok b
+                WHERE b.doc_id = a.doc_id AND b.term = '{T3}'
+                  AND b.pos >= a.pos + 1) AS bpos
+        FROM tok a WHERE a.term = '{T2}')""".strip(), """
+su AS (SELECT doc_id, SUM(1e0/(1e0 + (bpos - apos - 1))) AS sf
+       FROM sur WHERE bpos IS NOT NULL AND bpos - apos - 1 <= 2
+       GROUP BY doc_id)""".strip(), f"""
+sus AS (SELECT su.doc_id AS doc_id,
+               ({_suw} - {_suw}/(1e0 + su.sf*{_NI})) AS s
+        FROM su JOIN qd ON su.doc_id = qd.doc_id)""".strip()], f"""
+SELECT doc_id, {_micro('s')} AS score_micro FROM sus
+ORDER BY s DESC, doc_id LIMIT 10""")
 
     # Polygon even-odd crossing test, one CASE term per non-horizontal edge
     # (edge deltas precomputed in python so both engines use IDENTICAL
