@@ -1889,7 +1889,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER is deliberate: the driver oracle-checks the first 50
-    # entries. Round-5 window = (a) the entries new this round (index sort +
+    # entries. Round-5 window = (a0) the 8 entries newest this round
+    # (monitor/percolator, KNN + NaiveBayes classifiers, CommonTermsQuery,
+    # ComplexPhrase, FeatureField, polygon, surround) + (a) the entries new
+    # earlier this round (index sort +
     # early-terminating sorted top-k, the ParallelLeafReader post-hoc field,
     # and the binary DocValues overlay lead; then RangeField
     # relation counts + IndexOptions.DOCS tf=1 scoring lead; then 7 surface
