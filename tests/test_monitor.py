@@ -235,3 +235,32 @@ def test_presearcher_selectivity():
     for t in doc_terms:
         cands.update(mon_inv.get(t, ()))
     assert cands == set()
+
+
+def test_monitor_percolates_a_stream(spark, tmp_path):
+    """The alerting shape the reference module exists for: match() composes
+    with Structured Streaming unchanged (mapInPandas is stream-capable) —
+    each micro-batch's docs are percolated against the registered queries
+    and matches land in the sink."""
+    src = str(tmp_path / "stream_src")
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(i, d) for i, d in enumerate(DOCS) if d],
+        "doc_id long, text string").coalesce(1).write.parquet(src)
+
+    mon = Monitor(spark)
+    mon.register(*QUERIES[:5])  # deterministic, no ANYTOKEN
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src))
+    q = (mon.match(stream)
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(int(r["key"]), r["query_id"])
+           for r in spark.read.parquet(out).collect()}
+    want = {(d, qid) for (d, qid) in _expected_pairs()
+            if qid != "q_wild" and DOCS[d]}
+    assert got == want
