@@ -94,3 +94,22 @@ def test_refuses_foreign_index(spark, src, tmp_path):
                 term_shards=2)
     with pytest.raises(ValueError):
         replicate(src, other)
+
+
+def test_disk_usage_live_vs_orphan(spark, src, tmp_path):
+    from lucene_7_x_9_x_spark.index.diskusage import disk_usage
+    du = disk_usage(src)
+    assert du["total"] > 0 and du["live"] > 0
+    assert set(du["by_root"]) >= {"docs", "postings"}
+    assert du["orphan"] == 0  # fresh build: everything is referenced
+    # merging strands the old segment partitions until GC
+    with IndexWriter(spark, src, docs_per_segment=8) as w:
+        w.force_merge(max_segments=1)
+    du2 = disk_usage(src)
+    assert du2["orphan"] > 0
+    # expiry reclaims them
+    from lucene_7_x_9_x_spark.index.catalog import IndexCatalog
+    IndexCatalog(src).expire_snapshots(keep_last_n=1)
+    du3 = disk_usage(src)
+    assert du3["orphan"] < du2["orphan"]
+    assert du3["live"] == du2["live"]
