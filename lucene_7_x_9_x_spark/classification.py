@@ -58,14 +58,20 @@ __all__ = ["knn_classify_df", "NaiveBayesModel", "nb_train", "nb_classify_df"]
 def knn_classify_df(searcher, text: str, class_df: DataFrame,
                     class_col: str = "lang", key_col: str = "doc_id",
                     k: int = 10, max_query_terms: int = 5,
-                    key_type: str = "string",
+                    key_type: str = "string", fuzzy: bool = False,
                     analyzer: Analyzer = STANDARD) -> DataFrame:
     """Ranked class list for one input text (Classifier.getClasses).
 
     Returns (class, score) rows sorted score desc, class asc. The plan:
     MLT term selection (driver-side math over the input's own tf and a
     bounded per-term stats lookup) -> the engine's distributed scores_df ->
-    top-k -> a k-row class join + one tiny aggregation."""
+    top-k -> a k-row class join + one tiny aggregation.
+
+    fuzzy=True is the KNearestFuzzyClassifier variant
+    (KNearestFuzzyClassifier.java: the knn query is a FuzzyLikeThisQuery —
+    each selected term matches within edit distance, tolerating typos in
+    the input); every fuzzy leaf rides the engine's capped blended-df
+    rewrite."""
     tf: dict = {}
     for term, _pos in analyzer.tokenize(text or ""):
         tf[term] = tf.get(term, 0) + 1
@@ -76,7 +82,12 @@ def knn_classify_df(searcher, text: str, class_df: DataFrame,
         return class_df.select(
             F.col(class_col).alias("class"),
             F.lit(0.0).alias("score")).limit(0)
-    q = Q.BooleanQuery(should=tuple(Q.TermQuery(t) for t in terms))
+    if fuzzy:
+        q = Q.BooleanQuery(should=tuple(
+            Q.FuzzyQuery(t, max_edits=1 if len(t) < 6 else 2)
+            for t in terms))
+    else:
+        q = Q.BooleanQuery(should=tuple(Q.TermQuery(t) for t in terms))
     # key_type: the tie-break (score desc, key asc) must compare keys in
     # their NATURAL order — numeric corpora pass "long" so '10' sorts after
     # '2', exactly like docid tie-breaking in TopDocs

@@ -301,3 +301,19 @@ def test_nb_repeated_tokens_count_repeatedly(spark):
                        return_scores=True).collect()[0]
     assert a["class"] == "x" == b["class"]
     assert a["score"] != pytest.approx(b["score"])
+
+
+def test_knn_fuzzy_classifier_tolerates_typos(spark, idx):
+    """KNearestFuzzyClassifier: a typo'd input still classifies (the fuzzy
+    leaves match within edit distance where exact terms would miss)."""
+    from lucene_7_x_9_x_spark.classification import knn_classify_df
+    s = IndexSearcher(spark, idx, dtype=np.float64)
+    labels = spark.createDataFrame(DOCS,
+                                   "doc_id long, text string, lang string")
+    typo = "spork merje fost sord"  # spark merge fast sort, edit distance 1
+    exact = knn_classify_df(s, typo, labels, class_col="lang",
+                            key_col="doc_id", k=4, key_type="long").collect()
+    assert not exact  # exact terms miss entirely
+    fz = knn_classify_df(s, typo, labels, class_col="lang", key_col="doc_id",
+                         k=4, key_type="long", fuzzy=True).collect()
+    assert fz and fz[0]["score"] > 0
