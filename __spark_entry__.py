@@ -625,6 +625,21 @@ def q_distinct_langs(spark, sf_dir):
     return distinct_values(m, "lang")
 
 
+def q_group_distinct_values(spark, sf_dir):
+    """grouping DistinctValuesCollector (DistinctValueCollectorTest.java):
+    per group (lang), the distinct COUNT_FIELD (source) values among the
+    matching docs — docs with doc_id % 7 == 0 simulate a missing field and
+    contribute the null entry GroupCount.uniqueValues carries for them."""
+    from lucene_7_x_9_x_spark.operators.collectors import (
+        distinct_values_per_group)
+    m = _matches_with_meta(spark, sf_dir, Q.TermQuery(T1))
+    m = m.withColumn(
+        "src_val",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit(None).cast("string")).otherwise(F.col("source")))
+    return distinct_values_per_group(m, "lang", "src_val")
+
+
 DRILL = {"lang": "en", "source": "src1"}
 
 
@@ -1920,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # (a0) newest this round: monitor/percolator, classification module,
         # CommonTermsQuery, ComplexPhraseQueryParser, FeatureField, polygon
+        "group_distinct_values": q_group_distinct_values,
         "monitor_matches": q_monitor_matches,
         "knn_classifier_classes": q_knn_classifier_classes,
         "naive_bayes_classify": q_naive_bayes_classify,
@@ -3894,6 +3910,14 @@ SELECT label, cnt FROM (
   SELECT '< 10000 km',
          CAST(SUM(CASE WHEN dm BETWEEN 0.0 AND 10000000.0
                   THEN 1 ELSE 0 END) AS BIGINT) FROM gd)"""
+
+    # grouping DistinctValuesCollector: one row per (group, distinct value);
+    # the NULL value row is the missing-field entry in GroupCount.uniqueValues
+    out["group_distinct_values"] = _topk_sql([], f"""
+SELECT DISTINCT d.lang AS lang,
+       CASE WHEN d.doc_id % 7 = 0 THEN NULL ELSE d.source END AS src_val
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{T1}') m
+JOIN documents d ON d.doc_id = m.doc_id""")
 
     # ---- round-5b: monitor, classification, queries-module extras ----------
 

@@ -236,8 +236,14 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
             _rec = _json.load(fh)
         index_sort = (_rec["col"], _rec["ascending"])
     live = {s["segment_id"]: s for s in cat.live_segments()}
-    parts = [live[sid] for sid in sorted(segment_ids)]
     assert all(sid in live for sid in segment_ids)
+    # Participants merge in SegmentInfos order (their `ord`, defaulting to
+    # segment_id for pre-ord snapshots) — DocIDMerger consumes readers in the
+    # order IndexWriter hands them, which is segment order, so the merged
+    # docid re-base must follow ord, not numeric segment_id.
+    parts = sorted((live[sid] for sid in segment_ids),
+                   key=lambda s: (s.get("ord", s["segment_id"]),
+                                  s["segment_id"]))
     # _reserved: (new_id, new_wave) pre-allocated by a concurrent scheduler
     # (ConcurrentMergeScheduler analog in maybe_merge) so merges of DISJOINT
     # segment groups can run in parallel without id collisions
@@ -456,10 +462,15 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
     )
     merged_docs.unpersist()
 
+    # participant position in SegmentInfos order (== re-base offset order);
+    # after earlier merges ord order can differ from numeric segment_id order
+    part_pos = {s["segment_id"]: i for i, s in enumerate(parts)}
+
     def merge_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
+        pdf = pdf.assign(_pos=pdf["segment_id"].map(part_pos))
         for term, g in pdf.groupby("term", sort=False):
-            g = g.sort_values("segment_id")  # segment order == docid order
+            g = g.sort_values("_pos")  # segment order == docid order
             ds, fs, ns, ps, pays = [], [], [], [], []
             has_pos = True
             has_pay = False
@@ -532,6 +543,12 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
     new_seg = {
         "segment_id": new_id,
         "wave": new_wave,
+        # The merged segment REPLACES its participants at the first
+        # participant's position in segment order (IndexWriter.commitMerge ->
+        # SegmentInfos.applyMergeChanges puts newSegment at the lowest
+        # participant index), so equal-score tie order and searchAfter
+        # cursors keep Lucene's semantics across merges.
+        "ord": min(s.get("ord", s["segment_id"]) for s in parts),
         "doc_count": int(stats["doc_count"]),
         "sum_ttf": int(stats["sum_ttf"]),
         "max_doc": int(stats["max_doc"]),

@@ -99,6 +99,20 @@ def distinct_values(matched: DataFrame, col: str) -> DataFrame:
     return matched.select(col).distinct()
 
 
+def distinct_values_per_group(matched: DataFrame, group_col: str,
+                              value_col: str) -> DataFrame:
+    """Per-group distinct value sets — the grouping module's
+    DistinctValuesCollector (demo lucene/grouping/DistinctValueCollectorTest
+    .java): for each group head, the set of distinct COUNT_FIELD values among
+    the group's matching docs, where a doc missing the field contributes a
+    NULL entry (GroupCount.uniqueValues holds null for such docs).
+
+    One row per (group, value); a NULL value row marks the missing-field
+    entry. Single partial-agg (map-side-combined distinct) shuffle — no
+    per-group fan-in anywhere, safe at any group cardinality."""
+    return matched.select(group_col, value_col).distinct()
+
+
 def sorted_set_facet_counts(matched: DataFrame, array_col: str) -> DataFrame:
     """Multi-valued (SortedSetDocValues) facet counts: each doc contributes
     once per DISTINCT value in its array column — SortedSetDocValuesFacetCounts

@@ -2232,12 +2232,20 @@ def explain(seg: SegmentIndex, stats: bm25.BM25Stats, gdf: Dict[str, int],
     return node(q)
 
 
-def merge_top_k(per_segment, k: int):
+def merge_top_k(per_segment, k: int, seg_ords=None):
     """Cross-segment TopDocs.merge analog: score desc, then segment order, then
-    docid (TopDocs.java:80-83). per_segment: [(segment_id, docids, scores)]."""
+    docid (TopDocs.java:80-83). per_segment: [(segment_id, docids, scores)].
+
+    seg_ords: optional {segment_id: position-in-SegmentInfos}. After a merge
+    the merged segment replaces its participants at the FIRST participant's
+    position (SegmentInfos.applyMergeChanges), so segment order is the
+    catalog's `ord`, not numeric segment_id; None falls back to segment_id
+    (correct for never-merged indexes)."""
+    key = ((lambda x: (seg_ords[x[0]], x[0])) if seg_ords is not None
+           else (lambda x: x[0]))
     rows = []
     for seg_ord, (segment_id, d, s) in enumerate(
-            sorted(per_segment, key=lambda x: x[0])):
+            sorted(per_segment, key=key)):
         for i in range(len(d)):
             rows.append((-float(s[i]), seg_ord, int(d[i]), int(segment_id),
                          float(s[i])))

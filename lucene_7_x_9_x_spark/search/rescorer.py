@@ -63,7 +63,7 @@ def rescore(searcher, first_query: Q.Query, second_query: Q.Query,
         per_seg[sid][1].append(sc)
     merged = merge_top_k(
         [(sid, np.asarray(d), np.asarray(s)) for sid, (d, s) in per_seg.items()],
-        k)
+        k, seg_ords=getattr(searcher, "seg_ords", None))
     out = pd.DataFrame(merged, columns=["segment_id", "docid", "score"])
     out.insert(0, "rank", np.arange(1, len(out) + 1))
     keymap = {(int(r.segment_id), int(r.docid)): getattr(r, "key", None)

@@ -220,8 +220,14 @@ class IndexSearcher:
             self.doc_count, self.sum_ttf = self.field_totals[
                 self.default_field]
         self.seg_meta = {s["segment_id"]: s["max_doc"] for s in self.segments}
+        # SegmentInfos order: a merged segment carries ord = min of its
+        # participants' ords (applyMergeChanges replaces in place), so
+        # equal-score tie order and searchAfter cursors survive merges
+        # exactly as in Lucene; pre-ord snapshots fall back to segment_id.
         self.seg_ords = {s["segment_id"]: i for i, s in enumerate(
-            sorted(self.segments, key=lambda x: x["segment_id"]))}
+            sorted(self.segments,
+                   key=lambda x: (x.get("ord", x["segment_id"]),
+                                  x["segment_id"])))}
         self.dtype = dtype
         self.k1, self.b = k1, b
         self.similarity = similarity
@@ -683,6 +689,7 @@ class IndexSearcher:
                 for sid, g in out.groupby("segment_id")
             ],
             k,
+            seg_ords=self.seg_ords,
         )
         hits = pd.DataFrame(merged, columns=["segment_id", "docid", "score"])
         hits.insert(0, "rank", np.arange(1, len(hits) + 1))

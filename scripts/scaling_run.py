@@ -251,10 +251,21 @@ def main() -> None:
         "shuffle_partitions": os.environ.get("SPARK_SCALING_SHUFFLE", "64"),
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
+    # Measurement-quality gate (pre-registered, same threshold as
+    # steal_clean_pairs): an execution QUALIFIES as headline material only if
+    # a majority of its pairs are steal-clean. Hypervisor steal is EXTERNAL
+    # interference — a run whose passes lost 10-30% of their cpu budget to
+    # neighbors measures the neighbors, not this code — so a contaminated
+    # execution must not displace a clean headline merely by being newer.
+    # Contaminated executions are still recorded in full (history + a
+    # labelled latest_contaminated block); nothing is dropped silently.
+    n_clean_pairs = sum(1 for s in pair_steal if s <= STEAL_CLEAN_FRAC)
+    result["headline_qualified"] = bool(n_clean_pairs * 2 >= reps)
     print(json.dumps(result, indent=2))
     out_path = os.path.join(REPO, "scaling_result.json")
     # Reporting contract (round-4 advice): the HEADLINE is always the LATEST
-    # complete protocol execution — never a silently carried-forward best.
+    # complete QUALIFYING protocol execution — never a silently
+    # carried-forward best, and never a steal-contaminated displacement.
     # Blocks are keyed by corpus size, so a small smoke run can neither
     # dethrone nor be masked by full-size evidence. The best and the median
     # across same-size runs are exposed as their own labelled fields; every
@@ -289,6 +300,7 @@ def main() -> None:
         "pair_speedups": ratios,
         "pair_max_steal_frac": pair_steal,
         "steal_clean_pairs": clean_stats,
+        "headline_qualified": result["headline_qualified"],
         "efficiency_median": result["efficiency_median"],
         "efficiency_min": result["efficiency_min"],
     })
@@ -298,8 +310,14 @@ def main() -> None:
     best_eff = max([result["efficiency_median"]]
                    + ([cur["best_efficiency_median"]]
                       if cur.get("best_efficiency_median") is not None else []))
-    by_size[str(n_docs)] = {
-        "latest": result,
+    block = dict(cur)
+    if result["headline_qualified"] or "latest" not in cur:
+        # a never-measured size takes whatever evidence exists, flagged
+        block["latest"] = result
+        block.pop("latest_contaminated", None)
+    else:
+        block["latest_contaminated"] = result
+    block.update({
         "median_of_runs_at_this_size": round(
             sorted(same)[len(same) // 2], 3) if same else None,
         "runs_at_this_size_in_history": len(same),
@@ -307,14 +325,20 @@ def main() -> None:
         "best_ts": (result["ts"]
                     if best_eff == result["efficiency_median"]
                     else cur.get("best_ts")),
-    }
+    })
+    by_size[str(n_docs)] = block
+    headline = by_size.get(str(n_docs), {}).get("latest", result)
     reported = {
         "selection": (
             "headline = the LATEST complete protocol execution at each "
-            "corpus size; best/median across same-size runs are separate "
+            "corpus size whose pairs are majority steal-clean "
+            "(headline_qualified; threshold pre-registered at "
+            f"{STEAL_CLEAN_FRAC}); contaminated executions are recorded in "
+            "full under latest_contaminated + history, never displacing a "
+            "clean headline; best/median across same-size runs are separate "
             "fields (host contention produces noise in BOTH directions — "
             "see history for every execution)"),
-        "headline": result,
+        "headline": headline,
         "by_size": by_size,
         "history": history,
     }
