@@ -176,6 +176,8 @@ def main() -> None:
                 "docs_per_sec": [round(run["low"]["docs_per_sec"], 1),
                                  round(run["high"]["docs_per_sec"], 1)],
                 "efficiency_median_latest_run": run["efficiency_median"],
+                "efficiency_min_estimator_latest_run":
+                    run.get("efficiency_min"),
                 "efficiency_median_across_runs":
                     blk.get("median_of_runs_at_this_size"),
                 "efficiency_best_run": blk.get("best_efficiency_median"),

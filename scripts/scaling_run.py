@@ -84,9 +84,18 @@ idx = f"/dev/shm/lucene_scaling_idx_{{cores}}_{{os.getpid()}}"
 shutil.rmtree(idx, ignore_errors=True)
 t0 = time.time()
 # the LOGICAL job is identical at both levels (same segments, same shards);
-# only execution parallelism (cores, shuffle partitions) varies
+# only execution parallelism (cores, shuffle partitions) varies.
+# segments_per_wave scales so the measured job is always ONE wave (one
+# ingest batch): the scaling evidence measures the dataflow, not how many
+# batch barriers + snapshot commits the corpus happens to split into (the
+# 1.2M probe on 08-20 showed a second 150k-doc wave adds ~86 s of
+# fixed barrier/commit cost at local[8] — a different-shaped job). Sizes
+# <= 1.048M keep the exact historical shape (600k -> 147 segments,
+# 1M -> 256); 2M -> one 512-segment wave, same 4096-doc segments.
 build_index(spark, docs, key_col="url", text_col="text", index_dir=idx,
-            docs_per_segment=4096, segments_per_wave=256, term_shards=64)
+            docs_per_segment=4096,
+            segments_per_wave=max(256, -(-n_docs // 4096)),
+            term_shards=64)
 wall = time.time() - t0
 shutil.rmtree(idx, ignore_errors=True)
 print("SCALING_RESULT " + json.dumps({{"cores": cores, "wall_s": wall,
