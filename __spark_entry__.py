@@ -560,6 +560,36 @@ def q_docvalues_update_sort(spark, sf_dir):
             .select("doc_id", F.col("value").cast("long").alias("value")))
 
 
+def _off_searcher(spark, sf_dir) -> IndexSearcher:
+    """Offsets index (IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS,
+    the rung demo StartsTest.java indexes with): per-position character
+    offsets ride the postings' offsets channel."""
+    key = (os.path.abspath(sf_dir), "off")
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    idx = _index_dir(sf_dir) + "_off"
+    if IndexCatalog(idx).head() < 0:
+        docs = _documents(spark, sf_dir)
+        build_index(
+            spark, docs.select("doc_id", "text"),
+            key_col="doc_id", text_col="text", index_dir=idx,
+            docs_per_segment=_DOCS_PER_SEGMENT, int_keys=True, resume=True,
+            index_options="offsets")
+    s = IndexSearcher(spark, idx, dtype=np.float64)
+    _SEARCHERS[key] = s
+    return s
+
+
+def q_unified_highlight_topk(spark, sf_dir):
+    """UnifiedHighlighter over the postings-offsets source: BM25 top-10 for
+    (T1 OR T2), best 60-char passage per hit chosen from INDEXED character
+    offsets (OffsetSource.POSTINGS — no re-analysis of stored text)."""
+    from lucene_7_x_9_x_spark.operators.misc import unified_highlight_topk
+    s = _off_searcher(spark, sf_dir)
+    docs = _documents(spark, sf_dir)
+    return unified_highlight_topk(s, docs, [T1, T2], k=10, frag_chars=60)
+
+
 def _pay_searcher(spark, sf_dir) -> IndexSearcher:
     """Payload index (PayloadAnalyzer + .pay channel): each token of the
     corpus is re-emitted as 'term|payload' with the deterministic payload
@@ -1935,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # (a0) newest this round: monitor/percolator, classification module,
         # CommonTermsQuery, ComplexPhraseQueryParser, FeatureField, polygon
+        "unified_highlight_topk": q_unified_highlight_topk,
         "group_distinct_values": q_group_distinct_values,
         "monitor_matches": q_monitor_matches,
         "knn_classifier_classes": q_knn_classifier_classes,
@@ -3235,6 +3266,47 @@ sp3s AS (SELECT sf3.doc_id AS doc_id,
          FROM sf3 JOIN qd ON sf3.doc_id = qd.doc_id)
 SELECT doc_id, {_micro('s')} AS score_micro FROM sp3s
 ORDER BY s DESC, doc_id LIMIT 10"""
+
+    # --- unified_highlight_topk: postings-offsets passage over the OR top-10
+    # Character offsets are exact for this corpus: text is space-joined
+    # tokens, so a token at position p starts at SUM(len(prior)+1) = the
+    # same start the offsets channel indexed. Passage = the 60-char window
+    # anchored at a match start covering the most whole matches (ties ->
+    # earliest anchor); snippet = substring(text, anchor+1, 60).
+    uh_terms = f"('{T1}', '{T2}')"
+    out["unified_highlight_topk"] = _topk_sql([s1, s2, f"""
+u2 AS (SELECT COALESCE(s1.doc_id, s2.doc_id) AS doc_id,
+              COALESCE(s1.s, 0e0) + COALESCE(s2.s, 0e0) AS s
+       FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id)""", f"""
+top10 AS (SELECT doc_id, s FROM u2 ORDER BY s DESC, doc_id LIMIT 10)""", f"""
+oko AS (SELECT t.doc_id, t.term,
+               CAST(COALESCE(SUM(LENGTH(t2.term) + 1), 0) AS BIGINT) AS st,
+               CAST(COALESCE(SUM(LENGTH(t2.term) + 1), 0)
+                    + LENGTH(t.term) AS BIGINT) AS en
+        FROM tok t
+        LEFT JOIN tok t2 ON t2.doc_id = t.doc_id AND t2.pos < t.pos
+        WHERE t.doc_id IN (SELECT doc_id FROM top10)
+          AND t.term IN {uh_terms}
+        GROUP BY t.doc_id, t.term, t.pos)""", f"""
+anch AS (SELECT DISTINCT doc_id, st AS anchor FROM oko)""", f"""
+cov AS (SELECT a.doc_id, a.anchor, COUNT(*) AS in_window
+        FROM anch a JOIN oko o ON o.doc_id = a.doc_id
+        WHERE o.st >= a.anchor AND o.en <= a.anchor + 60
+        GROUP BY a.doc_id, a.anchor)""", f"""
+best AS (SELECT doc_id, anchor,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY in_window DESC, anchor) AS rk
+         FROM cov)""", f"""
+nmatch AS (SELECT doc_id, COUNT(*) AS n_matches FROM oko GROUP BY doc_id)"""],
+        f"""
+SELECT t.doc_id, {_micro('t.s')} AS score_micro,
+       CAST(n.n_matches AS BIGINT) AS n_matches,
+       CAST(b.anchor AS BIGINT) AS passage_start,
+       substring(d.text, CAST(b.anchor AS INTEGER) + 1, 60) AS snippet
+FROM top10 t
+JOIN nmatch n ON n.doc_id = t.doc_id
+JOIN best b ON b.doc_id = t.doc_id AND b.rk = 1
+JOIN documents d ON d.doc_id = t.doc_id""")
 
     # --- highlight_topk: fragmenter walk over the OR top-10 ----------------
     hl_terms = f"('{T1}', '{T2}')"

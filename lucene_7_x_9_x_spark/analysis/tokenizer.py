@@ -496,6 +496,64 @@ class Analyzer:
             total += len(ps)
         return [(t, len(ps), ps) for t, ps in acc.items()], total
 
+    def term_freqs_offsets(self, text: Optional[str]):
+        """term_freqs plus the per-position character offsets of each token
+        in the ORIGINAL text — the OffsetAttribute that lands in the postings'
+        offsets channel when the field is indexed with
+        IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS (demo
+        StartsTest.java; offsets ride the .pay file,
+        Lucene84PostingsFormat.java:99-103).
+
+        Returns ([(term, freq, positions, starts, lens)], doclen) with
+        starts/lens aligned 1:1 with positions (end offset = start + len).
+        Only the non-injecting chain (lowercase + stopwords) supports
+        offsets: token-graph filters (stemming, shingles, synonyms, CJK
+        re-segmentation, phonetic/edge-n-gram injection) change or multiply
+        terms per source span, exactly the configurations Lucene's
+        highlighters refuse offsets for. Terms and positions are identical
+        to term_freqs() on the same text (pinned by tests)."""
+        if not text:
+            return [], 0
+        if (self.stem or self.strip_possessive or self.cjk_bigrams
+                or self.cjk_dict or self.phonetic or self.shingles
+                or self.edge_ngrams or self.synonyms
+                or self.remove_duplicates or self.ascii_folding):
+            raise ValueError(
+                "offsets require a non-injecting analyzer chain "
+                "(lowercase + stopwords only)")
+        acc: dict = {}
+        pos = 0
+        stop = self.stopwords
+        lower = self.lowercase
+        for m in _TOKEN_RE.finditer(text):
+            tok = m.group(0)
+            s0 = m.start()
+            if len(tok) > MAX_TOKEN_LENGTH:
+                # StandardTokenizer splits over-long tokens at maxTokenLength;
+                # each split keeps its own source span
+                for i in range(0, len(tok), MAX_TOKEN_LENGTH):
+                    sub = tok[i: i + MAX_TOKEN_LENGTH]
+                    sub_len = len(sub)  # source-span length, pre-casefold
+                    if lower:
+                        sub = sub.lower()
+                    if sub in stop:
+                        pos += 1
+                        continue
+                    acc.setdefault(sub, []).append((pos, s0 + i, sub_len))
+                    pos += 1
+                continue
+            ln = len(tok)
+            if lower:
+                tok = tok.lower()
+            if tok in stop:
+                pos += 1
+                continue
+            acc.setdefault(tok, []).append((pos, s0, ln))
+            pos += 1
+        total = sum(len(v) for v in acc.values())
+        return ([(t, len(v), [p for p, _, _ in v], [s for _, s, _ in v],
+                  [ln for _, _, ln in v]) for t, v in acc.items()], total)
+
     def term_freqs_series(self, texts: pd.Series) -> pd.Series:
         """Per-doc aggregated [(term, freq, positions)] — the shape the index
         builder explodes (avoids a per-token shuffle row; SURVEY §3.1 retrace)."""

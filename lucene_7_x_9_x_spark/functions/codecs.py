@@ -219,7 +219,8 @@ def _stream_small(lst) -> bytes:
     return _ONE_HEADER
 
 
-def _encode_small(docids, freqs, norm_bytes, positions, payloads=None):
+def _encode_small(docids, freqs, norm_bytes, positions, payloads=None,
+                  offsets=None):
     """Pure-python single-block encoder for df <= 16 posting lists.
 
     Low-df terms are the overwhelming majority (Zipf), and at this size the
@@ -253,13 +254,29 @@ def _encode_small(docids, freqs, norm_bytes, positions, payloads=None):
         blk["pay_bytes"] = _vb_small([int(x) for p in payloads for x in p])
     else:
         blk["pay_bytes"] = b""
+    if offsets is not None:
+        # interleaved per position: (start delta within the doc run — first
+        # position of each doc stores its start absolute — then the length)
+        starts, lens = offsets
+        iv = []
+        for sl, ll in zip(starts, lens):
+            prev = 0
+            first = True
+            for s, ln in zip(sl, ll):
+                iv.append(int(s) if first else int(s) - prev)
+                iv.append(int(ln))
+                prev = int(s)
+                first = False
+        blk["off_bytes"] = _vb_small(iv)
+    else:
+        blk["off_bytes"] = b""
     return [blk]
 
 
 def encode_posting_list(docids, freqs, norm_bytes, positions=None,
                         block_size: int = BLOCK_SIZE,
                         codec: "str | Codec" = "for-vbyte",
-                        payloads=None):
+                        payloads=None, offsets=None):
     """Encode one (segment, term) posting list into 128-doc blocks.
 
     docids: strictly-increasing int array; freqs: int array >= 1; norm_bytes:
@@ -269,7 +286,13 @@ def encode_posting_list(docids, freqs, norm_bytes, positions=None,
     the per-doc split — the zero-copy path _encode_partition uses after its
     partition-level gather); payloads: optional per-doc int lists or the same
     flat shape, one payload per position (the .pay channel,
-    Lucene84PostingsFormat.java:99-103 — requires positions).
+    Lucene84PostingsFormat.java:99-103 — requires positions); offsets:
+    optional (starts, lens) pair — per-doc int lists or flat 1-D arrays
+    aligned 1:1 with positions — the per-position character offsets of
+    IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS (offsets ride the
+    same .pay file in Lucene84PostingsFormat.java:99-103; demo
+    StartsTest.java indexes with offsets). Stored interleaved per position
+    as (start delta within the doc run, length), vByte-coded.
 
     ``codec`` selects the stream encoder for the doc-delta and freq streams of
     blocks with >16 postings (see the Codec SPI below; small lists always take
@@ -278,10 +301,12 @@ def encode_posting_list(docids, freqs, norm_bytes, positions=None,
 
     Returns a list of block dicts with keys:
       first_doc, last_doc, count, max_freq, min_norm, doc_bytes, freq_bytes,
-      norm_bytes, pos_bytes, pay_bytes
+      norm_bytes, pos_bytes, pay_bytes, off_bytes
     """
     if payloads is not None and positions is None:
         raise ValueError("payloads require positions")
+    if offsets is not None and positions is None:
+        raise ValueError("offsets require positions")
     enc = get_codec(codec).encode_stream
 
     def _split_flat(flat, fl):
@@ -309,9 +334,19 @@ def encode_posting_list(docids, freqs, norm_bytes, positions=None,
             payloads = _split_flat(payloads, freqs)
         elif payloads is not None:
             payloads = [[int(x) for x in p] for p in payloads]
+        if offsets is not None:
+            st, ln = offsets
+            if (isinstance(st, np.ndarray) and st.ndim == 1
+                    and st.dtype != object):
+                st = _split_flat(st, freqs)
+                ln = _split_flat(np.asarray(ln), freqs)
+            else:
+                st = [[int(x) for x in p] for p in st]
+                ln = [[int(x) for x in p] for p in ln]
+            offsets = (st, ln)
         return _encode_small(
             dl, [int(x) for x in freqs], [int(x) for x in norm_bytes],
-            positions, payloads)
+            positions, payloads, offsets)
 
     docids = np.asarray(docids, dtype=np.int64)
     freqs = np.asarray(freqs, dtype=np.int64)
@@ -325,6 +360,7 @@ def encode_posting_list(docids, freqs, norm_bytes, positions=None,
     flat_dp = None
     pos_offsets = None
     flat_pay = None
+    flat_off = None
     if positions is not None:
         if (isinstance(positions, np.ndarray) and positions.ndim == 1
                 and positions.dtype != object):
@@ -350,6 +386,28 @@ def encode_posting_list(docids, freqs, norm_bytes, positions=None,
                 flat_pay = (np.concatenate(
                     [np.asarray(p, dtype=np.int64) for p in payloads])
                     if payloads else np.zeros(0, dtype=np.int64))
+        if offsets is not None:
+            st, ln = offsets
+
+            def _flat(a):
+                if (isinstance(a, np.ndarray) and a.ndim == 1
+                        and a.dtype != object):
+                    return a.astype(np.int64, copy=False)
+                parts_ = [np.asarray(p, dtype=np.int64) for p in a]
+                return (np.concatenate(parts_) if parts_
+                        else np.zeros(0, dtype=np.int64))
+
+            fst, fln = _flat(st), _flat(ln)
+            # start deltas reset at each doc boundary (same scheme as the
+            # positions stream) — starts ascend within a doc's positions
+            sd = np.empty(fst.size, dtype=np.int64)
+            if fst.size:
+                sd[0] = fst[0]
+                sd[1:] = fst[1:] - fst[:-1]
+                sd[starts] = fst[starts]
+            flat_off = np.empty(2 * fst.size, dtype=np.int64)
+            flat_off[0::2] = sd
+            flat_off[1::2] = fln
 
     blocks = []
     for start in range(0, n, block_size):
@@ -378,21 +436,31 @@ def encode_posting_list(docids, freqs, norm_bytes, positions=None,
                 flat_pay[pos_offsets[start]:pos_offsets[end]].astype(np.uint64))
         else:
             blk["pay_bytes"] = b""
+        if flat_off is not None:
+            blk["off_bytes"] = vbyte_encode(
+                flat_off[2 * pos_offsets[start]:2 * pos_offsets[end]]
+                .astype(np.uint64))
+        else:
+            blk["off_bytes"] = b""
         blocks.append(blk)
     return blocks
 
 
 def decode_blocks(blocks, want_positions: bool = False,
-                  want_payloads: bool = False):
+                  want_payloads: bool = False,
+                  want_offsets: bool = False):
     """Decode block dicts/Rows back to
-    (docids, freqs, norm_bytes[, positions][, payloads]).
+    (docids, freqs, norm_bytes[, positions][, payloads][, starts, ends]).
 
-    positions (and payloads, aligned 1:1 with them) are returned as flat
-    int64 arrays plus per-posting freq split (use split_positions to get
+    positions (and payloads/offsets, aligned 1:1 with them) are returned as
+    flat int64 arrays plus per-posting freq split (use split_positions to get
     per-doc lists). want_payloads implies positions are present in the
-    blocks; segments without a payload channel yield all-zero payloads."""
+    blocks; segments without a payload channel yield all-zero payloads.
+    want_offsets appends per-position character (starts, ends) arrays;
+    segments without an offsets channel yield all-zero starts/ends."""
     all_d, all_f, all_n, all_p = [], [], [], []
     all_pay = []
+    all_os, all_oe = [], []
     for blk in blocks:
         cnt = int(blk["count"])
         deltas = decode_stream(bytes(blk["doc_bytes"]), cnt - 1) if cnt > 1 else \
@@ -431,6 +499,30 @@ def decode_blocks(blocks, want_positions: bool = False,
                     vbyte_decode(bytes(raw), total_pos).astype(np.int64))
             else:
                 all_pay.append(np.zeros(total_pos, dtype=np.int64))
+        if want_offsets:
+            total_pos = int(f.sum())
+            try:
+                raw = blk["off_bytes"]
+            except (KeyError, ValueError):  # pre-offsets segment / old Row
+                raw = None
+            if raw:
+                iv = vbyte_decode(bytes(raw), 2 * total_pos).astype(np.int64)
+                sd, ln = iv[0::2], iv[1::2]
+                # undo the per-doc delta coding exactly like positions
+                boundaries = np.cumsum(f)[:-1]
+                csum = np.cumsum(sd)
+                base = np.zeros(total_pos, dtype=np.int64)
+                if boundaries.size:
+                    prior = np.zeros(total_pos, dtype=np.int64)
+                    prior[boundaries] = csum[boundaries - 1]
+                    np.maximum.accumulate(prior, out=prior)
+                    base = prior
+                st = csum - base
+                all_os.append(st)
+                all_oe.append(st + ln)
+            else:
+                all_os.append(np.zeros(total_pos, dtype=np.int64))
+                all_oe.append(np.zeros(total_pos, dtype=np.int64))
     d = np.concatenate(all_d) if all_d else np.zeros(0, dtype=np.int64)
     f = np.concatenate(all_f) if all_f else np.zeros(0, dtype=np.int64)
     nb = np.concatenate(all_n) if all_n else np.zeros(0, dtype=np.uint8)
@@ -440,6 +532,11 @@ def decode_blocks(blocks, want_positions: bool = False,
                    else np.zeros(0, dtype=np.int64))
     if want_payloads:
         out.append(np.concatenate(all_pay) if all_pay
+                   else np.zeros(0, dtype=np.int64))
+    if want_offsets:
+        out.append(np.concatenate(all_os) if all_os
+                   else np.zeros(0, dtype=np.int64))
+        out.append(np.concatenate(all_oe) if all_oe
                    else np.zeros(0, dtype=np.int64))
     return tuple(out)
 

@@ -106,6 +106,32 @@ def _tokenize_pay_udf(analyzer):
     return tok
 
 
+def _tokenize_off_udf(analyzer: Analyzer):
+    """Offsets-channel tokenizer (IndexOptions ...AND_OFFSETS rung): tv
+    structs carry per-position character (start, len) arrays aligned with
+    positions — the OffsetAttribute riding the token stream into the
+    postings' offsets channel (offsets live in the .pay file,
+    Lucene84PostingsFormat.java:99-103; demo StartsTest.java)."""
+    out_type = T.StructType(
+        [
+            T.StructField("tv", S.TERMVEC_OFF_STRUCT, False),
+            T.StructField("doclen", T.IntegerType(), False),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def tok(texts: pd.Series) -> pd.DataFrame:
+        tvs = []
+        lens = []
+        for text in texts:
+            items, doclen = analyzer.term_freqs_offsets(text)
+            tvs.append(items)
+            lens.append(doclen)
+        return pd.DataFrame({"tv": tvs, "doclen": lens})
+
+    return tok
+
+
 def _routed_tokenize_udf(by_lang: dict, default: Analyzer):
     """Per-row analyzer routing (PerFieldAnalyzerWrapper-style, keyed on the
     corpus `lang` column instead of the field name): each row tokenizes with
@@ -162,6 +188,9 @@ def _encode_partition(pdf: pd.DataFrame, store_positions: bool,
     pos_col = pdf["positions"].values if store_positions else None
     pay_col = (pdf["payloads"].values
                if ("payloads" in pdf.columns and store_positions) else None)
+    off_cols = (
+        (pdf["starts"].values, pdf["lens"].values)
+        if ("starts" in pdf.columns and store_positions) else None)
     order = np.lexsort((docids, term_codes))
     tc = term_codes[order]
     bounds = np.flatnonzero(np.diff(tc)) + 1
@@ -174,6 +203,7 @@ def _encode_partition(pdf: pd.DataFrame, store_positions: bool,
     # encode wall on position-heavy shards). freq == #positions per posting,
     # so the flat layout splits exactly by freqs.
     flat_pos_sorted = flat_pay_sorted = pos_bounds = None
+    flat_ost_sorted = flat_oln_sorted = None
     if pos_col is not None:
         parts = (list(pos_col) if len(pos_col)
                  and isinstance(pos_col[0], np.ndarray)
@@ -197,6 +227,17 @@ def _encode_partition(pdf: pd.DataFrame, store_positions: bool,
                             .astype(np.int64, copy=False)
                             if pay_parts else np.zeros(0, dtype=np.int64))
             flat_pay_sorted = flat_pay_all[gidx]
+        if off_cols is not None:
+            # starts/lens are 1:1 with positions, so the same gather
+            # permutation re-orders them into (term, docid) order
+            def _flat_col(col):
+                parts_ = (list(col) if len(col)
+                          and isinstance(col[0], np.ndarray)
+                          else [np.asarray(p, dtype=np.int64) for p in col])
+                return (np.concatenate(parts_).astype(np.int64, copy=False)
+                        if parts_ else np.zeros(0, dtype=np.int64))
+            flat_ost_sorted = _flat_col(off_cols[0])[gidx]
+            flat_oln_sorted = _flat_col(off_cols[1])[gidx]
 
     rows = []
     for s, e in zip(starts.tolist(), ends.tolist()):
@@ -210,8 +251,12 @@ def _encode_partition(pdf: pd.DataFrame, store_positions: bool,
         payloads = None
         if flat_pay_sorted is not None:
             payloads = flat_pay_sorted[pos_bounds[s]:pos_bounds[e]]
+        offsets = None
+        if flat_ost_sorted is not None:
+            offsets = (flat_ost_sorted[pos_bounds[s]:pos_bounds[e]],
+                       flat_oln_sorted[pos_bounds[s]:pos_bounds[e]])
         blocks = encode_posting_list(d, f, nb, positions, codec=codec,
-                                     payloads=payloads)
+                                     payloads=payloads, offsets=offsets)
         rows.append(
             {
                 "segment_id": seg,
@@ -300,6 +345,7 @@ def index_wave(
     omit_freqs: bool = False,
     omit_norms: bool = False,
     index_sort: tuple[str, bool] | None = None,
+    store_offsets: bool = False,
 ) -> list[dict]:
     """Index one wave: src(key, text, segment_id) -> docs+postings partitions.
 
@@ -356,10 +402,18 @@ def index_wave(
     if has_payloads and not store_positions:
         raise ValueError("payloads require store_positions=True "
                          "(.pay rides the .pos channel)")
+    if store_offsets:
+        if fields or analyzer_by_lang or has_payloads:
+            raise ValueError("offsets support plain single-field mode only "
+                             "(no per-lang routing / payloads / multi-field)")
+        if not store_positions:
+            raise ValueError("offsets require store_positions=True "
+                             "(the ...AND_OFFSETS rung implies positions)")
     tok_udf = (_routed_tokenize_udf(analyzer_by_lang, analyzer)
                if analyzer_by_lang
                else (_tokenize_pay_udf(analyzer) if has_payloads
-                     else _tokenize_udf(analyzer)))
+                     else (_tokenize_off_udf(analyzer) if store_offsets
+                           else _tokenize_udf(analyzer))))
     if store_term_vectors and fields:
         raise ValueError("store_term_vectors supports single-field mode only")
     for root in ("docs", "postings", "tvd"):
@@ -536,6 +590,9 @@ def index_wave(
     else:
         pay_cols = ([F.col("p.payloads").alias("payloads")]
                     if has_payloads else [])
+        if store_offsets:
+            pay_cols += [F.col("p.starts").alias("starts"),
+                         F.col("p.lens").alias("lens")]
         exploded = (
             keyed.withColumn("norm_byte", _norm_of(F.col("doclen")))
             .select(
@@ -701,10 +758,13 @@ def build_index(
     """
     if index_options is None:
         index_options = "positions" if store_positions else "freqs"
-    if index_options not in ("docs", "freqs", "positions"):
-        raise ValueError(f"index_options must be docs|freqs|positions, "
-                         f"got {index_options!r}")
-    store_positions = index_options == "positions"
+    if index_options not in ("docs", "freqs", "positions", "offsets"):
+        raise ValueError(f"index_options must be docs|freqs|positions|"
+                         f"offsets, got {index_options!r}")
+    # "offsets" = DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS (the 4th rung of
+    # o.a.l.index.IndexOptions; demo StartsTest.java)
+    store_positions = index_options in ("positions", "offsets")
+    store_offsets = index_options == "offsets"
     omit_freqs = index_options == "docs"
     cat = IndexCatalog(index_dir)
     if not resume and cat.head() >= 0:
@@ -752,7 +812,8 @@ def build_index(
             rec = json.load(fh)
         index_options = rec["index_options"]
         omit_norms = rec["omit_norms"]
-        store_positions = index_options == "positions"
+        store_positions = index_options in ("positions", "offsets")
+        store_offsets = index_options == "offsets"
         omit_freqs = index_options == "docs"
     elif index_options != "positions" or omit_norms:
         import json
@@ -853,7 +914,7 @@ def build_index(
                        codec=codec, analyzer_by_lang=analyzer_by_lang,
                        store_term_vectors=store_term_vectors,
                        omit_freqs=omit_freqs, omit_norms=omit_norms,
-                       index_sort=index_sort)
+                       index_sort=index_sort, store_offsets=store_offsets)
             shutil.rmtree(os.path.join(index_dir, "postings", f"wave={wave}"),
                           ignore_errors=True)
             raise RuntimeError("injected crash: after_docs")
@@ -868,7 +929,7 @@ def build_index(
                 codec=codec, analyzer_by_lang=analyzer_by_lang,
                 store_term_vectors=store_term_vectors,
                 omit_freqs=omit_freqs, omit_norms=omit_norms,
-                index_sort=index_sort)
+                index_sort=index_sort, store_offsets=store_offsets)
             if s["segment_id"] not in done_segs
         ]
         wall_ms = int((time.time() - t0) * 1000)

@@ -472,24 +472,32 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
         for term, g in pdf.groupby("term", sort=False):
             g = g.sort_values("_pos")  # segment order == docid order
             ds, fs, ns, ps, pays = [], [], [], [], []
+            osts, olns = [], []
             has_pos = True
             has_pay = False
+            has_off = False
             for r in g.itertuples():
                 blocks = [b if isinstance(b, dict) else b.asDict()
                           for b in r.blocks]
                 if blocks and blocks[0].get("pos_bytes"):
-                    # payloads ride the positions channel through the merge
-                    # (SegmentMerger carries .pay alongside .pos); absent
-                    # channels decode as zeros so mixed inputs stay aligned
-                    d, f, n, flat, fpay = decode_blocks(
-                        blocks, want_positions=True, want_payloads=True)
+                    # payloads and offsets ride the positions channel through
+                    # the merge (SegmentMerger carries .pay alongside .pos);
+                    # absent channels decode as zeros so mixed inputs stay
+                    # aligned
+                    d, f, n, flat, fpay, fos, foe = decode_blocks(
+                        blocks, want_positions=True, want_payloads=True,
+                        want_offsets=True)
                     plists = split_positions(flat, f)
                     paylists = split_positions(fpay, f)
+                    ostlists = split_positions(fos, f)
+                    olnlists = split_positions(foe - fos, f)
                     if blocks[0].get("pay_bytes"):
                         has_pay = True
+                    if blocks[0].get("off_bytes"):
+                        has_off = True
                 else:
                     d, f, n = decode_blocks(blocks)
-                    plists = paylists = None
+                    plists = paylists = ostlists = olnlists = None
                     has_pos = False
                 keep, new_d = remap(int(r.segment_id), d)
                 if new_d.size == 0:
@@ -500,6 +508,8 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
                 if plists is not None:
                     ps.extend(p for p, k in zip(plists, keep) if k)
                     pays.extend(p for p, k in zip(paylists, keep) if k)
+                    osts.extend(p for p, k in zip(ostlists, keep) if k)
+                    olns.extend(p for p, k in zip(olnlists, keep) if k)
             if not ds:
                 continue
             docids = np.concatenate(ds)
@@ -514,10 +524,13 @@ def execute_merge(spark: SparkSession, index_dir: str, segment_ids: list[int],
                 if has_pos:
                     ps = [ps[i] for i in order]
                     pays = [pays[i] for i in order] if pays else pays
+                    osts = [osts[i] for i in order] if osts else osts
+                    olns = [olns[i] for i in order] if olns else olns
             positions = ps if has_pos else None
             blocks = encode_posting_list(
                 docids, freqs, norms, positions, codec=codec,
-                payloads=pays if (has_pos and has_pay) else None)
+                payloads=pays if (has_pos and has_pay) else None,
+                offsets=(osts, olns) if (has_pos and has_off) else None)
             rows.append({
                 "segment_id": new_id, "term": term,
                 "df": int(docids.size), "ttf": int(freqs.sum()),

@@ -24,6 +24,11 @@ BLOCK_STRUCT = T.StructType(
         # Lucene84PostingsFormat.java:99-103); empty when the field has no
         # payloads — old segments without the column read as null
         T.StructField("pay_bytes", T.BinaryType(), True),
+        # per-position character-offset channel (offsets ride the same .pay
+        # file in Lucene84PostingsFormat.java:99-103; the
+        # DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS rung of IndexOptions,
+        # demo StartsTest.java); empty / null when offsets are not indexed
+        T.StructField("off_bytes", T.BinaryType(), True),
     ]
 )
 
@@ -67,6 +72,20 @@ TERMVEC_PAY_STRUCT = T.ArrayType(
             T.StructField("freq", T.IntegerType(), False),
             T.StructField("positions", T.ArrayType(T.IntegerType()), False),
             T.StructField("payloads", T.ArrayType(T.LongType()), False),
+        ]
+    )
+)
+
+# offsets variant: per-position character (start, length) ride alongside
+# positions (OffsetAttribute on the token stream; the ...AND_OFFSETS rung)
+TERMVEC_OFF_STRUCT = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("freq", T.IntegerType(), False),
+            T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+            T.StructField("starts", T.ArrayType(T.IntegerType()), False),
+            T.StructField("lens", T.ArrayType(T.IntegerType()), False),
         ]
     )
 )

@@ -149,6 +149,7 @@ class IndexWriter:
         self.docs_per_segment = docs_per_segment
         self.term_shards = term_shards
         self.store_positions = store_positions
+        self.store_offsets = False
         self.omit_freqs = False
         self.omit_norms = False
         self.int_keys = int_keys
@@ -162,7 +163,9 @@ class IndexWriter:
             import json
             with open(io_path) as fh:
                 rec = json.load(fh)
-            self.store_positions = rec["index_options"] == "positions"
+            self.store_positions = rec["index_options"] in ("positions",
+                                                             "offsets")
+            self.store_offsets = rec["index_options"] == "offsets"
             self.omit_freqs = rec["index_options"] == "docs"
             self.omit_norms = bool(rec["omit_norms"])
 
@@ -208,7 +211,8 @@ class IndexWriter:
             analyzer=self.analyzer, store_positions=self.store_positions,
             int_keys=self.int_keys, term_shards=self.term_shards,
             docs_per_segment=self.docs_per_segment, codec=self.codec,
-            omit_freqs=self.omit_freqs, omit_norms=self.omit_norms)
+            omit_freqs=self.omit_freqs, omit_norms=self.omit_norms,
+                store_offsets=self.store_offsets)
         wall_ms = int((time.time() - t0) * 1000)
         append_lineage(self.index_dir, [
             ("add_wave", s["segment_id"], self.cat.head() + 1, s["doc_count"],
@@ -497,7 +501,8 @@ class IndexWriter:
                 int_keys=self.int_keys, term_shards=self.term_shards,
                 docs_per_segment=self.docs_per_segment,
                 codec=self.codec,
-                omit_freqs=self.omit_freqs, omit_norms=self.omit_norms)
+                omit_freqs=self.omit_freqs, omit_norms=self.omit_norms,
+                store_offsets=self.store_offsets)
             wall_ms = int((time.time() - t0) * 1000)
             append_lineage(self.index_dir, [
                 ("soft_update_wave", s["segment_id"], self.cat.head() + 1,
@@ -626,7 +631,8 @@ class IndexWriter:
                 int_keys=self.int_keys, term_shards=self.term_shards,
                 docs_per_segment=self.docs_per_segment,
                 codec=self.codec,
-                omit_freqs=self.omit_freqs, omit_norms=self.omit_norms)
+                omit_freqs=self.omit_freqs, omit_norms=self.omit_norms,
+                store_offsets=self.store_offsets)
             wall_ms = int((time.time() - t0) * 1000)
             append_lineage(self.index_dir, [
                 ("update_wave", s["segment_id"], self.cat.head() + 1,

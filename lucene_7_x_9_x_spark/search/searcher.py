@@ -378,7 +378,8 @@ class IndexSearcher:
         guard). Scored rewrites (fuzzy) expand driver-side but capped at
         maxExpansions by descending docFreq (TopTermsRewrite.java), so the
         collect is bounded at 50 rows regardless of dictionary size."""
-        if self.index_options != "positions" and Q.requires_positions(q):
+        if (self.index_options not in ("positions", "offsets")
+                and Q.requires_positions(q)):
             raise ValueError(
                 f"cannot run {type(q).__name__}: index was built with "
                 f"index_options={self.index_options!r} (no position data); "
