@@ -1158,7 +1158,7 @@ class Scorer:
         sh = self._POS_SHIFT
 
         def _flat_in(term):
-            d, p = self.seg.flat_positions(term)
+            d, p = self._group_flat_positions(term)
             i = np.searchsorted(cand, d)
             m = (i < cand.size) & (cand[np.minimum(i, cand.size - 1)] == d)
             return d[m], p[m], (d[m] << sh) + p[m]
@@ -1232,7 +1232,7 @@ class Scorer:
         k = len(terms)
 
         def _flat_in(term):
-            d, p = self.seg.flat_positions(term)
+            d, p = self._group_flat_positions(term)
             i = np.searchsorted(cand, d)
             m = (i < cand.size) & (cand[np.minimum(i, cand.size - 1)] == d)
             return d[m], p[m], (d[m] << sh) + p[m]
@@ -1304,6 +1304,39 @@ class Scorer:
                 wid_e[order])
 
     span_combinators_vectorized = True  # Or/Not/First/Range/Contain/Within
+    span_near_group_vectorized = True  # Near over Or-of-term clauses too
+
+    def _group_flat_positions(self, group):
+        """flat_positions of a term OR the (key-sorted, duplicates-kept)
+        union of a tuple of terms — the emission stream of a SpanOr over
+        width-0 term leaves. All member spans have end = start + 1, so the
+        union keeps the monotone-ends property the near walks' closed forms
+        rely on (the SpanOr queue's (start, end, clause-ord) tie order only
+        reorders IDENTICAL (start, end) spans, which cannot change any
+        emission value)."""
+        if isinstance(group, str):
+            return self.seg.flat_positions(group)
+        if len(group) == 1:
+            return self.seg.flat_positions(group[0])
+        parts = [self.seg.flat_positions(t) for t in group]
+        d = np.concatenate([x[0] for x in parts])
+        p = np.concatenate([x[1] for x in parts])
+        o = np.argsort((d << self._POS_SHIFT) + p, kind="stable")
+        return d[o], p[o]
+
+    @staticmethod
+    def _near_group(c) -> "tuple | None":
+        """Flatten a SpanNearQuery clause to its term tuple when it is a
+        width-0 stream: a term leaf, or a SpanOr over such (recursively) —
+        the SpanMultiTermQueryWrapper-inside-Near shape. None otherwise."""
+        if isinstance(c, Q.SpanTermQuery):
+            return (c.term,)
+        if isinstance(c, Q.SpanOrQuery):
+            subs = [Scorer._near_group(x) for x in c.clauses]
+            if any(s is None for s in subs):
+                return None
+            return tuple(t for s in subs for t in s)
+        return None
 
     def _span_vec_ok(self, q: Q.SpanQuery) -> bool:
         """True when the whole span tree evaluates through the vectorized
@@ -1315,10 +1348,15 @@ class Scorer:
         if isinstance(q, Q.SpanNearQuery):
             flag = (self.span_near_2term_vectorized if len(q.clauses) == 2
                     else self.span_near_kterm_vectorized)
-            return (flag and len(q.clauses) >= 2
-                    and all(isinstance(c, Q.SpanTermQuery)
-                            for c in q.clauses)
-                    and len({c.term for c in q.clauses}) == len(q.clauses))
+            groups = [self._near_group(c) for c in q.clauses]
+            if any(g is None for g in groups) or len(groups) < 2:
+                return False
+            if any(len(g) > 1 for g in groups):
+                # Or-of-terms clauses ride the same walks over merged
+                # streams (gated separately for differential tests)
+                flag = flag and self.span_near_group_vectorized
+            terms = [t for g in groups for t in g]
+            return bool(flag) and len(set(terms)) == len(terms)
         if isinstance(q, Q.SpanOrQuery):
             return all(self._span_vec_ok(c) for c in q.clauses)
         if isinstance(q, Q.SpanNotQuery):
@@ -1363,21 +1401,27 @@ class Scorer:
             d, p = d[m], p[m]
             return d, p, p + 1, np.zeros(p.size, dtype=np.int64)
         if isinstance(q, Q.SpanNearQuery):
-            terms = [c.term for c in q.clauses]
+            # each clause is a term or an Or-of-terms (checked by
+            # _span_vec_ok): its emission stream is the key-sorted union of
+            # member positions, so the walks run unchanged on merged streams
+            groups = [self._near_group(c) for c in q.clauses]
             sub = cand
-            if self.span_prefilter and len(terms) >= 3:
-                flats = [self.seg.flat_positions(t) for t in terms]
+            if self.span_prefilter and len(groups) >= 3:
+                flats = [self._group_flat_positions(g) for g in groups]
                 if q.in_order:
                     sub = self._pair_window_cut(sub, flats, 1, 1 + q.slop)
                 else:
-                    sub = self._pair_window_cut(sub, flats, -1 - q.slop,
-                                                1 + q.slop)
+                    # unordered window bound is max-min <= slop+k-1 (see
+                    # the eval_spans prefilter note): slop+1 is only sound
+                    # for k == 2
+                    ub = q.slop + len(groups) - 1
+                    sub = self._pair_window_cut(sub, flats, -ub, ub)
             if sub.size == 0:
                 return self._EMPTY_STREAM
-            if len(terms) == 2:
-                return self._near_2term_stream(sub, terms[0], terms[1],
+            if len(groups) == 2:
+                return self._near_2term_stream(sub, groups[0], groups[1],
                                                q.slop, q.in_order)
-            return self._near_kterm_stream(sub, terms, q.slop, q.in_order)
+            return self._near_kterm_stream(sub, groups, q.slop, q.in_order)
         if isinstance(q, Q.SpanOrQuery):
             parts = [self._span_streams_vec(c, cand) for c in q.clauses]
             d = np.concatenate([x[0] for x in parts])
@@ -1453,15 +1497,18 @@ class Scorer:
                 and isinstance(q, Q.SpanNearQuery) and len(q.clauses) > 1
                 and all(isinstance(c, Q.SpanTermQuery) for c in q.clauses)):
             # flat term-span near: any emitted span bounds every adjacent
-            # clause pair's gap by the total slop (ordered: b in
-            # [a+1, a+1+slop]; unordered: |b-a| <= slop+1) — vectorized cut
-            # before the faithful per-doc span algebra
+            # clause pair's gap (ordered: gaps sum to <= slop, so b in
+            # [a+1, a+1+slop]; unordered: the window test max_end -
+            # top_start - k <= slop bounds max(p)-min(p) <= slop+k-1, so
+            # |b-a| <= slop+k-1 — NOT slop+1: for k >= 3 two adjacent
+            # clauses may sit far apart while a third stretches the window)
+            # — vectorized cut before the faithful per-doc span algebra
             flats = [self.seg.flat_positions(c.term) for c in q.clauses]
             if q.in_order:
                 cand = self._pair_window_cut(cand, flats, 1, 1 + q.slop)
             else:
-                cand = self._pair_window_cut(cand, flats, -1 - q.slop,
-                                             1 + q.slop)
+                ub = q.slop + len(q.clauses) - 1
+                cand = self._pair_window_cut(cand, flats, -ub, ub)
         acc_dt = (np.float32 if self.dtype == np.float32 else np.float64)
         docs, freqs = [], []
         for doc in cand:

@@ -200,3 +200,31 @@ def test_random_differential_many_shapes():
             db, fb = sb._phrase_freqs(q)
         assert np.array_equal(da, db), q
         assert np.allclose(fa, fb), q
+
+
+def test_unordered_kterm_cut_bound_is_slop_plus_k_minus_1():
+    """Regression: the unordered NearSpans window test is max_end -
+    top_start - k <= slop, i.e. max(p) - min(p) <= slop + k - 1 — so for
+    k >= 3 two ADJACENT clauses may legitimately sit slop+k-1 apart (a
+    third clause stretches the window), which a +-(slop+1) adjacent-pair
+    cut wrongly removes. Pinned repro: positions t0@5, t1@10, t2@1,
+    slop=7, k=3: the span (1, 11) matches (10 - 1 - 3 = 6 <= 7) while
+    the t1->t2 adjacent gap is |1-10| = 9 > slop+1 = 8."""
+    docs = {0: ["f"] * 24}
+    docs[0][5], docs[0][10], docs[0][1] = "t0", "t1", "t2"
+    seg, gdf = _segment(docs)
+    q = Q.SpanNearQuery((Q.SpanTermQuery("t0"), Q.SpanTermQuery("t1"),
+                         Q.SpanTermQuery("t2")), slop=7, in_order=False)
+
+    def run(prefilter, vectorized):
+        s = _scorer(*(_segment(docs)))
+        s.span_prefilter = prefilter
+        s.span_near_kterm_vectorized = vectorized
+        d, f = s.eval_spans(q)
+        return dict(zip(d.tolist(), f.tolist()))
+
+    truth = run(False, False)  # faithful, no cut: ground truth
+    assert truth, "the span must match without any prefilter"
+    assert run(True, False) == truth   # cut + faithful
+    assert run(True, True) == truth    # cut + vectorized walk
+    assert run(False, True) == truth   # vectorized, no cut
