@@ -337,7 +337,7 @@ def index_wave(
     term_shards: int = 32,
     salt_bucket_docs: int | None = None,
     docs_per_segment: int = 4096,
-    coalesce_postings: bool = False,
+    coalesce_postings: bool = True,
     fields: list[str] | None = None,
     codec: "Codec | str" = DEFAULT_CODEC,
     analyzer_by_lang: dict | None = None,
@@ -386,12 +386,18 @@ def index_wave(
     crashed attempt is safely retried (parquet dirs are only visible to readers
     after the snapshot commit anyway).
 
-    coalesce_postings=True re-clusters the encoded postings by segment before
-    the partitioned write (one file per segment instead of tasks x segments).
-    On object stores the commit's rename/list loop is serial and per-file, so
-    fewer files directly cuts the un-parallelizable tail; the price is one
-    extra (fully parallel) shuffle of the compressed index. On local disks the
-    renames are cheap and the shuffle is pure overhead — default off."""
+    coalesce_postings=True (the default since round 5d) re-clusters the
+    encoded postings by segment before the partitioned write — one file per
+    segment instead of tasks x segments. Measured at 600k docs / local[32]
+    (interleaved A/B, quiet host): the build itself is ~45% FASTER coalesced
+    (46.8/37.5s -> 26.8/21.6s) because the task-count x segment-count file
+    explosion (2,976 files for 147 segments) pays a driver-serial commit
+    rename loop that dwarfs the one extra fully-parallel shuffle of the
+    compressed index; query latency drops ~50% on the same index (term-
+    pruned scan floor 1.0s -> 0.48s: parquet footer reads + listing scale
+    with file count). On object stores at 1000-executor scale both effects
+    are larger (per-file serial renames + LIST calls). Pass False to skip
+    the shuffle when a wave's postings are too large to re-shuffle."""
     if analyzer_by_lang and fields:
         raise ValueError("analyzer_by_lang supports single-field mode only")
     from ..analysis.tokenizer import PayloadAnalyzer
@@ -709,7 +715,7 @@ def build_index(
     int_keys: bool = False,
     term_shards: int = 32,
     salt_bucket_docs: int | None = None,
-    coalesce_postings: bool = False,
+    coalesce_postings: bool = True,
     resume: bool = False,
     field_cols: dict[str, str] | None = None,
     default_field: str | None = None,
