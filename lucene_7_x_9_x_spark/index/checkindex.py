@@ -50,6 +50,27 @@ def _check_postings_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
             if int(b["min_norm"]) != int(nn.min()):
                 out.append(f"{tag}: block {i} min_norm mismatch")
             off += cnt
+        # offsets channel (CheckIndex.java:642-656 checkFields' offset
+        # assertions: startOffset monotone per doc, endOffset >= startOffset)
+        if blocks and blocks[0].get("off_bytes") and blocks[0].get(
+                "pos_bytes"):
+            if not all(b.get("off_bytes") for b in blocks):
+                out.append(f"{tag}: offsets channel missing in some blocks")
+            else:
+                _, ff2, _, _, ost, oen = decode_blocks(
+                    blocks, want_positions=True, want_offsets=True)
+                if (oen < ost).any():
+                    out.append(f"{tag}: end offset < start offset")
+                if ff2.size:
+                    bounds = np.cumsum(ff2)[:-1]
+                    dst = np.diff(ost)
+                    # starts must not decrease within a doc run
+                    inner = np.ones(dst.size, dtype=bool)
+                    if bounds.size:
+                        inner[bounds - 1] = False
+                    if (dst[inner] < 0).any():
+                        out.append(f"{tag}: start offsets decrease "
+                                   "within a doc")
     return pd.DataFrame({"violation": out})
 
 

@@ -206,3 +206,9 @@ def test_offsets_refuse_payload_combo(spark, tmp_path):
         build_index(spark, df, key_col="doc_id", text_col="text",
                     index_dir=str(tmp_path / "x"), int_keys=True,
                     index_options="offsets", analyzer=PayloadAnalyzer())
+
+
+def test_checkindex_validates_offsets(spark, off_index):
+    from lucene_7_x_9_x_spark.index.checkindex import check_index
+    idx, _ = off_index
+    assert check_index(spark, idx) == []
