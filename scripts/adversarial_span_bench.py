@@ -112,6 +112,12 @@ def run(kind: str):
         "span_near3_un": Q.SpanNearQuery(
             (Q.SpanTermQuery("new"), Q.SpanTermQuery("york"),
              Q.SpanTermQuery("city")), slop=4, in_order=False),
+        # round 5d: Or-of-terms clause (SpanMultiTermQueryWrapper-in-Near
+        # shape) riding the merged-stream walk
+        "span_near_or": Q.SpanNearQuery(
+            (Q.SpanOrQuery((Q.SpanTermQuery("new"),
+                            Q.SpanTermQuery("city"))),
+             Q.SpanTermQuery("york")), slop=2, in_order=True),
     }
     for name, q in shapes.items():
         # sloppy runs three variants: the vectorized 2-term walk (new
@@ -144,6 +150,7 @@ def run(kind: str):
                     sc.span_near_2term_vectorized = use_vec
                     sc.sloppy_kterm_vectorized = use_vec
                     sc.span_near_kterm_vectorized = use_vec
+                    sc.span_near_group_vectorized = use_vec
                     calls["n"] = 0
                     t0 = time.time()
                     if isinstance(q, Q.SpanQuery):
