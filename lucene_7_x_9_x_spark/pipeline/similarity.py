@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["cosine_top_k", "ivf_top_k", "sparse_knn_query"]
+__all__ = ["cosine_top_k", "knn_top_k", "ivf_top_k", "sparse_knn_query"]
 
 
 def _two_stage_top_k(scored: DataFrame, k: int) -> DataFrame:
@@ -65,6 +65,50 @@ def _dot(a: str, b: str):
 def _norm(v: str):
     return F.sqrt(F.expr(
         f"aggregate({v}, cast(0.0 as double), (acc, x) -> acc + CAST(x AS DOUBLE) * x)"))
+
+
+def knn_top_k(vectors: DataFrame, queries: DataFrame, k: int = 10,
+              metric: str = "cosine",
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              query_id_col: str = "query_id",
+              query_vec_col: str = "query_vec") -> DataFrame:
+    """Exact brute-force KNN top-k under a Lucene VectorSimilarityFunction
+    (o.a.l.index.VectorSimilarityFunction, Lucene 9 KnnVectorField):
+
+      "euclidean"   score = 1 / (1 + squared L2 distance)   (EUCLIDEAN)
+      "dot"         score = (1 + dot product) / 2            (DOT_PRODUCT)
+      "cosine"      score = (1 + cosine) / 2                 (COSINE)
+
+    Same scale shape as cosine_top_k: broadcast query set, one stream over
+    the big side, two-stage partial top-k merge, vec_id-asc tie-break.
+    Returns (query_id, vec_id, score, rank)."""
+    v = vectors.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("_v"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_vec_col).alias("_q"))
+    pairs = v.crossJoin(F.broadcast(q))
+    if metric == "euclidean":
+        sq = F.expr(
+            "aggregate(zip_with(_v, _q, (x, y) -> "
+            "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "cast(0.0 as double), (acc, x) -> acc + x)")
+        score = F.lit(1.0) / (F.lit(1.0) + sq)
+    elif metric == "dot":
+        score = (F.lit(1.0) + _dot("_v", "_q")) / F.lit(2.0)
+    elif metric == "cosine":
+        nv = F.sqrt(F.expr(
+            "aggregate(_v, cast(0.0 as double), "
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * x)"))
+        nq = F.sqrt(F.expr(
+            "aggregate(_q, cast(0.0 as double), "
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * x)"))
+        score = (F.lit(1.0) + _dot("_v", "_q") / (nv * nq)) / F.lit(2.0)
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    scored = pairs.withColumn("cosine", score)
+    out = _two_stage_top_k(scored, k)
+    return out.select("query_id", "vec_id",
+                      F.col("cosine").alias("score"), "rank")
 
 
 def cosine_top_k(vectors: DataFrame, queries: DataFrame, k: int = 10,
