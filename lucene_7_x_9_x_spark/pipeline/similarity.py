@@ -5,6 +5,10 @@
     scan; per-query top-k is two-stage (per-partition partial top-k, then a
     rank window over <= k * n_partitions survivors) — no reducer ever sees
     the full scored corpus for a query.
+  * knn_top_k          — the same exact scan under any of Lucene 9's
+    VectorSimilarityFunction score conventions (EUCLIDEAN 1/(1+d2),
+    DOT_PRODUCT (1+dot)/2, COSINE (1+cos)/2 — o.a.l.index
+    .VectorSimilarityFunction, the KnnVectorField metric choice).
   * ivf_top_k          — the scale path: k-means-style coarse quantizer
     (deterministic seeded centroids refined with a few Lloyd iterations via
     DataFrame aggregations), vectors assigned to their nearest centroid
